@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Per VERDICT r1 findings 1-3:
+  *   - forces full evaluation with a noop-format write (Catalyst cannot
+  *     prune projections/sorts away as it can under a bare count()),
+  *   - one warm-up pass absorbs JVM/codegen cost,
+  *   - median of 3 timed runs,
+  *   - failures are reported in an "errors" field, never as fake timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +15,41 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    val ordered = SparkEntry.all.map(q => q.name -> q.run)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // warm-up: one full pass (also smokes every query)
+    ordered.foreach { case (name, fn) =>
+      try exec(fn)
+      catch { case e: Throwable => errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val timings = ordered.collect { case (name, fn) if !errors.contains(name) =>
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { exec(fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200); Double.NaN }
+      }.filterNot(_.isNaN).sorted
+      val median = if (runs.isEmpty) Double.NaN else runs(runs.size / 2)
+      name -> median
+    }.filterNot(_._2.isNaN)
+
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'").replaceAll("[\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

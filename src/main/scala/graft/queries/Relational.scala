@@ -27,7 +27,7 @@ object Relational {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
                COUNT(*) AS count_order,
                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_cnt
         FROM lineitem
@@ -35,18 +35,17 @@ object Relational {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
       """)) { (s, dir) =>
-      val one = lit(1).cast("decimal(18,2)")
+      val one = lit(1).cast("decimal(18,4)")
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-31 00:00:00")))
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-31 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Parity.dsum(col("l_quantity")).as("sum_qty"),
           Parity.dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(Parity.dec(col("l_extendedprice")) * (one - Parity.dec(col("l_discount"))))
+          sum(Parity.dec(col("l_extendedprice")) * (one - Parity.dec(col("l_discount"), 4)))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"),
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_cnt"))
-        .orderBy("l_returnflag", "l_linestatus")
     },
 
     // ---- J1: star join with broadcast dims (crimes⋈hierarchy shape) ------
@@ -55,7 +54,7 @@ object Relational {
       "lineitem⋈orders⋈customer⋈nation⋈region revenue rollup; dims broadcast (firs_mv.sql:230)",
       Some("""
         SELECT r.r_name, n.n_name,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -66,7 +65,7 @@ object Relational {
         GROUP BY r.r_name, n.n_name
         ORDER BY r.r_name, n.n_name
       """)) { (s, dir) =>
-      val one = lit(1).cast("decimal(18,2)")
+      val one = lit(1).cast("decimal(18,4)")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
@@ -75,10 +74,9 @@ object Relational {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(Parity.dec(col("l_extendedprice")) * (one - Parity.dec(col("l_discount"))))
+          sum(Parity.dec(col("l_extendedprice")) * (one - Parity.dec(col("l_discount"), 4)))
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy("r_name", "n_name")
     },
 
     // ---- J5: correlated per-parent aggregates, decorrelated --------------
@@ -113,7 +111,6 @@ object Relational {
           coalesce(col("li_count"), lit(0L)).as("li_count"),
           coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"),
           col("last_ship_epoch"))
-        .orderBy("o_orderkey")
     },
 
     // ---- P7/J3: FK validation semi-join ----------------------------------
@@ -131,7 +128,6 @@ object Relational {
           .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), Parity.dsum(col("l_quantity")).as("qty"))
-        .orderBy("l_returnflag")
     },
 
     // ---- P7/J3: pending-FK anti-join --------------------------------------
@@ -141,7 +137,7 @@ object Relational {
       Some("""
         SELECT o_orderkey, o_orderstatus, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
         FROM orders
-        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = orders.o_orderkey)
         ORDER BY o_orderkey
       """)) { (s, dir) =>
       t(s, dir, "orders")
@@ -149,7 +145,6 @@ object Relational {
           col("o_orderkey") === col("l_orderkey"), "left_anti")
         .select(col("o_orderkey"), col("o_orderstatus"),
           unix_timestamp(col("o_orderdate")).as("order_epoch"))
-        .orderBy("o_orderkey")
     },
 
     // ---- J7/W1: first-row-per-group (DISTINCT ON) --------------------------
@@ -172,7 +167,6 @@ object Relational {
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
           unix_timestamp(col("o_orderdate")).as("latest_epoch"))
-        .orderBy("o_custkey")
     },
 
     // ---- J6/W2: correlated LIMIT 1 → max_by --------------------------------
@@ -195,7 +189,6 @@ object Relational {
           max(unix_timestamp(col("o_orderdate"))).as("last_epoch"),
           max_by(col("o_orderkey"),
             struct(col("o_orderdate"), col("o_orderkey"))).as("last_orderkey"))
-        .orderBy("o_custkey")
     },
 
     // ---- A3: count distinct -------------------------------------------------
@@ -212,7 +205,6 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("n_custs"),
           count(lit(1)).as("n_orders"))
-        .orderBy("o_orderpriority")
     },
 
     // ---- A5: ordered array rollup (jsonb_agg ORDER BY) ----------------------
@@ -231,7 +223,6 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(array_join(array_sort(collect_list(entry)), ",").as("items"))
-        .orderBy("l_orderkey")
     },
 
     // ---- A7: filtered distinct array agg -------------------------------------
@@ -248,7 +239,6 @@ object Relational {
         .groupBy(col("o_custkey"))
         .agg(coalesce(
           array_join(array_sort(collect_set(v)), ","), lit("")).as("fin_priorities"))
-        .orderBy("o_custkey")
     },
 
     // ---- A8: k→count map per parent (as sorted text for parity) ---------------
@@ -268,7 +258,6 @@ object Relational {
           concat_ws(":", col("o_orderstatus"), col("cnt").cast("string")).as("kv"))
         .groupBy(col("o_custkey"))
         .agg(array_join(array_sort(collect_list(col("kv"))), ",").as("status_counts"))
-        .orderBy("o_custkey")
     },
 
     // ---- W4: global sort + limit ------------------------------------------------
@@ -303,7 +292,6 @@ object Relational {
         .select(lit("li").as("src"), col("l_orderkey").as("k"), col("l_shipdate").as("d"))
       a.unionByName(b)
         .select(col("src"), col("k"), unix_timestamp(col("d")).as("epoch"))
-        .orderBy("src", "k", "epoch")
     },
 
     // ---- T7: status bucketing CASE (shared MV expression) ---------------------------
@@ -325,7 +313,6 @@ object Relational {
       t(s, dir, "orders")
         .groupBy(bucket.as("status_bucket"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("status_bucket")
     },
 
     // ---- T19: address assembly via null-skipping concat_ws ---------------------------
@@ -343,6 +330,5 @@ object Relational {
             nullif(col("c_mktsegment"), lit("MACHINERY")),
             nullif(col("c_name"), lit("")),
             col("c_nationkey").cast("string")).as("assembled"))
-        .orderBy("c_custkey")
     })
 }
