@@ -13,8 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses natively.
+    // Sessions set spark.sql.legacy.parquet.nanosAsLong=true; restore a
+    // microsecond TimestampType here (DuckDB likewise truncates ns→us).
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else df
+  }
 
   /** Register every table as a temp view for the SQL query surface. */
   def registerAll(spark: SparkSession, dir: String): Unit =
