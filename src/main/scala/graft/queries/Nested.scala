@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.core.{Parity, Tables}
+
+/** JSON / array / map operators (SURVEY.md §2.7 N1–N8): the reference's
+  * JSONB-heavy surface — array explode with ordinality, typed extraction
+  * with cast+nullif, nested-struct flatten, array-of-struct child fan-out,
+  * bottom-up JSON document assembly, mixed-type media normalization, and
+  * canonical (key-sorted) JSON for change detection.
+  */
+object Nested {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- N1: array explode WITH ORDINALITY ------------------------------
+    QueryDef(
+      "n1_explode_ordinality",
+      "posexplode ≅ jsonb_array_elements WITH ORDINALITY (unified_brief_facts_etl.sql:100-101)",
+      Some("""
+        SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents WHERE doc_id < 100)
+      """)) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    },
+
+    // ---- N2a: JSON scalar extraction + cast + nullif --------------------
+    QueryDef(
+      "n2_json_extract_cast",
+      "(props->>'k')::int with NULLIF guard, grouped rollup (unified_brief_facts_etl.sql:78-97)",
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE NULLIF(json_extract_string(props, '$.k'), '') IS NOT NULL
+        GROUP BY 1
+      """)) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", nullif(get_json_object(col("props"), "$.k"), lit("")))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k").cast("long") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+    },
+
+    // ---- N2b: JSON array round-trip: build → parse → explode → cast -----
+    QueryDef(
+      "n2_json_array_roundtrip",
+      "JSON array column parsed back to typed rows: from_json + posexplode + cast (drugs JSONB flatten)",
+      Some("""
+        SELECT l_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, CAST(l_quantity AS BIGINT)) - 1 AS ord,
+               l_partkey AS partkey,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 20 = 0
+      """)) { (s, dir) =>
+      val itemSchema = ArrayType(StructType(Seq(
+        StructField("ln", IntegerType), StructField("partkey", LongType),
+        StructField("qty", LongType))))
+      // build the JSONB-like array column, then genuinely re-parse it
+      val built = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(to_json(array_sort(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_partkey").as("partkey"),
+          col("l_quantity").cast("long").as("qty"))))).as("items_json"))
+      built
+        .select(col("l_orderkey"),
+          posexplode(from_json(col("items_json"), itemSchema)).as(Seq("ord", "item")))
+        .select(col("l_orderkey"), col("ord"),
+          col("item.partkey").as("partkey"), col("item.qty").as("qty"))
+    },
+
+    // ---- N3: nested-struct flatten via dotted paths ---------------------
+    QueryDef(
+      "n3_nested_flatten",
+      "PRESENT_WHEREABOUTS.IN_JAIL.IS_IN_JAIL-style dotted flatten (ir_etl.py:685-714)",
+      Some("""
+        SELECT c_custkey, c_nationkey AS nation, c_mktsegment AS segment, c_acctbal AS balance
+        FROM customer
+      """)) { (s, dir) =>
+      val nested = t(s, dir, "customer").select(
+        col("c_custkey"),
+        struct(
+          struct(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment")).as("geo"),
+          struct(col("c_acctbal").as("balance")).as("fin")).as("profile"))
+      nested.select(
+        col("c_custkey"),
+        col("profile.geo.nation").as("nation"),
+        col("profile.geo.segment").as("segment"),
+        col("profile.fin.balance").as("balance"))
+    },
+
+    // ---- N4: array-of-struct fan-out to child tables (incl. empty) ------
+    QueryDef(
+      "n4_child_fanout",
+      "Per-array child-table fan-out with explode_outer; childless parents produce a NULL row (ir_etl.py:918-1491)",
+      Some("""
+        WITH parents AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 7),
+        items AS (
+          SELECT p.o_orderkey,
+                 CASE WHEN l.l_orderkey IS NULL THEN NULL
+                      ELSE ROW_NUMBER() OVER (PARTITION BY p.o_orderkey, (l.l_orderkey IS NULL) ORDER BY l.l_linenumber, l.l_partkey) - 1 END AS ord,
+                 l.l_partkey AS partkey
+          FROM parents p LEFT JOIN lineitem l ON p.o_orderkey = l.l_orderkey
+        ),
+        flags AS (
+          SELECT o_orderkey, fl, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY fl) - 1 AS ord FROM (
+            SELECT DISTINCT p.o_orderkey, l.l_returnflag AS fl
+            FROM parents p JOIN lineitem l ON p.o_orderkey = l.l_orderkey
+          )
+        )
+        SELECT 'items' AS child, o_orderkey, ord, CAST(partkey AS VARCHAR) AS v FROM items
+        UNION ALL
+        SELECT 'flags' AS child, o_orderkey, ord, fl AS v FROM flags
+      """)) { (s, dir) =>
+      val parents = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem")
+      // assemble the parent document: two array-of-struct child columns
+      val doc = parents
+        .join(li.groupBy(col("l_orderkey")).agg(
+          array_sort(collect_list(struct(col("l_linenumber").as("ln"),
+            col("l_partkey").as("partkey")))).as("items"),
+          array_sort(collect_set(col("l_returnflag"))).as("flags")),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("items"), col("flags"))
+      // fan out each array into its own child table, keeping childless parents
+      val itemsChild = doc
+        .select(col("o_orderkey"), posexplode_outer(col("items")).as(Seq("ord", "item")))
+        .select(lit("items").as("child"), col("o_orderkey"), col("ord"),
+          col("item.partkey").cast("string").as("v"))
+      val flagsChild = doc.filter(size(col("flags")) > 0)
+        .select(col("o_orderkey"), posexplode(col("flags")).as(Seq("ord", "v")))
+        .select(lit("flags").as("child"), col("o_orderkey"), col("ord"), col("v"))
+      itemsChild.unionByName(flagsChild)
+    },
+
+    // ---- N5/N6: bottom-up JSON document assembly ------------------------
+    QueryDef(
+      "n6_json_doc_assembly",
+      "Nested JSON doc built bottom-up: child agg → struct → to_json (firs_mv.sql:96-103,171-174)",
+      Some("""
+        SELECT o.o_orderkey,
+               '{"o_orderkey":' || o.o_orderkey || ',"status":"' || o.o_orderstatus ||
+               '","items":[' || COALESCE(i.items, '') || ']}' AS doc
+        FROM orders o
+        LEFT JOIN (
+          SELECT l_orderkey,
+                 string_agg('{"ln":' || l_linenumber || ',"partkey":' || l_partkey || '}',
+                            ',' ORDER BY l_linenumber, l_partkey) AS items
+          FROM lineitem GROUP BY l_orderkey
+        ) i ON o.o_orderkey = i.l_orderkey
+        WHERE o.o_orderkey % 10 = 3
+      """)) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_partkey").as("partkey")))).as("items"))
+      t(s, dir, "orders").filter(col("o_orderkey") % 10 === 3)
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          to_json(struct(
+            col("o_orderkey"),
+            col("o_orderstatus").as("status"),
+            coalesce(col("items"), array().cast(
+              "array<struct<ln:int,partkey:bigint>>")).as("items"))).as("doc"))
+    },
+
+    // ---- N7: media normalization with type dispatch ---------------------
+    QueryDef(
+      "n7_media_dispatch",
+      "API media array/object/scalar → normalized child rows (etl_properties.py:706-749)",
+      Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+                 CASE event_type
+                   WHEN 'click' THEN '[{"u":"m0"},{"u":"m1"}]'
+                   WHEN 'view'  THEN '{"u":"single"}'
+                   ELSE 'raw-' || event_type END AS media
+          FROM events WHERE event_id % 25 = 0
+        )
+        SELECT event_id, 'array' AS kind, u AS url FROM (
+          SELECT event_id, unnest(['m0','m1']) AS u FROM ev WHERE event_type = 'click')
+        UNION ALL
+        SELECT event_id, 'object' AS kind, 'single' AS url FROM ev WHERE event_type = 'view'
+        UNION ALL
+        SELECT event_id, 'scalar' AS kind, media AS url FROM ev
+        WHERE event_type NOT IN ('click','view')
+      """)) { (s, dir) =>
+      val arrSchema = ArrayType(StructType(Seq(StructField("u", StringType))))
+      val objSchema = StructType(Seq(StructField("u", StringType)))
+      val ev = t(s, dir, "events").filter(col("event_id") % 25 === 0)
+        .withColumn("media",
+          when(col("event_type") === "click", lit("""[{"u":"m0"},{"u":"m1"}]"""))
+            .when(col("event_type") === "view", lit("""{"u":"single"}"""))
+            .otherwise(concat(lit("raw-"), col("event_type"))))
+      // genuine type dispatch on the JSON payload shape
+      val kind = when(col("media").startsWith("["), "array")
+        .when(col("media").startsWith("{"), "object")
+        .otherwise("scalar")
+      val urls = when(kind === "array",
+          transform(from_json(col("media"), arrSchema), x => x.getField("u")))
+        .when(kind === "object", array(from_json(col("media"), objSchema).getField("u")))
+        .otherwise(array(col("media")))
+      ev.select(col("event_id"), kind.as("kind"), explode(urls).as("url"))
+    },
+
+    // ---- N8: canonical (key-sorted) JSON for change detection -----------
+    QueryDef(
+      "n8_canonical_json",
+      "Canonical key-sorted JSON object + md5, byte-stable across engines (etl_crimes.py:712 change detection)",
+      Some("""
+        SELECT user_id,
+               '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}' AS doc,
+               md5('{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}') AS doc_md5
+        FROM (SELECT user_id, event_type, COUNT(*) AS n
+              FROM events GROUP BY user_id, event_type)
+        GROUP BY user_id
+      """)) { (s, dir) =>
+      val doc = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(concat(lit("{"),
+          array_join(array_sort(collect_list(
+            concat(lit("\""), col("event_type"), lit("\":"), col("n")))), ","),
+          lit("}")).as("doc"))
+      doc.select(col("user_id"), col("doc"), md5(col("doc")).as("doc_md5"))
+    })
+}
