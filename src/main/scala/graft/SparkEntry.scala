@@ -12,7 +12,8 @@ object SparkEntry {
   private def queries0: Seq[QueryDef] =
     graft.queries.Relational.defs ++
       graft.queries.MergeQueries.defs ++
-      graft.queries.Nested.defs
+      graft.queries.Nested.defs ++
+      graft.queries.GoldMv.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
