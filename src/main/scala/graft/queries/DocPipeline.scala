@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Training-data document pipeline: deduplication (exact, MinHash+LSH,
+  * SimHash signatures, n-gram Jaccard) and text analysis (quality
+  * scoring, token stats, language-ID, fingerprinting) over the
+  * `documents` table — the beyond-reference components the 100 TB
+  * engine needs (builder brief; reference analogs: E1/E2 dedup,
+  * `geo_resolver.py` similarity, `extractor_drugs.py:159-304` scoring).
+  *
+  * Scale design: every pairwise operation is *blocked* — MinHash bands,
+  * language blocks, or fingerprint buckets — so candidate generation is
+  * an equi-join, never an all-pairs product. MinHash signatures are 8
+  * deterministic md5-based hashes banded 4×2: band join cost is
+  * O(docs × bands), verification touches only band-colliding pairs.
+  */
+object DocPipeline {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Corpus with planted near-duplicates: every 5th doc reappears with
+    * its first 3 tokens stripped (id + 10000) — exercising the near-dup
+    * detectors on known ground truth. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^(\\w+ ){3}", "").as("text"))
+    base.unionByName(variants)
+  }
+
+  private val corpusSql = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^(\w+ ){3}', '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    )"""
+
+  /** Distinct word-3-gram shingles per doc (lead-window construction;
+    * concat() is null-propagating so trailing partial shingles drop). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), concat(col("w"), lit(" "),
+        lead("w", 1).over(w), lit(" "), lead("w", 2).over(w)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .distinct()
+  }
+
+  private val shinglesSql = """
+    tok AS (
+      SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM corpus)
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup on canonical bag-of-words form ---------------------
+    QueryDef(
+      "dd1_exact_dedup",
+      "Exact dedup: md5 over sorted distinct tokens; group size + canonical (first) doc per group",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS dedup_key
+          FROM documents
+        )
+        SELECT doc_id, dedup_key,
+               COUNT(*) OVER (PARTITION BY dedup_key) AS group_size,
+               MIN(doc_id) OVER (PARTITION BY dedup_key) AS canonical_doc,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY dedup_key) AS is_duplicate
+        FROM keyed
+      """)) { (s, dir) =>
+      val keyed = t(s, dir, "documents").select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+          .as("dedup_key"))
+      val w = Window.partitionBy("dedup_key")
+      keyed
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("canonical_doc", min(col("doc_id")).over(w))
+        .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc"))
+    },
+
+    // ---- MinHash + banded LSH near-dup detection ------------------------
+    QueryDef(
+      "dd2_minhash_lsh",
+      "MinHash (8 md5 hashes) banded 4×2 → candidate pairs → exact shingle-Jaccard verify ≥ 0.4",
+      Some(s"""
+        WITH $corpusSql,
+        $shinglesSql,
+        mh AS (
+          SELECT doc_id,
+                 min(md5('0#' || sh)) AS mh0, min(md5('1#' || sh)) AS mh1,
+                 min(md5('2#' || sh)) AS mh2, min(md5('3#' || sh)) AS mh3,
+                 min(md5('4#' || sh)) AS mh4, min(md5('5#' || sh)) AS mh5,
+                 min(md5('6#' || sh)) AS mh6, min(md5('7#' || sh)) AS mh7
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bkey FROM mh
+          UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+          UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+          UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        com AS (
+          SELECT c.a_id, c.b_id, COUNT(*) AS common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a_id
+          JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+          GROUP BY c.a_id, c.b_id
+        )
+        SELECT m.a_id, m.b_id,
+               CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common) AS jacc
+        FROM com m
+        JOIN n na ON na.doc_id = m.a_id
+        JOIN n nb ON nb.doc_id = m.b_id
+        WHERE CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common) >= 0.4
+      """)) { (s, dir) =>
+      val sh = shingles(corpus(s, dir)).cache()
+      val mhExprs = (0 until 8).map(i =>
+        min(md5(concat(lit(s"$i#"), col("sh")))).as(s"mh$i"))
+      val mh = sh.groupBy(col("doc_id")).agg(mhExprs.head, mhExprs.tail: _*)
+      val bands = mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band_idx"),
+          md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))): _*))
+        .as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.bkey").as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+      common
+        .join(n.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+            .as("jacc"))
+        .filter(col("jacc") >= 0.4)
+    },
+
+    // ---- brute-force token Jaccard within language blocks ---------------
+    QueryDef(
+      "dd3_token_jaccard",
+      "Unigram Jaccard top-3 per query doc, candidates blocked by language (never all-pairs)",
+      Some("""
+        WITH tokd AS (
+          SELECT DISTINCT d.doc_id, d.lang, t.w
+          FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(w)
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM tokd GROUP BY doc_id),
+        qd AS (SELECT doc_id, lang FROM documents WHERE doc_id % 100 = 0),
+        com AS (
+          SELECT q.doc_id AS q_id, c.doc_id AS c_id, COUNT(*) AS common
+          FROM qd q
+          JOIN tokd tq ON tq.doc_id = q.doc_id
+          JOIN tokd c ON c.lang = q.lang AND c.w = tq.w AND c.doc_id <> q.doc_id
+          GROUP BY q.doc_id, c.doc_id
+        )
+        SELECT q_id, c_id, jacc FROM (
+          SELECT m.q_id, m.c_id,
+                 CAST(m.common AS DOUBLE) / (nq.n + nc.n - m.common) AS jacc,
+                 ROW_NUMBER() OVER (PARTITION BY m.q_id
+                   ORDER BY CAST(m.common AS DOUBLE) / (nq.n + nc.n - m.common) DESC,
+                            m.c_id) AS rn
+          FROM com m
+          JOIN n nq ON nq.doc_id = m.q_id
+          JOIN n nc ON nc.doc_id = m.c_id
+        ) WHERE rn <= 3
+      """)) { (s, dir) =>
+      val tokd = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val n = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val q = tokd.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("lang"), col("w"))
+      val c = tokd.select(col("doc_id").as("c_id"), col("lang"), col("w"))
+      val common = q.join(c, Seq("lang", "w"))
+        .filter(col("q_id") =!= col("c_id"))
+        .groupBy(col("q_id"), col("c_id")).agg(count(lit(1)).as("common"))
+      val scored = common
+        .join(n.select(col("doc_id").as("q_id"), col("n").as("nq")), Seq("q_id"))
+        .join(n.select(col("doc_id").as("c_id"), col("n").as("nc")), Seq("c_id"))
+        .select(col("q_id"), col("c_id"),
+          (col("common").cast("double") / (col("nq") + col("nc") - col("common")))
+            .as("jacc"))
+      val w = Window.partitionBy("q_id").orderBy(col("jacc").desc, col("c_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("c_id"), col("jacc"))
+    },
+
+    // ---- SimHash signatures ---------------------------------------------
+    QueryDef(
+      "dd4_simhash_sig",
+      "16-bit SimHash signature from md5-derived token hashes (bit-majority vote)",
+      Some {
+        val bitSums = (0 until 16).map(b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n                 ")
+        val bits = (0 until 16).map(b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""
+        WITH $corpusSql,
+        tokd AS (
+          SELECT DISTINCT doc_id, w
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+        ),
+        hashed AS (
+          SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tokd
+        ),
+        votes AS (
+          SELECT doc_id,
+                 $bitSums
+          FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes
+        """
+      }) { (s, dir) =>
+      val tokd = corpus(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val hashed = tokd.select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+      val voteExprs = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$b"))
+      val votes = hashed.groupBy(col("doc_id")).agg(voteExprs.head, voteExprs.tail: _*)
+      votes.select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    },
+
+    // ---- quality scoring --------------------------------------------------
+    QueryDef(
+      "dd5_quality_score",
+      "Doc quality: length score, stopword ratio, avg token length → weighted grade (extractor_drugs.py:159-304 shape)",
+      Some("""
+        WITH stats AS (
+          SELECT doc_id, lang, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the'))) AS n_stop
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, lang, n_tokens,
+                 least(CAST(n_chars AS DOUBLE) / 500, 1.0) AS len_score,
+                 CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+                 CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+          FROM stats
+        )
+        SELECT doc_id, lang, n_tokens, len_score, stop_ratio,
+               0.5 * len_score + 0.3 * (1.0 - stop_ratio)
+                 + 0.2 * least(chars_per_token / 6, 1.0) AS quality,
+               CASE WHEN 0.5 * len_score + 0.3 * (1.0 - stop_ratio)
+                         + 0.2 * least(chars_per_token / 6, 1.0) >= 0.75 THEN 'good'
+                    WHEN 0.5 * len_score + 0.3 * (1.0 - stop_ratio)
+                         + 0.2 * least(chars_per_token / 6, 1.0) >= 0.55 THEN 'fair'
+                    ELSE 'poor' END AS grade
+        FROM scored
+      """)) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val stats = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, x => x.isin("a", "the"))).as("n_stop"))
+      val scored = stats.select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        least(col("n_chars").cast("double") / 500, lit(1.0)).as("len_score"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+      val quality = lit(0.5) * col("len_score") +
+        lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+        lit(0.2) * least(col("chars_per_token") / 6, lit(1.0))
+      scored.select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("len_score"), col("stop_ratio"), quality.as("quality"),
+        when(quality >= 0.75, "good").when(quality >= 0.55, "fair")
+          .otherwise("poor").as("grade"))
+    },
+
+    // ---- token counting (whitespace + regex tokenizer) --------------------
+    QueryDef(
+      "dd6_token_stats",
+      "Per-language token stats: whitespace tokens vs regex ([a-z0-9]+) tokens, chars per token",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+               CAST(SUM(n_chars) AS DOUBLE) / SUM(len(string_split(text, ' '))) AS chars_per_token
+        FROM documents GROUP BY lang
+      """)) { (s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang")).agg(
+        count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))).as("re_tokens"),
+        (sum(col("n_chars")).cast("double") /
+          sum(size(split(col("text"), " ")))).as("chars_per_token"))
+    },
+
+    // ---- language-ID via per-language token profiles ----------------------
+    QueryDef(
+      "dd7_lang_id",
+      "n-gram-profile language ID: top-3 tokens per language as profile, argmax profile hits per doc",
+      Some("""
+        WITH tokd AS (
+          SELECT DISTINCT d.doc_id, d.lang, t.w
+          FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(w)
+        ),
+        freq AS (
+          SELECT lang, w, COUNT(*) AS n FROM tokd GROUP BY lang, w
+        ),
+        profile AS (
+          SELECT lang AS p_lang, w FROM (
+            SELECT lang, w, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rn
+            FROM freq
+          ) WHERE rn <= 3
+        ),
+        hits AS (
+          SELECT t.doc_id, p.p_lang, COUNT(*) AS score
+          FROM tokd t JOIN profile p ON t.w = p.w
+          GROUP BY t.doc_id, p.p_lang
+        )
+        SELECT h.doc_id, d.lang AS actual, h.p_lang AS predicted,
+               d.lang = h.p_lang AS correct
+        FROM (
+          SELECT doc_id, p_lang,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn
+          FROM hits
+        ) h JOIN documents d ON d.doc_id = h.doc_id
+        WHERE h.rn = 1
+      """)) { (s, dir) =>
+      val tokd = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val freq = tokd.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      val wProfile = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+      val profile = freq.withColumn("rn", row_number().over(wProfile))
+        .filter(col("rn") <= 3)
+        .select(col("lang").as("p_lang"), col("w"))
+      val hits = tokd.join(profile, Seq("w"))
+        .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("score"))
+      val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))
+      hits.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang").as("actual"),
+          col("p_lang").as("predicted"),
+          (col("lang") === col("p_lang")).as("correct"))
+    },
+
+    // ---- mod-sampled shingle fingerprint (winnowing-lite) ------------------
+    QueryDef(
+      "dd8_doc_fingerprint",
+      "Document fingerprint: shingle hashes mod-sampled (hex prefix 0/1), md5 over the sorted kept set",
+      Some(s"""
+        WITH $corpusSql,
+        $shinglesSql,
+        kept AS (
+          SELECT doc_id, md5(sh) AS h FROM sh
+          WHERE substr(md5(sh), 1, 1) IN ('0', '1')
+        )
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
+        FROM kept GROUP BY doc_id
+      """)) { (s, dir) =>
+      shingles(corpus(s, dir))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .filter(substring(col("h"), 1, 1).isin("0", "1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(array_sort(collect_list(col("h"))), ",")).as("fingerprint"))
+    })
+}
