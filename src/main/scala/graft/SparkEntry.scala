@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.Nested.defs ++
       graft.queries.GoldMv.defs ++
       graft.queries.Resolve.defs ++
-      graft.queries.DocPipeline.defs
+      graft.queries.DocPipeline.defs ++
+      graft.queries.AnnSearch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2.8 E5; reference shape `core/geo_resolver.py:86-235`):
+  * brute-force cosine top-k as the correctness baseline, plus a
+  * sign-bucket LSH variant as the scale path.
+  *
+  * Scale notes: the brute-force path broadcasts the (small) query set —
+  * cost O(queries × corpus) with no shuffle of the corpus; the LSH path
+  * buckets both sides on a deterministic sign signature so the join is
+  * an equi-join touching only same-bucket pairs (the
+  * BucketedRandomProjectionLSH idea with hyperplanes replaced by axis
+  * signs for cross-engine determinism).
+  *
+  * Cross-engine float notes: embeddings are float32; both engines
+  * promote to float64 and fold products sequentially (Spark `aggregate`
+  * ≅ DuckDB `list_dot_product`), so the dot products are bit-identical;
+  * cosine is rounded to 6 decimals as belt-and-braces before ranking.
+  */
+object AnnSearch {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Sequential-fold dot product of two double arrays (matches the
+    * C-loop order of DuckDB's list_dot_product). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withVec(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  private val vecSql = """
+    vecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings
+    )"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- E5a: brute-force cosine top-k (broadcast query set) ------------
+    QueryDef(
+      "e5_ann_bruteforce",
+      "Brute-force cosine top-3 per query vector; query set broadcast, corpus never shuffled",
+      Some(s"""
+        WITH $vecSql,
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM vecs WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS cand_id,
+                 round(list_dot_product(q.qv, c.v) / (q.qn * c.norm), 6) AS cos
+          FROM q JOIN vecs c ON c.vec_id <> q.q_id
+        )
+        SELECT q_id, cand_id, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+      """)) { (s, dir) =>
+      val vecs = withVec(t(s, dir, "embeddings"))
+      val q = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+      val scored = vecs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"), col("cos"))
+    },
+
+    // ---- E5b: sign-bucket LSH top-k (equi-join on bucket) ---------------
+    QueryDef(
+      "e5_ann_lsh",
+      "Multi-probe LSH cosine top-3: 4-bit sign-signature buckets; each query probes its bucket + all hamming-1 buckets (5/16 of the corpus)",
+      Some(s"""
+        WITH $vecSql,
+        bucketed AS (
+          SELECT vec_id, v, norm,
+                 CAST(CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN v[17] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN v[33] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN v[49] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+          FROM vecs
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, bucket
+              FROM bucketed WHERE vec_id % 100 = 0),
+        probes AS (
+          SELECT q_id, qv, qn, CAST(xor(bucket, flip) AS INTEGER) AS probe_bucket
+          FROM q, UNNEST([0, 1, 2, 4, 8]) AS f(flip)
+        ),
+        scored AS (
+          SELECT p.q_id, c.vec_id AS cand_id, c.bucket,
+                 round(list_dot_product(p.qv, c.v) / (p.qn * c.norm), 6) AS cos
+          FROM probes p JOIN bucketed c
+            ON c.bucket = p.probe_bucket AND c.vec_id <> p.q_id
+        )
+        SELECT q_id, cand_id, bucket, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+      """)) { (s, dir) =>
+      val bucket = Seq(1 -> 8, 17 -> 4, 33 -> 2, 49 -> 1).map { case (i, w) =>
+        when(element_at(col("v"), i) >= 0, w).otherwise(0)
+      }.reduce(_ + _).cast("int")
+      val bucketed = withVec(t(s, dir, "embeddings"))
+        .withColumn("bucket", bucket)
+      val probes = bucketed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("norm").as("qn"),
+          explode(array(Seq(0, 1, 2, 4, 8).map(lit): _*)).as("flip"),
+          col("bucket"))
+        .select(col("q_id"), col("qv"), col("qn"),
+          col("bucket").bitwiseXOR(col("flip")).cast("int").as("probe_bucket"))
+      val scored = bucketed.join(probes,
+          col("bucket") === col("probe_bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("bucket"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"), col("bucket"), col("cos"))
+    },
+
+    // ---- E5c: IVF-style label-partitioned centroid search ---------------
+    QueryDef(
+      "e5_ann_ivf",
+      "IVF-style two-stage search: per-label mean centroid, probe top-1 cell, exact top-3 within the cell",
+      Some(s"""
+        WITH $vecSql,
+        cells AS (
+          SELECT label,
+                 list_transform(range(1, 65), i -> avg_v[i]) AS centroid
+          FROM (
+            SELECT label,
+                   list_transform(range(1, 65),
+                     i -> list_sum(list_transform(vl, x -> x[i])) / len(vl)) AS avg_v
+            FROM (SELECT label, list(v) AS vl FROM vecs GROUP BY label)
+          )
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM vecs WHERE vec_id % 100 = 0),
+        probe AS (
+          SELECT q_id, label FROM (
+            SELECT q.q_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                     ORDER BY round(list_dot_product(q.qv, c.centroid)
+                       / (q.qn * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                       c.label) AS rn
+            FROM q JOIN cells c ON true
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT q.q_id, v.vec_id AS cand_id, v.label,
+                 round(list_dot_product(q.qv, v.v) / (q.qn * v.norm), 6) AS cos
+          FROM probe p
+          JOIN q ON q.q_id = p.q_id
+          JOIN vecs v ON v.label = p.label AND v.vec_id <> q.q_id
+        )
+        SELECT q_id, cand_id, label, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+      """)) { (s, dir) =>
+      val vecs = withVec(t(s, dir, "embeddings")).cache()
+      // per-label mean centroid: explode positions, average, rebuild array
+      val cells = vecs
+        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i")).agg(
+          (sum(col("x")) / count(lit(1))).as("cx"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+        .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+      val q = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+      val probe = q.crossJoin(broadcast(cells))
+        .select(col("q_id"), col("label"),
+          round(dot(col("qv"), col("centroid")) /
+            (col("qn") * sqrt(dot(col("centroid"), col("centroid")))), 6).as("ccos"))
+      val wp = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
+      val best = probe.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("q_id"), col("label"))
+      val scored = best.join(q, Seq("q_id")).join(vecs, Seq("label"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("label"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"), col("label"), col("cos"))
+    })
+}
