@@ -16,7 +16,10 @@ object SparkEntry {
       graft.queries.GoldMv.defs ++
       graft.queries.Resolve.defs ++
       graft.queries.DocPipeline.defs ++
-      graft.queries.AnnSearch.defs
+      graft.queries.AnnSearch.defs ++
+      graft.queries.Conform.defs ++
+      graft.queries.TextOps.defs ++
+      graft.queries.LlmOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
