@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.AnnSearch.defs ++
       graft.queries.Conform.defs ++
       graft.queries.TextOps.defs ++
-      graft.queries.LlmOps.defs
+      graft.queries.LlmOps.defs ++
+      graft.queries.Ingest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

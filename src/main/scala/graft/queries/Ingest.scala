@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.streaming.EventsStream
+
+/** Incremental-ingestion operators (SURVEY.md §2.1 S3) and the batch
+  * faces of the streaming transforms (§2.11) — the same EventsStream
+  * functions run unmodified over a streaming source in StreamingSpec.
+  */
+object Ingest {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S3: greatest-of-maxes incremental watermark ---------------------
+    QueryDef(
+      "s3_watermark",
+      "Effective start = GREATEST(COALESCE(MAX(CASE WHEN ...)), floor date) over two change columns (etl_crimes.py:246-290)",
+      Some("""
+        SELECT CAST(floor(epoch(greatest(
+                 COALESCE(MAX(CASE WHEN ts >= TIMESTAMP '2024-01-10' THEN ts END),
+                          TIMESTAMP '2024-01-01'),
+                 COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                          TIMESTAMP '2024-01-01')))) AS BIGINT) AS watermark_epoch,
+               COUNT(*) AS scanned_rows
+        FROM events
+      """)) { (s, dir) =>
+      val floorTs = to_timestamp(lit("2024-01-01 00:00:00"))
+      t(s, dir, "events").agg(
+        unix_timestamp(greatest(
+          coalesce(max(when(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")),
+            col("ts"))), floorTs),
+          coalesce(max(when(col("event_type") === "purchase", col("ts"))), floorTs)))
+          .as("watermark_epoch"),
+        count(lit(1)).as("scanned_rows"))
+    },
+
+    // ---- §2.11: tumbling-window aggregation (batch face) ------------------
+    QueryDef(
+      "st_tumbling_window",
+      "1-hour tumbling window counts + exact sums (EventsStream.tumblingCounts; oracle via date_trunc)",
+      Some("""
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+      """)) { (s, dir) =>
+      EventsStream.tumblingCounts(t(s, dir, "events"))
+    },
+
+    // ---- §2.11: session windows (batch face) ------------------------------
+    QueryDef(
+      "st_session_window",
+      "Per-user 30-minute-gap sessions via native session_window; oracle = lag/gap-sum sessionization",
+      Some("""
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 30 MINUTE OR
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM gaps
+        )
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               CAST(floor(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+      """)) { (s, dir) =>
+      EventsStream.sessionized(t(s, dir, "events"))
+    })
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms over the `events` table (SURVEY.md §2.11).
+  * The reference is micro-batch-only; these are the Structured
+  * Streaming equivalents of its semantics — every function takes a
+  * DataFrame and works identically on a batch frame (used by the
+  * oracle gate) and a streaming frame (used by StreamingSpec with a
+  * MemoryStream source):
+  *
+  *   - watermark ≅ the reference's effective-start-date (S3)
+  *   - dropDuplicates within watermark ≅ overlap-window reprocessing
+  *   - tumbling/session windows are the new capability the reference
+  *     lacks.
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour windows with a 1-day watermark; counts + exact sums. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
+  /** Late-data dedup within the watermark (overlap-window reprocessing ≅
+    * idempotent PK upsert, S6 semantics in streaming form). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day").dropDuplicates("event_id")
+}
