@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Conform.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.LlmOps.defs ++
-      graft.queries.Ingest.defs
+      graft.queries.Ingest.defs ++
+      graft.queries.Surface.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (builder brief): image/audio/video as
+  * opaque `binary` columns with typed metadata, processed in batches via
+  * mapPartitions. The real decoder libraries are not in this container,
+  * so `fakeDecode` is a clearly-marked deterministic stand-in — the
+  * Spark-side contract (schema, batch shape, partitioning) is real and
+  * oracle/spec-tested.
+  *
+  * Scale notes: blobs never pass through a shuffle wider than their
+  * partition (mapPartitions, no groupBy on blob); metadata travels in a
+  * separate struct column so pruning drops the heavy bytes when only
+  * metadata is read.
+  */
+object Multimodal {
+
+  val featureDim = 8
+
+  /** Pack a text table into (id, blob, meta) — the landing shape for any
+    * media type; mime is carried in metadata, bytes are opaque. */
+  def pack(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        col("lang").as("lang")).as("meta"))
+
+  /** STUB decoder — deterministic fake in place of an image/audio codec:
+    * "features" are per-stride byte averages. A real deployment swaps
+    * this body for the codec call; everything around it stays. */
+  private def fakeDecode(blob: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    if (blob == null || blob.isEmpty) return out
+    val stride = math.max(1, blob.length / featureDim)
+    var i = 0
+    while (i < featureDim) {
+      var sum = 0L; var n = 0
+      var j = i * stride
+      val end = math.min(blob.length, (i + 1) * stride)
+      while (j < end) { sum += (blob(j) & 0xff); n += 1; j += 1 }
+      out(i) = if (n == 0) 0f else sum.toFloat / n
+      i += 1
+    }
+    out
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(FloatType, containsNull = false)),
+    StructField("n_bytes", IntegerType)))
+
+  /** Batched feature extraction: one decoder invocation per row, batched
+    * per partition (the mapInPandas batch shape, Scala-side). */
+  def extractFeatures(packed: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    packed.select(col("doc_id"), col("blob"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val blob = r.getAs[Array[Byte]]("blob")
+          Row(r.getAs[Long]("doc_id"), fakeDecode(blob).toSeq,
+            if (blob == null) 0 else blob.length)
+        }
+      }(enc)
+  }
+}

