@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TextOps.defs ++
       graft.queries.LlmOps.defs ++
       graft.queries.Ingest.defs ++
-      graft.queries.Surface.defs
+      graft.queries.Surface.defs ++
+      graft.queries.Extras.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Raw-zone ingestion (SURVEY.md §2.1 S1/S4/S5 + §1.3 schema evolution).
+  * The reference's REST fetcher lands JSON per chunk; the engine-side
+  * contract is: read the landed drops permissively (corrupt records
+  * quarantined, never dropped), and evolve the stored schema by unioning
+  * incoming fields with name-based type inference
+  * (`etl-crimes/etl_crimes.py:292-341`).
+  */
+object RawZone {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** S1 landing reader: permissive JSON with a quarantine column. */
+  def readJsonDrops(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+    val withSchema = schema match {
+      case Some(s0) =>
+        val s = if (s0.fieldNames.contains(CorruptCol)) s0
+        else s0.add(StructField(CorruptCol, StringType))
+        base.schema(s)
+      case None => base
+    }
+    withSchema.json(path)
+  }
+
+  /** S5 reference-data reader: header CSV with type inference. */
+  def readCsvDim(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** §1.3 name-based type inference, mirroring the reference's
+    * `add_column_to_table` rule table: date-ish names → timestamp,
+    * id/code names → short string, everything else → string. */
+  def inferTypeFromName(name: String): DataType = {
+    val n = name.toLowerCase
+    if (n.contains("date") || n.endsWith("_at") || n.endsWith("_time")) TimestampType
+    else if (n.endsWith("_id") || n.endsWith("_code") || n == "id") StringType
+    else StringType
+  }
+
+  /** §1.3 schema evolution: union of the stored schema with incoming
+    * fields. Existing columns keep their stored type; new columns get the
+    * incoming type if concrete, else the name-inferred type. */
+  def evolveSchema(stored: StructType, incoming: StructType): StructType = {
+    val existing = stored.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => existing.contains(f.name)).map { f =>
+      val dt = f.dataType match {
+        case NullType => inferTypeFromName(f.name)
+        case other => other
+      }
+      StructField(f.name, dt, nullable = true)
+    }
+    StructType(stored.fields ++ added)
+  }
+
+  /** Align a frame to an evolved schema: add missing columns as typed
+    * NULLs, order columns canonically — the dynamic column-intersection
+    * upsert shape (`etl-persons/etl_persons.py:1056`). */
+  def conformTo(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    val withAll = target.fields.foldLeft(df) { (acc, f) =>
+      if (present.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withAll.select(target.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** S11: run a multi-statement SQL script (view refresh driver,
+    * `etl_refresh_views/views_refresh_sql.py`). Statements split on ';',
+    * validated read-only by QueryGuard, executed in order; returns the
+    * last result. */
+  def runScript(spark: SparkSession, dir: String, script: String): Either[graft.ql.QueryGuard.Denied, DataFrame] = {
+    val statements = script.split(";").map(_.trim).filter(_.nonEmpty)
+    statements.foldLeft(Right(spark.emptyDataFrame): Either[graft.ql.QueryGuard.Denied, DataFrame]) {
+      case (Left(d), _) => Left(d)
+      case (Right(_), stmt) => graft.ql.QueryGuard.execute(spark, dir, stmt, maxRows = 10000)
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+class RawZoneSpec extends SparkTestBase {
+
+  private def writeDrop(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("rawzone").toFile
+    val f = new java.io.File(dir, "chunk0.json")
+    val w = new java.io.PrintWriter(f)
+    lines.foreach(w.println)
+    w.close()
+    dir.getAbsolutePath
+  }
+
+  test("permissive JSON read quarantines corrupt records instead of dropping them") {
+    val path = writeDrop(Seq(
+      """{"crime_id": "C1", "fir_date": "2024-01-01", "extra": 1}""",
+      """{"crime_id": "C2"}""",
+      """not json at all"""))
+    val schema = StructType(Seq(
+      StructField("crime_id", StringType),
+      StructField("fir_date", StringType),
+      StructField("extra", LongType)))
+    val df = RawZone.readJsonDrops(spark, path, Some(schema)).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col(RawZone.CorruptCol).isNotNull).count() == 1)
+    assert(df.filter(col("crime_id") === "C2").count() == 1)
+    df.unpersist()
+  }
+
+  test("schema evolution: new fields union in, stored types win, names infer types") {
+    val stored = StructType(Seq(
+      StructField("crime_id", StringType),
+      StructField("n", LongType)))
+    val incoming = StructType(Seq(
+      StructField("crime_id", IntegerType),    // stored type must win
+      StructField("modified_date", NullType),  // name-inferred -> timestamp
+      StructField("station_code", NullType),   // name-inferred -> string
+      StructField("notes", StringType)))
+    val evolved = RawZone.evolveSchema(stored, incoming)
+    assert(evolved.fieldNames.toSeq ==
+      Seq("crime_id", "n", "modified_date", "station_code", "notes"))
+    assert(evolved("crime_id").dataType == StringType)
+    assert(evolved("modified_date").dataType == TimestampType)
+    assert(evolved("station_code").dataType == StringType)
+  }
+
+  test("conformTo adds typed NULLs for missing columns and orders canonically") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("crime_id", "n")
+    val target = StructType(Seq(
+      StructField("crime_id", StringType), StructField("n", LongType),
+      StructField("added_col", TimestampType)))
+    val out = RawZone.conformTo(df, target)
+    assert(out.columns.toSeq == Seq("crime_id", "n", "added_col"))
+    assert(out.schema("added_col").dataType == TimestampType)
+    assert(out.collect().head.isNullAt(2))
+  }
+
+  test("runScript executes read-only statements in order and blocks DML mid-script") {
+    val ok = RawZone.runScript(spark, sf0001,
+      "SELECT COUNT(*) AS n FROM nation; SELECT COUNT(*) AS n FROM region")
+    assert(ok.isRight)
+    assert(ok.toOption.get.collect().head.getLong(0) == 5L)
+    val blocked = RawZone.runScript(spark, sf0001,
+      "SELECT 1; DELETE FROM orders")
+    assert(blocked.isLeft)
+  }
+}
