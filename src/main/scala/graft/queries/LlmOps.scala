@@ -181,6 +181,74 @@ object LlmOps {
           (col("qty").cast("double") / col("global_qty")).as("global_share"))
     },
 
+    // ---- L10: crime-level branch router + processing ledger ----------------
+    QueryDef(
+      "l10_branch_router",
+      "Route each parent to processing branch A/B/C by child evidence; emit a run ledger row (brief_facts_ai/main.py:841,1228,1494)",
+      Some("""
+        WITH evidence AS (
+          SELECT o.o_orderkey,
+                 COALESCE(l.n_children, 0) AS n_children,
+                 COALESCE(l.n_returned, 0) AS n_returned
+          FROM orders o
+          LEFT JOIN (
+            SELECT l_orderkey, COUNT(*) AS n_children,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+            FROM lineitem GROUP BY l_orderkey
+          ) l ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderkey % 7 = 0
+        )
+        SELECT CASE WHEN n_returned > 0 THEN 'A_full'
+                    WHEN n_children > 0 THEN 'B_partial'
+                    ELSE 'C_none' END AS branch,
+               COUNT(*) AS n,
+               md5('run-2024-01-01') AS run_id,
+               'routed' AS status
+        FROM evidence GROUP BY 1
+      """)) { (s, dir) =>
+      val childAgg = t(s, dir, "lineitem").groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("n_children"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .join(childAgg, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          when(coalesce(col("n_returned"), lit(0L)) > 0, "A_full")
+            .when(coalesce(col("n_children"), lit(0L)) > 0, "B_partial")
+            .otherwise("C_none").as("branch"))
+        .groupBy(col("branch"))
+        .agg(count(lit(1)).as("n"),
+          md5(lit("run-2024-01-01")).as("run_id"),
+          lit("routed").as("status"))
+    },
+
+    // ---- L11: shared-role computation broadcast back to rows ---------------
+    QueryDef(
+      "l11_shared_role",
+      "Group-level shared value when per-row attribution is ambiguous, joined back to all rows (brief_facts_ai/main.py:564-584)",
+      Some("""
+        WITH roles AS (
+          SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS n_roles,
+                 MIN(l_returnflag) AS only_role
+          FROM lineitem WHERE l_orderkey % 21 = 0
+          GROUP BY l_orderkey
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+               CASE WHEN r.n_roles = 1 THEN r.only_role ELSE 'SHARED' END AS effective_role,
+               r.n_roles > 1 AS was_shared
+        FROM lineitem l JOIN roles r ON l.l_orderkey = r.l_orderkey
+        WHERE l.l_orderkey % 21 = 0
+      """)) { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 21 === 0)
+      val roles = li.groupBy(col("l_orderkey").as("r_orderkey")).agg(
+        countDistinct(col("l_returnflag")).as("n_roles"),
+        min(col("l_returnflag")).as("only_role"))
+      li.join(roles, col("l_orderkey") === col("r_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          when(col("n_roles") === 1, col("only_role")).otherwise("SHARED")
+            .as("effective_role"),
+          (col("n_roles") > 1).as("was_shared"))
+    },
+
     // ---- L8/A12: collapse collective rows + cap per parent -----------------
     QueryDef(
       "l8_collapse_cap",
