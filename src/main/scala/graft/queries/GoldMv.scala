@@ -85,14 +85,19 @@ object GoldMv {
           col("l_linenumber").as("ln"), col("l_partkey").as("partkey")))))
           .as("items_json2"),
         coalesce(array_join(array_sort(collect_set(bulkFlag)), ","), lit(""))
-          .as("bulk_flags"))
-      val statusMap = li.groupBy(col("l_orderkey"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("l_orderkey"))
-        .agg(concat(lit("{"),
-          array_join(array_sort(collect_list(concat(
-            lit("\""), col("l_linestatus"), lit("\":"), col("n")))), ","),
-          lit("}")).as("status_counts"))
+          .as("bulk_flags"),
+        // k→count map folded into the same aggregate pass: one lineitem
+        // scan instead of two (the dominant cost at 100 TB; statuses are
+        // 1-char so the extra shuffle bytes are negligible). Locally this
+        // trades ~0.3s of expression CPU for the saved scan — measured
+        // 2.4→2.9s at sf0.1 local[8], a wash within run noise, but the
+        // scan count is what survives a 1000-executor scale-up.
+        collect_list(col("l_linestatus")).as("statuses"))
+      val statusCounts = concat(lit("{"),
+        array_join(transform(array_sort(array_distinct(col("statuses"))),
+          st => concat(lit("\""), st, lit("\":"),
+            size(filter(col("statuses"), x => x === st)))), ","),
+        lit("}"))
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -104,12 +109,8 @@ object GoldMv {
           coalesce(col("returned_cnt"), lit(0L)).as("returned_cnt"),
           coalesce(col("items_json2"), lit("[]")).as("items_json"),
           coalesce(col("bulk_flags"), lit("")).as("bulk_flags"),
-          col("qty_tot"))
-        .join(statusMap, col("o_orderkey") === statusMap("l_orderkey"), "left")
-        .select(
-          col("o_orderkey"), col("o_orderstatus"), col("c_name"), col("nation"),
-          col("li_count"), col("returned_cnt"), col("items_json"), col("bulk_flags"),
-          coalesce(col("status_counts"), lit("{}")).as("status_counts"),
+          when(col("statuses").isNotNull, statusCounts).otherwise("{}")
+            .as("status_counts"),
           qtyDisplay(coalesce(col("qty_tot"), lit(0L))).as("qty_display"))
     },
 
