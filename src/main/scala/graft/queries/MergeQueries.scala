@@ -187,6 +187,46 @@ object MergeQueries {
         tiebreak = Seq(col("event_id")))
     },
 
+    // ---- pending-FK queue: two-pass drain to fixpoint --------------------
+    QueryDef(
+      "sfk_pending_drain",
+      "Pending-FK queue with one post-load drain pass: valid ∪ drained ∪ still-pending(attempts) (etl_properties.py:177-241)",
+      Some("""
+        WITH children AS (
+          SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+        ),
+        parents_before AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0),
+        parents_after  AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT c.l_orderkey, c.l_linenumber, c.l_partkey, 'valid' AS state,
+               CAST(NULL AS INTEGER) AS fk_attempts
+        FROM children c
+        WHERE EXISTS (SELECT 1 FROM parents_before p WHERE p.o_orderkey = c.l_orderkey)
+        UNION ALL
+        SELECT c.l_orderkey, c.l_linenumber, c.l_partkey, 'valid', CAST(NULL AS INTEGER)
+        FROM children c
+        WHERE NOT EXISTS (SELECT 1 FROM parents_before p WHERE p.o_orderkey = c.l_orderkey)
+          AND EXISTS (SELECT 1 FROM parents_after p WHERE p.o_orderkey = c.l_orderkey)
+        UNION ALL
+        SELECT c.l_orderkey, c.l_linenumber, c.l_partkey, 'pending', 2
+        FROM children c
+        WHERE NOT EXISTS (SELECT 1 FROM parents_after p WHERE p.o_orderkey = c.l_orderkey)
+      """)) { (s, dir) =>
+      val children = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val before = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+      val after = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      val res = graft.merge.PendingFk.twoPass(children, before, after,
+        fk = "l_orderkey", parentKey = "o_orderkey")
+      res.valid
+        .withColumn("state", lit("valid"))
+        .withColumn("fk_attempts", lit(null).cast("int"))
+        .unionByName(res.pending
+          .withColumn("state", lit("pending"))
+          .withColumn("fk_attempts", col("fk_attempts").cast("int"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("state"), col("fk_attempts")))
+    },
+
     // ---- S10: stub-row creation for unresolved FKs ----------------------
     QueryDef(
       "s10_stub_rows",

@@ -1,0 +1,52 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LayoutSpec extends SparkTestBase {
+
+  test("month-partitioned writes prune: date predicate → PartitionFilters, not a full scan") {
+    val out = Files.createTempDirectory("silver").toString
+    Layout.writePartitionedByMonth(
+      Tables(spark, sf0001, "events"), "ts", out)
+    val pruned = spark.read.parquet(out).filter(col("part_month") === "2024-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("part_month"), plan.take(500))
+    // every events row is in January 2024 → one partition holds everything
+    assert(pruned.count() == Tables(spark, sf0001, "events").count())
+    assert(spark.read.parquet(out).filter(col("part_month") === "1999-01").count() == 0)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    Layout.writeBucketed(Tables(spark, sf0001, "orders"), "o_orderkey", 4, "b_orders")
+    Layout.writeBucketed(
+      Tables(spark, sf0001, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      "o_orderkey", 4, "b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      assert(joined.count() == Tables(spark, sf0001, "lineitem").count())
+      val plan = joined.queryExecution.executedPlan.toString // final after execution
+      // co-located bucketed join: SortMergeJoin with NO shuffle exchange
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted join equals the unsalted join on a skewed key") {
+    val fact = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").cast("string").as("k"), col("l_quantity"))
+    val dim = Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey").cast("string").as("k"), col("o_orderstatus"))
+    val plain = fact.join(dim, "k").count()
+    val salted = Layout.saltKey(fact, "k", 4)
+      .join(Layout.explodeDimForSalt(dim, "k", 4), Seq("__salted_key"))
+      .count()
+    assert(plain == salted)
+  }
+}
