@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ingest.RawZone
+import graft.merge.MergeKernels
+import graft.ql.QueryGuard
+
+/** End-to-end master pipeline (SURVEY.md §3.1/§3.2): the reference's
+  * `master_etl.py` Orders collapsed into one Spark job —
+  *
+  *   1. land   — API payloads arrive as JSON drops; read permissively
+  *               with corrupt-record quarantine (S1)
+  *   2. conform— field-map + typing to the silver schema (P1/P3/P5)
+  *   3. merge  — change-detecting upsert into the silver target with
+  *               op classification + run stats (S6/A13)
+  *   4. gold   — rebuild the denormalized gold rollup (the MV refresh)
+  *   5. serve  — register views and answer a guarded query (Q5/Q6)
+  *
+  * Usage: runMain graft.Pipeline [sfDir] [workDir]
+  */
+object Pipeline {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val workDir = args.lift(1).getOrElse(
+      Files.createTempDirectory("graft-pipeline").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, workDir).foreach { case (stage, detail) =>
+      println(f"[pipeline] $stage%-10s $detail")
+    }
+    spark.stop()
+  }
+
+  /** Runs the five stages; returns (stage, summary) lines for the log. */
+  def run(spark: SparkSession, sfDir: String, workDir: String): Seq[(String, String)] = {
+    val log = Seq.newBuilder[(String, String)]
+
+    // -- 0. simulate the API: even-keyed orders land as a JSON drop (one
+    //       chunk), with one corrupt line, mirroring a REST payload dump.
+    val dropDir = s"$workDir/raw/orders"
+    val staged0 = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(
+        col("o_orderkey").as("ORDER_ID"),
+        col("o_orderstatus").as("ORDER_STATUS"),
+        col("o_totalprice").as("TOTAL_PRICE"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ORDER_DATE"))
+    staged0.coalesce(1).write.mode("overwrite").json(dropDir)
+    // plant one corrupt record in the drop
+    val extra = new java.io.PrintWriter(
+      Files.newBufferedWriter(Paths.get(dropDir, "part-corrupt.json")))
+    extra.println("{not valid json")
+    extra.close()
+
+    // -- 1. land
+    val landed = RawZone.readJsonDrops(spark, dropDir).cache()
+    val corrupt = landed.filter(col(RawZone.CorruptCol).isNotNull).count()
+    log += "land" -> s"${landed.count()} records, $corrupt quarantined"
+
+    // -- 2. conform: UPPER_SNAKE API keys → silver schema, typed
+    val conformed = landed.filter(col(RawZone.CorruptCol).isNull)
+      .select(
+        col("ORDER_ID").cast("long").as("pk"),
+        col("ORDER_STATUS").as("status"),
+        col("TOTAL_PRICE").cast("double").as("price"),
+        unix_timestamp(try_to_timestamp(col("ORDER_DATE"),
+          lit("yyyy-MM-dd HH:mm:ss"))).as("updated_epoch"))
+    log += "conform" -> s"${conformed.count()} rows typed"
+
+    // -- 3. merge into the silver target (previous state: 3/4 of orders,
+    //       stale where key%7==0), classify ops, persist
+    val target = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey").as("pk"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"),
+        (unix_timestamp(col("o_orderdate")) -
+          when(col("o_orderkey") % 7 === 0, 86400L).otherwise(0L)).as("updated_epoch"))
+    val merged = MergeKernels.upsertClassify(target, conformed, Seq("pk")).cache()
+    val stats = merged.groupBy("op").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    val silverPath = s"$workDir/silver/orders"
+    merged.drop("op").write.mode("overwrite").parquet(silverPath)
+    log += "merge" -> stats
+
+    // -- 4. gold rebuild: wide rollup joining silver to children
+    val silver = spark.read.parquet(silverPath)
+    val liAgg = Tables(spark, sfDir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("li_count"),
+        sum(col("l_quantity").cast("long")).as("qty_tot"))
+    val gold = silver
+      .join(liAgg, silver("pk") === liAgg("l_orderkey"), "left")
+      .select(col("pk"), col("status"), col("price"), col("updated_epoch"),
+        coalesce(col("li_count"), lit(0L)).as("li_count"),
+        coalesce(col("qty_tot"), lit(0L)).as("qty_tot"))
+    val goldPath = s"$workDir/gold/order_rollup"
+    gold.write.mode("overwrite").parquet(goldPath)
+    log += "gold" -> s"${spark.read.parquet(goldPath).count()} rollup rows"
+
+    // -- 5. serve: register + answer a guarded query over the gold table
+    spark.read.parquet(goldPath).createOrReplaceTempView("gold_orders")
+    val answer = QueryGuard.validate(
+      "SELECT status, COUNT(*) AS n, SUM(qty_tot) AS qty FROM gold_orders GROUP BY status")
+      .map(sql => spark.sql(sql).collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(" "))
+    log += "serve" -> answer.fold(d => s"DENIED ${d.reason}", identity)
+
+    log.result()
+  }
+}
