@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two custom functions that sit in
+  * hot paths (SURVEY.md §2.12 / §4 "custom Catalyst work"): uuid_v5 and
+  * trigram similarity. Unlike the Scala UDFs in [[Udfs]], these
+  * participate in whole-stage codegen — `doGenCode` emits a direct
+  * static call on UTF8String operands, so no Row boxing / catalyst↔scala
+  * conversion happens per row (the thing that hurts at 100 TB).
+  *
+  * Static eval helpers live here so generated code can reference them by
+  * a stable JVM name.
+  */
+object NativeExpressions {
+
+  /** Static entry points for generated code. */
+  def uuid5Eval(name: UTF8String): UTF8String =
+    UTF8String.fromString(Udfs.uuidV5(Udfs.NamespaceDns, name.toString))
+
+  def trigramEval(a: UTF8String, b: UTF8String): Double =
+    Udfs.trigramSimilarity(a.toString, b.toString)
+
+  case class UuidV5(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = StringType
+    override def prettyName: String = "uuid_v5_native"
+    override protected def nullSafeEval(input: Any): Any =
+      uuid5Eval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeExpressions.uuid5Eval($c)")
+    override protected def withNewChildInternal(newChild: Expression): UuidV5 =
+      copy(child = newChild)
+  }
+
+  case class TrigramSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "trigram_sim_native"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      trigramEval(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.NativeExpressions.trigramEval($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TrigramSimilarity =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // Column-level faces (Spark 4: Column↔Expression via the sql-package bridge)
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def uuid_v5_native(c: Column): Column = column(UuidV5(expression(c)))
+  def trigram_sim_native(a: Column, b: Column): Column =
+    column(TrigramSimilarity(expression(a), expression(b)))
+}
+
+/** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
+  * (or spark.sql.extensions=graft.functions.GraftExtensions) registers
+  * the native functions for the SQL surface. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("uuid_v5_native"),
+      new ExpressionInfo(classOf[NativeExpressions.UuidV5].getName, "uuid_v5_native"),
+      (children: Seq[Expression]) => NativeExpressions.UuidV5(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("trigram_sim_native"),
+      new ExpressionInfo(classOf[NativeExpressions.TrigramSimilarity].getName,
+        "trigram_sim_native"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => NativeExpressions.TrigramSimilarity(a, b)
+        case other => throw new IllegalArgumentException(
+          s"trigram_sim_native expects 2 arguments, got ${other.size}")
+      }))
+  }
+}

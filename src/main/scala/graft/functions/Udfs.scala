@@ -116,12 +116,22 @@ object Udfs {
   def ro_ratio(a: Column, b: Column): Column = ratioUdf(a, b)
   def translit(c: Column): Column = translitUdf(c)
 
-  /** Register as SQL functions for the ql query surface. */
+  /** Register as SQL functions for the ql query surface — the UDF forms
+    * plus the whole-stage-codegen native expressions. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("uuid_v5", (name: String) =>
       if (name == null) null else uuidV5(NamespaceDns, name))
     spark.udf.register("trigram_sim", trigramSimilarity _)
     spark.udf.register("ro_ratio", ratcliffObershelp _)
     spark.udf.register("translit", transliterate _)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("uuid_v5_native",
+      children => NativeExpressions.UuidV5(children.head), "built-in")
+    reg.createOrReplaceTempFunction("trigram_sim_native",
+      {
+        case Seq(a, b) => NativeExpressions.TrigramSimilarity(a, b)
+        case other => throw new IllegalArgumentException(
+          s"trigram_sim_native expects 2 arguments, got ${other.size}")
+      }, "built-in")
   }
 }

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Tables
+
+class NativeExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native uuid_v5 equals the UDF and the RFC vector, inside codegen") {
+    val df = Seq("example.com", "NATION_0").toDF("name")
+      .select(col("name"),
+        NativeExpressions.uuid_v5_native(col("name")).as("native"),
+        Udfs.uuid_v5(col("name")).as("viaUdf"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getString(1) == r.getString(2)))
+    assert(rows.head.getString(1) == "cfbff0d1-9375-5685-968c-48ce8b15ae17")
+  }
+
+  test("native expressions stay inside WholeStageCodegen (no UDF eval node)") {
+    val df = Tables(spark, sf0001, "nation")
+      .select(NativeExpressions.uuid_v5_native(col("n_name")).as("u"),
+        NativeExpressions.trigram_sim_native(col("n_name"), lit("NATION_1")).as("t"))
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(1)' marks a whole-stage-codegen'd stage; our expressions appear
+    // inline in the codegen'd Project rather than behind a UDF boundary
+    assert(plan.contains("*(1) Project") && plan.contains("uuid_v5_native"),
+      plan.take(400))
+    assert(!plan.toLowerCase.contains("scalaudf"), plan.take(1000))
+  }
+
+  test("null propagation: NullIntolerant returns NULL, never throws") {
+    val df = Seq(Some("x"), None).toDF("s")
+      .select(NativeExpressions.uuid_v5_native(col("s")).as("u"),
+        NativeExpressions.trigram_sim_native(col("s"), col("s")).as("t"))
+    val rows = df.collect()
+    assert(rows.exists(_.isNullAt(0)) && rows.exists(!_.isNullAt(0)))
+  }
+
+  test("extensions registration exposes the functions to SQL") {
+    // register through the runtime registry for the active session
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    if (!reg.functionExists(FunctionIdentifier("uuid_v5_native"))) {
+      reg.createOrReplaceTempFunction("uuid_v5_native",
+        (children) => NativeExpressions.UuidV5(children.head), "scala_udf")
+      reg.createOrReplaceTempFunction("trigram_sim_native",
+        (children) => NativeExpressions.TrigramSimilarity(children.head, children(1)),
+        "scala_udf")
+    }
+    val r = spark.sql(
+      "SELECT uuid_v5_native('example.com') AS u, trigram_sim_native('word','words') AS t")
+      .collect().head
+    assert(r.getString(0) == "cfbff0d1-9375-5685-968c-48ce8b15ae17")
+    assert(math.abs(r.getDouble(1) - 4.0 / 7.0) < 1e-9)
+  }
+}
