@@ -42,4 +42,33 @@ object EventsStream {
     * idempotent PK upsert, S6 semantics in streaming form). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicates("event_id")
+
+  /** Custom per-key state via flatMapGroupsWithState: running per-user
+    * totals with an alert emitted each time the cumulative value crosses
+    * another multiple of `threshold` — state the built-in windows can't
+    * express (KeyValueGroupedDataset state API, SURVEY §2.8). */
+  def runningTotalsWithAlerts(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      threshold: Double): org.apache.spark.sql.Dataset[UserAlert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[RunningTotal]) => {
+          var cur = state.getOption.getOrElse(RunningTotal(0.0, 0L))
+          val alerts = scala.collection.mutable.ListBuffer.empty[UserAlert]
+          rows.foreach { e =>
+            val next = RunningTotal(cur.total + e.value, cur.n + 1)
+            if ((next.total / threshold).toLong > (cur.total / threshold).toLong)
+              alerts += UserAlert(userId, next.total, next.n)
+            cur = next
+          }
+          state.update(cur)
+          alerts.iterator
+        })
+  }
 }
+
+final case class UserEvent(user_id: Long, value: Double)
+final case class RunningTotal(total: Double, n: Long)
+final case class UserAlert(user_id: Long, total: Double, n: Long)
