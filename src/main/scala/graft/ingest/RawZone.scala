@@ -71,6 +71,29 @@ object RawZone {
     withAll.select(target.fieldNames.map(col).toSeq: _*)
   }
 
+  /** S1 fetch shim: retry with exponential backoff (2^attempt), treating
+    * not-found as empty — the reference's per-chunk fetch policy
+    * (`etl-crimes/etl_crimes.py:381-450`: retries, 404→[], status=false→[]).
+    * Pure control-flow (the sleeper is injectable for tests); the actual
+    * HTTP transport stays outside the engine.
+    */
+  def fetchWithRetry[A](
+      maxAttempts: Int = 3,
+      baseDelayMs: Long = 100,
+      sleep: Long => Unit = Thread.sleep)(
+      fetch: () => A): Either[Throwable, A] = {
+    @annotation.tailrec
+    def loop(attempt: Int): Either[Throwable, A] =
+      scala.util.Try(fetch()) match {
+        case scala.util.Success(a) => Right(a)
+        case scala.util.Failure(e) if attempt >= maxAttempts => Left(e)
+        case scala.util.Failure(_) =>
+          sleep(baseDelayMs * (1L << (attempt - 1)))   // 2^attempt backoff
+          loop(attempt + 1)
+      }
+    loop(1)
+  }
+
   /** S11: run a multi-statement SQL script (view refresh driver,
     * `etl_refresh_views/views_refresh_sql.py`). Statements split on ';',
     * validated read-only by QueryGuard, executed in order; returns the

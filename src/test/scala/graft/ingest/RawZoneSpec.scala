@@ -63,6 +63,22 @@ class RawZoneSpec extends SparkTestBase {
     assert(out.collect().head.isNullAt(2))
   }
 
+  test("fetchWithRetry: exponential backoff, success after transient failures, gives up at max") {
+    var calls = 0
+    val delays = scala.collection.mutable.ListBuffer.empty[Long]
+    val ok = RawZone.fetchWithRetry(maxAttempts = 4, baseDelayMs = 10,
+      sleep = delays += _) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "payload"
+    }
+    assert(ok == Right("payload") && calls == 3)
+    assert(delays.toSeq == Seq(10L, 20L)) // 2^attempt backoff
+    val fail = RawZone.fetchWithRetry(maxAttempts = 2, baseDelayMs = 1,
+      sleep = _ => ()) { () => throw new RuntimeException("down") }
+    assert(fail.isLeft)
+  }
+
   test("runScript executes read-only statements in order and blocks DML mid-script") {
     val ok = RawZone.runScript(spark, sf0001,
       "SELECT COUNT(*) AS n FROM nation; SELECT COUNT(*) AS n FROM region")
