@@ -114,6 +114,48 @@ object GoldMv {
           qtyDisplay(coalesce(col("qty_tot"), lit(0L))).as("qty_display"))
     },
 
+    // ---- advanced_search-shaped flat search surface ----------------------
+    QueryDef(
+      "mv_advanced_search",
+      "Search-optimized denormalized row: 4-way chain with optional dims, lowered search keys, status buckets, date buckets, assembled display (advanced_search_accuseds_mv.sql:141-146)",
+      Some("""
+        SELECT l.l_orderkey, l.l_linenumber,
+               lower(c.c_name) AS search_name,
+               COALESCE(lower(n.n_name), 'unknown') AS search_nation,
+               CASE WHEN o.o_orderstatus ILIKE 'F%' THEN 'Finished'
+                    WHEN o.o_orderstatus ILIKE 'O%' THEN 'Open'
+                    ELSE 'Pending' END AS status_bucket,
+               CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               strftime(o.o_orderdate, '%Y-%m') AS order_month,
+               concat_ws(' | ', NULLIF(c.c_mktsegment, ''), NULLIF(o.o_orderpriority, ''),
+                         CAST(l.l_partkey AS VARCHAR)) AS display_line,
+               l.l_quantity >= 40 AS is_bulk
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_regionkey < 3
+        WHERE l.l_orderkey % 40 = 0
+      """)) { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 40 === 0)
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") < 3)),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          lower(col("c_name")).as("search_name"),
+          coalesce(lower(col("n_name")), lit("unknown")).as("search_nation"),
+          when(col("o_orderstatus").ilike("F%"), "Finished")
+            .when(col("o_orderstatus").ilike("O%"), "Open")
+            .otherwise("Pending").as("status_bucket"),
+          year(col("o_orderdate")).as("order_year"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          concat_ws(" | ", nullif(col("c_mktsegment"), lit("")),
+            nullif(col("o_orderpriority"), lit("")),
+            col("l_partkey").cast("string")).as("display_line"),
+          (col("l_quantity") >= 40).as("is_bulk"))
+    },
+
     // ---- criminal_profiles-shaped per-entity rollup ----------------------
     QueryDef(
       "mv_profiles",
