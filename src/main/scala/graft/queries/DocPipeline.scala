@@ -374,6 +374,66 @@ object DocPipeline {
           (col("lang") === col("p_lang")).as("correct"))
     },
 
+    // ---- TF-IDF term scoring ---------------------------------------------
+    QueryDef(
+      "dd9_tfidf",
+      "TF-IDF over the corpus: tf × ln(N/df), top-3 terms per doc with deterministic tiebreak",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok)
+        SELECT doc_id, w, tfidf FROM (
+          SELECT tf.doc_id, tf.w,
+                 tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.w) AS rn
+          FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+        ) WHERE rn <= 3
+      """)) { (s, dir) =>
+      val tok = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = tok.agg(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(df, Seq("w")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("w"), col("tfidf"))
+    },
+
+    // ---- deterministic stratified sampling --------------------------------
+    QueryDef(
+      "dd10_stratified_sample",
+      "Hash-based stratified sample: per-language rate via md5 prefix — deterministic, shuffle-free, cross-engine stable",
+      Some("""
+        WITH rated AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 128 ELSE 192 END AS keep_below,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS sampled,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM rated WHERE bucket < keep_below
+        GROUP BY lang
+      """)) { (s, dir) =>
+      val rated = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(col("lang") === "en", 64).when(col("lang") === "zh", 128)
+          .otherwise(192).as("keep_below"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long").as("bucket"))
+      rated.filter(col("bucket") < col("keep_below"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("sampled"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    },
+
     // ---- mod-sampled shingle fingerprint (winnowing-lite) ------------------
     QueryDef(
       "dd8_doc_fingerprint",
