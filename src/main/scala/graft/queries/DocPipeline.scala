@@ -44,17 +44,20 @@ object DocPipeline {
       FROM documents WHERE doc_id % 5 = 0
     )"""
 
-  /** Distinct word-3-gram shingles per doc (lead-window construction;
-    * concat() is null-propagating so trailing partial shingles drop). */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), concat(col("w"), lit(" "),
-        lead("w", 1).over(w), lit(" "), lead("w", 2).over(w)).as("sh"))
-      .filter(col("sh").isNotNull)
+  /** Distinct word-3-gram shingles per doc. Built by array-index
+    * transform rather than a lead() window: the window version shuffles
+    * and sorts every token by (doc_id, pos); this stays narrow — no
+    * exchange at all before the distinct. (The DuckDB oracle keeps its
+    * window formulation; the shingle *sets* are identical either way.) */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("arr")) - 3), i =>
+          concat_ws(" ", element_at(col("arr"), i + 1),
+            element_at(col("arr"), i + 2), element_at(col("arr"), i + 3))))
+          .as("sh"))
       .distinct()
-  }
 
   private val shinglesSql = """
     tok AS (
