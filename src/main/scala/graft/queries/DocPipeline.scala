@@ -390,11 +390,14 @@ object DocPipeline {
         df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
         n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok)
         SELECT doc_id, w, tfidf FROM (
-          SELECT tf.doc_id, tf.w,
-                 tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf,
-                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                   ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.w) AS rn
-          FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+          SELECT doc_id, w, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+          FROM (
+            -- round(9): java Math.log and libm ln can differ by 1 ulp
+            SELECT tf.doc_id, tf.w,
+                   round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 9) AS tfidf
+            FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+          )
         ) WHERE rn <= 3
       """)) { (s, dir) =>
       val tok = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
@@ -404,7 +407,9 @@ object DocPipeline {
       val n = tok.agg(countDistinct(col("doc_id")).as("n"))
       val scored = tf.join(df, Seq("w")).crossJoin(broadcast(n))
         .select(col("doc_id"), col("w"),
-          (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
+          // round(9): java Math.log and DuckDB's libm ln differ by 1 ulp
+          // on some arguments — observed at sf0.1, not sf0.01
+          round(col("tf") * log(col("n").cast("double") / col("df")), 9).as("tfidf"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("doc_id"), col("w"), col("tfidf"))
