@@ -377,6 +377,49 @@ object DocPipeline {
           (col("lang") === col("p_lang")).as("correct"))
     },
 
+    // ---- transitive dedup clustering (connected components) ---------------
+    QueryDef(
+      "dd11_dedup_clusters",
+      "Near-dup edges → connected components → canonical id per cluster; Spark iterative min-label vs DuckDB recursive CTE",
+      Some(s"""
+        WITH RECURSIVE $corpusSql,
+        keyed AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+          FROM corpus
+        ),
+        edges0(a, b) AS (
+          SELECT x.doc_id, y.doc_id
+          FROM keyed x JOIN keyed y ON x.k = y.k AND x.doc_id < y.doc_id
+          UNION ALL
+          SELECT doc_id, doc_id + 10000 FROM documents WHERE doc_id % 5 = 0
+        ),
+        edges(a, b) AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        reach(node, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        clusters AS (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node)
+        SELECT cluster, COUNT(*) AS size,
+               CAST(MAX(node) AS BIGINT) AS max_member
+        FROM clusters GROUP BY cluster
+        HAVING COUNT(*) > 1
+      """)) { (s, dir) =>
+      val keyed = corpus(s, dir).select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("k"))
+      val bagEdges = keyed.as("x").join(keyed.as("y"),
+          col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val variantEdges = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 10000).as("b"))
+      val cc = graft.resolve.DocCluster.connectedComponents(
+        bagEdges.unionByName(variantEdges))
+      cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("size"), max(col("node")).as("max_member"))
+        .filter(col("size") > 1)
+    },
+
     // ---- TF-IDF term scoring ---------------------------------------------
     QueryDef(
       "dd9_tfidf",

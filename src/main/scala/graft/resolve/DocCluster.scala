@@ -1,0 +1,48 @@
+package graft.resolve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive dedup clustering: pairwise near-dup edges → connected
+  * components, so each duplicate group gets one canonical id (min doc id
+  * in the component) — the step production dedup needs after MinHash/LSH
+  * pair detection (dd2), and the Spark-iterative analog of a recursive
+  * CTE.
+  *
+  * Min-label propagation converges in O(component diameter) rounds; each
+  * round is one equi-join + groupBy-min — all shuffles on the node key,
+  * no driver-side graph. Near-dup components are shallow (dozens of
+  * docs), so maxIter is a backstop, not a tuning knob.
+  */
+object DocCluster {
+
+  /** @param edges two-column frame (a, b); undirected.
+    * @return (node, cluster) where cluster = min node id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val a = edges.columns(0); val b = edges.columns(1)
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val propagated = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("cluster"))
+      // localCheckpoint (not cache): truncates the lineage each round —
+      // otherwise the plan grows exponentially with iterations and the
+      // optimizer itself OOMs on long chains
+      val next = labels.unionByName(propagated)
+        .groupBy("node").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("node"), col("cluster").as("old")).as("o"), "node")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}
