@@ -85,6 +85,31 @@ class MergeKernelsSpec extends SparkTestBase {
     })
   }
 
+  test("S7 smartMerge: overwrite columns always take the staged value on matched rows") {
+    check(Prop.forAll(genRows, genRows) { (t0, s0) =>
+      val tDf = df(t0); val sDf = df(s0)
+      val merged = MergeKernels.smartMerge(tDf, sDf, Seq("pk"), overwriteCols = Set("b"))
+      // for every pk present in BOTH frames, result.b must equal staged.b
+      // (even when staged.b is NULL — dates are always overwritten)
+      val matched = merged.alias("m")
+        .join(sDf.alias("s"), "pk")
+        .join(tDf.select("pk"), "pk")
+      matched.filter(!(col("m.b") <=> col("s.b"))).count() == 0L
+    })
+  }
+
+  test("pending-FK split partitions children exactly: valid ⊎ pending ≡ children") {
+    check(Prop.forAll(genRows, genRows) { (c0, p0) =>
+      val children = df(c0)
+      val parents = df(p0).select(col("pk").as("parent_pk"))
+      val res = PendingFk.split(children, parents, fk = "pk", parentKey = "parent_pk",
+        attempt = 1)
+      val reunion = res.valid.unionByName(res.pending.drop("fk_attempts"))
+      sameRows(reunion, children) &&
+        res.valid.join(res.pending, Seq("pk"), "inner").isEmpty
+    })
+  }
+
   test("S8 childReplace: staged parents carry exactly the staged children; others untouched") {
     val tgt = Seq((1, "old1"), (1, "old2"), (2, "keep"), (3, "keep3")).toDF("parent", "v")
     val stg = Seq((1, "new1"), (4, "new4")).toDF("parent", "v")
