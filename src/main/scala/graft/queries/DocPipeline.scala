@@ -485,6 +485,49 @@ object DocPipeline {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     },
 
+    // ---- deterministic train/val/test split --------------------------------
+    QueryDef(
+      "dd12_train_split",
+      "Hash-range 80/10/10 train/val/test split: disjoint, exhaustive, reproducible",
+      Some("""
+        WITH bucketed AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS b
+          FROM documents
+        )
+        SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS docs,
+               COUNT(DISTINCT lang) AS langs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM bucketed GROUP BY 1
+      """)) { (s, dir) =>
+      val b = conv(substring(md5(concat(lit("split#"), col("doc_id").cast("string"))),
+        1, 2), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .withColumn("b", b)
+        .groupBy(when(col("b") < 204, "train").when(col("b") < 230, "val")
+          .otherwise("test").as("split"))
+        .agg(count(lit(1)).as("docs"), countDistinct(col("lang")).as("langs"),
+          sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // ---- exact percentiles --------------------------------------------------
+    QueryDef(
+      "dd13_percentiles",
+      "Exact interpolated percentiles per group (p50/p90): Spark percentile ≡ DuckDB quantile_cont",
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 9) AS p50,
+               round(quantile_cont(value, 0.9), 9) AS p90,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+      """)) { (s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 9).as("p50"),
+          round(expr("percentile(value, 0.9)"), 9).as("p90"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- mod-sampled shingle fingerprint (winnowing-lite) ------------------
     QueryDef(
       "dd8_doc_fingerprint",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -142,6 +142,60 @@ object Nested {
         .select(col("o_orderkey"), posexplode(col("flags")).as(Seq("ord", "v")))
         .select(lit("flags").as("child"), col("o_orderkey"), col("ord"), col("v"))
       itemsChild.unionByName(flagsChild)
+    },
+
+    // ---- N4 at depth: one parent doc fanned into six child tables --------
+    QueryDef(
+      "n4_wide_fanout",
+      "Assemble one parent doc with six array columns, fan each into its own child table in one pass (the 24-child IR pattern, ir_etl.py:918-1491)",
+      Some("""
+        WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 12 = 5),
+        c_items AS (
+          SELECT 'items' AS child, l_orderkey, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, CAST(l_quantity AS BIGINT)) - 1 AS ord,
+            CAST(l_partkey AS VARCHAR) AS v
+          FROM li),
+        c_flags AS (
+          SELECT 'flags', l_orderkey, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY v) - 1, v
+          FROM (SELECT DISTINCT l_orderkey, l_returnflag AS v FROM li)),
+        c_statuses AS (
+          SELECT 'statuses', l_orderkey, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY v) - 1, v
+          FROM (SELECT DISTINCT l_orderkey, l_linestatus AS v FROM li)),
+        c_suppliers AS (
+          SELECT 'suppliers', l_orderkey, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY CAST(v AS BIGINT)) - 1, v
+          FROM (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS VARCHAR) AS v FROM li)),
+        c_ship AS (
+          SELECT 'ship_epochs', l_orderkey, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY CAST(v AS BIGINT)) - 1, v
+          FROM (SELECT DISTINCT l_orderkey, CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR) AS v FROM li)),
+        c_qty AS (
+          SELECT 'quantities', l_orderkey, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY CAST(v AS BIGINT)) - 1, v
+          FROM (SELECT DISTINCT l_orderkey, CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v FROM li))
+        SELECT * FROM c_items UNION ALL SELECT * FROM c_flags
+        UNION ALL SELECT * FROM c_statuses UNION ALL SELECT * FROM c_suppliers
+        UNION ALL SELECT * FROM c_ship UNION ALL SELECT * FROM c_qty
+      """)) { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 12 === 5)
+      // single pass: assemble the parent document with all six child arrays
+      val doc = li.groupBy(col("l_orderkey")).agg(
+        array_sort(collect_list(struct(col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"), col("l_quantity").cast("long").as("q"))))
+          .as("items"),
+        array_sort(collect_set(col("l_returnflag"))).as("flags"),
+        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        array_sort(collect_set(col("l_suppkey"))).as("suppliers"),
+        array_sort(collect_set(unix_timestamp(col("l_shipdate")))).as("ship_epochs"),
+        array_sort(collect_set(col("l_quantity").cast("long"))).as("quantities"))
+      def childOf(name: String, arr: Column, render: Column => Column) =
+        doc.select(lit(name).as("child"), col("l_orderkey"),
+          posexplode(arr).as(Seq("ord", "x")))
+          .select(col("child"), col("l_orderkey"), col("ord"),
+            render(col("x")).as("v"))
+      childOf("items", col("items"), _.getField("pk").cast("string"))
+        .unionByName(childOf("flags", col("flags"), _.cast("string")))
+        .unionByName(childOf("statuses", col("statuses"), _.cast("string")))
+        .unionByName(childOf("suppliers", col("suppliers"), _.cast("string")))
+        .unionByName(childOf("ship_epochs", col("ship_epochs"), _.cast("string")))
+        .unionByName(childOf("quantities", col("quantities"), _.cast("string")))
     },
 
     // ---- N5/N6: bottom-up JSON document assembly ------------------------
