@@ -135,7 +135,7 @@ object AnnSearch {
     // ---- E5c: IVF-style label-partitioned centroid search ---------------
     QueryDef(
       "e5_ann_ivf",
-      "IVF-style two-stage search: per-label mean centroid, probe top-1 cell, exact top-3 within the cell",
+      "IVF-style two-stage search: per-label mean centroids, probe the 2 nearest cells, exact top-3 within them",
       Some(s"""
         WITH $vecSql,
         cells AS (
@@ -157,7 +157,7 @@ object AnnSearch {
                        / (q.qn * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
                        c.label) AS rn
             FROM q JOIN cells c ON true
-          ) WHERE rn = 1
+          ) WHERE rn <= 2          -- nprobe=2: search the two nearest cells
         ),
         scored AS (
           SELECT q.q_id, v.vec_id AS cand_id, v.label,
@@ -187,7 +187,8 @@ object AnnSearch {
           round(dot(col("qv"), col("centroid")) /
             (col("qn") * sqrt(dot(col("centroid"), col("centroid")))), 6).as("ccos"))
       val wp = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
-      val best = probe.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      // nprobe=2: search the two nearest cells per query
+      val best = probe.withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
         .select(col("q_id"), col("label"))
       val scored = best.join(q, Seq("q_id")).join(vecs, Seq("label"))
         .filter(col("vec_id") =!= col("q_id"))

@@ -54,6 +54,19 @@ object Ingest {
       EventsStream.tumblingCounts(t(s, dir, "events"))
     },
 
+    // ---- §2.11: sliding windows (batch face) ------------------------------
+    QueryDef(
+      "st_sliding_window",
+      "1-hour windows sliding every 30 min — each event in two windows (EventsStream.slidingCounts)",
+      Some("""
+        SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events, UNNEST([0, 1]) AS t(i)
+        GROUP BY 1, 2
+      """)) { (s, dir) =>
+      EventsStream.slidingCounts(t(s, dir, "events"))
+    },
+
     // ---- §2.11: session windows (batch face) ------------------------------
     QueryDef(
       "st_session_window",

@@ -27,6 +27,16 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * overlapping windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+
   /** Session windows per user with a 30-minute gap. */
   def sessionized(events: DataFrame): DataFrame =
     events
