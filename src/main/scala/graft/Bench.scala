@@ -43,8 +43,12 @@ object Bench {
       val median = if (runs.isEmpty) Double.NaN else runs(runs.size / 2)
       name -> median
     }.filterNot(_._2.isNaN)
+      // a query that failed during ANY timed run is an error, never a timing
+      .filterNot { case (name, _) => errors.contains(name) }
 
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: f"%.4f" under a comma-decimal default locale emits
+    // invalid JSON ("0,1234").
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'").replaceAll("[\\n\\r\\t]", " ") + "\""

@@ -18,10 +18,12 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses natively.
     // Sessions set spark.sql.legacy.parquet.nanosAsLong=true; restore a
     // microsecond TimestampType here (DuckDB likewise truncates ns→us).
+    // `ts div 1000` stays integral; `ts / 1000` promotes to double, whose
+    // 256-ns ulp at 1.7e18 can truncate to the wrong microsecond.
     if (name == "events")
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

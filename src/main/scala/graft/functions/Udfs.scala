@@ -39,10 +39,14 @@ object Udfs {
     * Reference thresholds (state .85 / district .80 / mandal .65) are
     * calibrated against these semantics, `update-state-country.py:9-39`. */
   def trigramSimilarity(a: String, b: String): Double = {
-    def grams(s: String): Set[String] = {
-      val padded = "  " + s.trim.toLowerCase.replaceAll("\\s+", "  ") + " "
-      (0 to padded.length - 3).map(i => padded.substring(i, i + 3)).toSet
-    }
+    // pg_trgm pads EACH word with 2 leading + 1 trailing space and unions
+    // the per-word trigram sets; padding the whole phrase would emit a
+    // spurious word-final "x  " trigram pg_trgm never produces.
+    def grams(s: String): Set[String] =
+      s.trim.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+        val padded = "  " + w + " "
+        (0 to padded.length - 3).map(i => padded.substring(i, i + 3))
+      }.toSet
     if (a == null || b == null) 0.0
     else {
       val (ga, gb) = (grams(a), grams(b))

@@ -3,8 +3,6 @@ package graft.gold
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.merge.MergeKernels
-
 /** Incremental gold-table maintenance (SURVEY.md §4 "incremental
   * processing" + §3.2): instead of rebuilding an entire MV three times a
   * day like the reference, recompute ONLY the parents whose children
@@ -28,6 +26,10 @@ object GoldIncremental {
       recompute: DataFrame => DataFrame): DataFrame = {
     val keys = changedKeys.select(col(changedKeys.columns.head).as(parentKey)).distinct()
     val recomputed = recompute(keys)
-    MergeKernels.childReplace(goldPrev, recomputed, parentKey)
+    // Anti-join on the CHANGED keys, not on the recomputed rows: a changed
+    // parent whose recompute yields zero rows (all child facts deleted / no
+    // longer qualifies) must drop its stale gold row, or incremental
+    // diverges from a full rebuild.
+    goldPrev.join(keys, Seq(parentKey), "left_anti").unionByName(recomputed)
   }
 }

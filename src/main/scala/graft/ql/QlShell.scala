@@ -22,8 +22,8 @@ object QlShell {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Udfs.register(spark)
-    QueryGuard.execute(spark, dir, sql, maxRows) match {
-      case Right(df) => df.show(maxRows, truncate = false)
+    QueryGuard.run(spark, dir, sql, maxRows) match {
+      case Right(rows) => rows.foreach(r => println(r.mkString(" | ")))
       case Left(denied) =>
         println(s"DENIED [${denied.threat}]: ${denied.reason}")
         sys.exit(2)

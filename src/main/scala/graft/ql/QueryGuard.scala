@@ -45,8 +45,10 @@ object QueryGuard {
   }
 
   /** Q6 — capped executor over the registered testdata views. The row
-    * cap mirrors the chatbot's default LIMIT 100; cancellation uses a
-    * job group so a timed-out query doesn't leak tasks. */
+    * cap mirrors the chatbot's default LIMIT 100. NOTE: this returns a
+    * lazy DataFrame and enforces only the row cap; for the statement
+    * timeout (the reference's `statement_timeout`), use [[run]], which
+    * owns the action. */
   def execute(
       spark: SparkSession,
       dir: String,
@@ -55,5 +57,35 @@ object QueryGuard {
     validate(sql).map { cleaned =>
       Tables.registerAll(spark, dir)
       spark.sql(cleaned).limit(maxRows)
+    }
+
+  /** Q6 — guarded COLLECTING executor with a statement timeout, mirroring
+    * the reference's postgres executor (statement_timeout + row cap).
+    * Runs the action inside a job group; on timeout the whole group is
+    * cancelled so no tasks leak, and the caller gets a Denied instead of
+    * a hung shell.
+    */
+  def run(
+      spark: SparkSession,
+      dir: String,
+      sql: String,
+      maxRows: Int = 100,
+      timeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.Duration(60, "s")): Either[Denied, Array[org.apache.spark.sql.Row]] =
+    execute(spark, dir, sql, maxRows).flatMap { df =>
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val group = s"graft-ql-${java.util.UUID.randomUUID()}"
+      val fut = Future {
+        spark.sparkContext.setJobGroup(group, sql.take(120), interruptOnCancel = true)
+        try df.collect()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Right(Await.result(fut, timeout))
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          Left(Denied(s"statement timeout after ${timeout.toSeconds}s", "medium"))
+      }
     }
 }

@@ -172,10 +172,13 @@ object LlmOps {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"), col("o_totalprice"))
       val wOrder = Window.partitionBy("l_orderkey")
-      val wAll = Window.partitionBy()
+      // Global denominator as a 1-row aggregate broadcast back — NOT
+      // `sum over ()`, which compiles to Exchange SinglePartition and
+      // funnels the whole input through one task at scale.
+      val globalQty = base.agg(sum(col("qty")).as("global_qty"))
       base
         .withColumn("order_qty", sum(col("qty")).over(wOrder))
-        .withColumn("global_qty", sum(col("qty")).over(wAll))
+        .crossJoin(broadcast(globalQty))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           ((col("o_totalprice") * col("qty")) / col("order_qty")).as("order_share"),
           (col("qty").cast("double") / col("global_qty")).as("global_share"))
