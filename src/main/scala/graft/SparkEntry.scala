@@ -14,6 +14,7 @@ object SparkEntry {
       graft.queries.MergeQueries.defs ++
       graft.queries.Nested.defs ++
       graft.queries.GoldMv.defs ++
+      graft.queries.GoldMvFull.defs ++
       graft.queries.Resolve.defs ++
       graft.queries.DocPipeline.defs ++
       graft.queries.AnnSearch.defs ++

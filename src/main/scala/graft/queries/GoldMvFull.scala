@@ -1,0 +1,546 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Full-breadth gold MV pipelines (SURVEY.md §3.2). The reference's
+  * `firs_mv.sql:40-229` composes ~20 correlated scalar subqueries over a
+  * dozen child tables; `accuseds_mv.sql:132-136` is the per-child-row MV
+  * with an INNER join on the AI flat table; `advanced_search_firs_mv.sql`
+  * is the flat per-parent search surface. The Spark-first rewrite
+  * decorrelates every child subquery into ONE pre-grouped aggregate per
+  * child role and left-joins them on the parent key — no per-row
+  * subqueries, one scan per child role, broadcast sub-lookup dims.
+  *
+  * Testdata mapping: `orders` = crimes (parent), `customer`⋈`nation` =
+  * hierarchy, `lineitem` plays the four child roles (accused_flat,
+  * drug_flat, chargesheets, files — each role is one scan, mirroring the
+  * reference's one-scan-per-child-table), `part`/`supplier` are the
+  * per-child sub-lookup dims (persons / drug master).
+  *
+  * Scale: each child aggregate shuffles once on the parent FK with
+  * map-side partial aggregation; the final assembly joins on the same
+  * key so AQE coalesces exchanges; dims are broadcast. All JSON is
+  * assembled as deterministic strings (sorted, byte-stable) so the gold
+  * rows are reproducible across engines and runs.
+  */
+object GoldMvFull {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Deterministic "today" for the stipulated-period buckets — the
+    * reference uses now() (firs_mv.sql:26-33); a gold build pins the
+    * evaluation date so refreshes are reproducible. */
+  private val Anchor = "1998-06-30"
+
+  /** A9 display formatting (firs_mv.sql:58-71 unit cascade). */
+  private def qtyDisplay(qty: Column): Column =
+    when(qty >= 100,
+      concat((qty.cast("decimal(15,2)") / 100).cast("decimal(18,2)").cast("string"),
+        lit(" H units")))
+      .when(qty > 0, concat(qty.cast("string"), lit(" units")))
+      .otherwise("N/A")
+
+  private val QtyDisplaySql =
+    """CASE WHEN %1$s >= 100
+      |     THEN CAST(CAST(CAST(%1$s AS DECIMAL(15,2)) / 100 AS DECIMAL(18,2)) AS VARCHAR) || ' H units'
+      |     WHEN %1$s > 0 THEN CAST(%1$s AS VARCHAR) || ' units'
+      |     ELSE 'N/A' END""".stripMargin
+
+  /** Ordered JSON-array rollup: collect (sortKeys..., js) structs, sort,
+    * project the rendered object, join. The js string is the final sort
+    * field, so ties on the declared keys stay deterministic (l_linenumber
+    * is NOT unique within an order in the testdata). Oracle equivalent:
+    * string_agg(js, ',' ORDER BY keys..., js). */
+  private def jsonArrOrdered(sortKeys: Seq[Column], js: Column): Column = {
+    val fields = sortKeys.zipWithIndex.map { case (c, i) => c.as(s"k$i") } :+ js.as("js")
+    concat(lit("["),
+      array_join(transform(array_sort(collect_list(struct(fields: _*))),
+        x => x.getField("js")), ","),
+      lit("]"))
+  }
+
+  /** DISTINCT JSON-array rollup, sorted by the rendered string (binary
+    * order both engines; values are ASCII). */
+  private def jsonArrDistinct(js: Column): Column =
+    concat(lit("["), array_join(array_sort(collect_set(js)), ","), lit("]"))
+
+  /** k→count JSON object over a collected list of keys (A8 map-agg shape,
+    * firs_mv.sql:90-95 disposalCounts). */
+  private def countsObj(keys: Column): Column =
+    concat(lit("{"),
+      array_join(transform(array_sort(array_distinct(keys)),
+        k => concat(lit("\""), k, lit("\":"), size(filter(keys, x => x === k)))), ","),
+      lit("}"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- firs_mv at full breadth -----------------------------------------
+    QueryDef(
+      "mv_firs_full",
+      "Full-breadth firs_mv gold row: 18 child aggregates over 4 child roles (accused list w/ status normalization, 2-level drug rollup, nested chargesheets w/ sub-lookups, UNION-ALL document list, disposal counters, ||-merged IR mega-doc) — firs_mv.sql:40-229",
+      Some(s"""
+        WITH li_acc0 AS (
+          SELECT l_orderkey, l_linenumber, l_partkey,
+                 '{"personCode":"L-' || l_linenumber || '","partId":' || l_partkey || ',"status":"' ||
+                 CASE WHEN l_returnflag = 'R' THEN 'Returned'
+                      WHEN l_returnflag = 'A' THEN 'Adjusted'
+                      WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 'Open'
+                      ELSE 'Unknown' END || '"}' AS js,
+                 CASE WHEN l_linestatus = 'F' AND l_returnflag = 'R' THEN 1 ELSE 0 END AS conv,
+                 CASE WHEN l_linestatus = 'F' AND l_returnflag = 'A' THEN 1 ELSE 0 END AS acq,
+                 CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS disp,
+                 CASE WHEN l_linestatus = 'F' THEN l_returnflag END AS disp_flag,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+        ),
+        li_agg AS (
+          SELECT l_orderkey,
+                 COUNT(*) AS n_accused,
+                 CAST(SUM(conv) AS BIGINT) AS conviction_count,
+                 CAST(SUM(acq) AS BIGINT) AS acquittal_count,
+                 CAST(SUM(disp) AS BIGINT) AS total_disposals,
+                 CAST(SUM(qty) AS BIGINT) AS qty_tot,
+                 '[' || COALESCE(string_agg(js, ',' ORDER BY l_linenumber, l_partkey, js), '') || ']' AS accused_details
+          FROM li_acc0 GROUP BY l_orderkey
+        ),
+        disp_counts AS (
+          SELECT l_orderkey,
+                 '{' || COALESCE(string_agg('"' || disp_flag || '":' || n, ',' ORDER BY disp_flag), '') || '}' AS disposal_counts
+          FROM (SELECT l_orderkey, disp_flag, COUNT(*) AS n FROM li_acc0
+                WHERE disp_flag IS NOT NULL GROUP BY 1, 2)
+          GROUP BY l_orderkey
+        ),
+        drug1 AS (
+          SELECT l_orderkey AS d_okey, p_brand, l_returnflag AS d_form,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#17'
+          GROUP BY 1, 2, 3
+        ),
+        drug2 AS (
+          SELECT d_okey, p_brand, d_form,
+                 '{"name":"' || p_brand || '","form":"' || d_form || '","quantity":"' ||
+                 ${QtyDisplaySql.format("qsum")} || '"}' AS js
+          FROM drug1
+        ),
+        drug_agg AS (
+          SELECT d_okey,
+                 '[' || COALESCE(string_agg(DISTINCT '"' || upper(p_brand) || '"', ',' ORDER BY '"' || upper(p_brand) || '"'), '') || ']' AS drug_type,
+                 '[' || COALESCE(string_agg(js, ',' ORDER BY p_brand, d_form, js), '') || ']' AS drug_with_quantity
+          FROM drug2 GROUP BY d_okey
+        ),
+        cs0 AS (
+          SELECT l_orderkey AS c_okey, l_suppkey, s_name, l_linenumber, l_partkey,
+                 '{"partkey":' || l_partkey || ',"name":"' || p_name || '","qty":' || CAST(l_quantity AS BIGINT) || '}' AS js
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN part ON l_partkey = p_partkey
+        ),
+        cs1 AS (
+          SELECT c_okey, l_suppkey, s_name,
+                 '[' || string_agg(js, ',' ORDER BY l_linenumber, l_partkey, js) || ']' AS acts
+          FROM cs0 GROUP BY 1, 2, 3
+        ),
+        cs_agg AS (
+          SELECT c_okey,
+                 '[' || string_agg('{"id":' || l_suppkey || ',"value":"' || s_name || '","acts":' || acts || '}', ',' ORDER BY l_suppkey) || ']' AS chargesheets,
+                 '[' || string_agg('{"id":' || l_suppkey || ',"value":"' || s_name || '"}', ',' ORDER BY l_suppkey) || ']' AS associates
+          FROM cs1 GROUP BY c_okey
+        ),
+        docs0 AS (
+          SELECT l_orderkey AS f_okey,
+                 '{"filePath":"/files/' || l_partkey || '.pdf","type":"FIR_COPY","isDownloaded":false}' AS js
+          FROM lineitem WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT l_orderkey,
+                 '{"filePath":"/generated/chargesheets/' || l_suppkey || '/' || l_partkey || '","type":"CHARGESHEET_FILE","isDownloaded":true}'
+          FROM lineitem WHERE l_linestatus = 'O'
+        ),
+        docs_agg AS (
+          SELECT f_okey, '[' || string_agg(DISTINCT js, ',' ORDER BY js) || ']' AS documents
+          FROM docs0 GROUP BY f_okey
+        )
+        SELECT o.o_orderkey AS id,
+               n.n_name AS unit,
+               c.c_name AS ps,
+               CAST(year(o.o_orderdate) AS INTEGER) AS fir_year,
+               o.o_orderpriority AS section,
+               o.o_orderstatus AS case_status,
+               (o.o_orderpriority = '1-URGENT') AS is_commercial,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN
+                      CASE WHEN date_diff('day', o.o_orderdate::DATE, DATE '$Anchor') <= 180
+                           THEN 'Within Limit (180 Days)' ELSE 'Overdue (Beyond 180 Days)' END
+                    ELSE
+                      CASE WHEN date_diff('day', o.o_orderdate::DATE, DATE '$Anchor') <= 60
+                           THEN 'Within Limit (60 Days)' ELSE 'Overdue (Beyond 60 Days)' END
+               END AS stipulated_period,
+               strftime(o.o_orderdate::DATE + CASE WHEN o.o_orderpriority = '1-URGENT' THEN 180 ELSE 60 END, '%Y-%m-%d') AS due_date,
+               COALESCE(a.n_accused, 0) AS n_accused,
+               COALESCE(a.accused_details, '[]') AS accused_details,
+               COALESCE(d.drug_type, '[]') AS drug_type,
+               COALESCE(d.drug_with_quantity, '[]') AS drug_with_quantity,
+               ${QtyDisplaySql.format("COALESCE(a.qty_tot, 0)")} AS qty_display,
+               COALESCE(a.conviction_count, 0) AS conviction_count,
+               COALESCE(a.acquittal_count, 0) AS acquittal_count,
+               COALESCE(a.total_disposals, 0) AS total_disposals,
+               COALESCE(dc.disposal_counts, '{}') AS disposal_counts,
+               COALESCE(cs.chargesheets, '[]') AS chargesheets,
+               COALESCE(f.documents, '[]') AS documents,
+               '{"physical":{"id":' || o.o_orderkey || ',"status":"' || o.o_orderstatus ||
+                 '","priority":"' || o.o_orderpriority ||
+                 '"},"socio":{"name":"' || c.c_name || '","segment":"' || c.c_mktsegment ||
+                 '","nation":"' || n.n_name ||
+                 '"},"associateDetails":' || COALESCE(cs.associates, '[]') || '}' AS ir_doc
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN li_agg a ON o.o_orderkey = a.l_orderkey
+        LEFT JOIN disp_counts dc ON o.o_orderkey = dc.l_orderkey
+        LEFT JOIN drug_agg d ON o.o_orderkey = d.d_okey
+        LEFT JOIN cs_agg cs ON o.o_orderkey = cs.c_okey
+        LEFT JOIN docs_agg f ON o.o_orderkey = f.f_okey
+      """)) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = broadcast(t(s, dir, "part"))
+      val supp = broadcast(t(s, dir, "supplier"))
+
+      // child role 1: accused_flat (firs_mv.sql:40-54) — one scan, one
+      // groupBy on the parent key; status normalization CASE chain.
+      val statusNorm = when(col("l_returnflag") === "R", "Returned")
+        .when(col("l_returnflag") === "A", "Adjusted")
+        .when(col("l_returnflag") === "N" && col("l_linestatus") === "O", "Open")
+        .otherwise("Unknown")
+      val accusedJs = concat(
+        lit("{\"personCode\":\"L-"), col("l_linenumber"),
+        lit("\",\"partId\":"), col("l_partkey"),
+        lit(",\"status\":\""), statusNorm, lit("\"}"))
+      val liAgg = li.groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("n_accused"),
+        // disposal counters folded into the same pass (firs_mv.sql:78-89):
+        // three filtered counts + the k→count map share one scan.
+        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("conviction_count"),
+        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "A", 1L)
+          .otherwise(0L)).as("acquittal_count"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("total_disposals"),
+        sum(col("l_quantity").cast("long")).as("qty_tot"),
+        jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), accusedJs)
+          .as("accused_details"),
+        collect_list(when(col("l_linestatus") === "F", col("l_returnflag")))
+          .as("disp_flags"))
+
+      // child role 2: drug_flat (firs_mv.sql:55-71) — two-level rollup:
+      // sum per (parent, drug, form), then JSON-agg per parent. The
+      // NO_DRUGS_DETECTED filter maps to one excluded brand. One scan +
+      // broadcast part sub-lookup; drugType and drugWithQuantity share it.
+      val drugL1 = li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#17")
+        .groupBy(col("l_orderkey").as("d_okey"), col("p_brand"),
+          col("l_returnflag").as("d_form"))
+        .agg(sum(col("l_quantity").cast("long")).as("qsum"))
+      val drugJs = concat(
+        lit("{\"name\":\""), col("p_brand"), lit("\",\"form\":\""), col("d_form"),
+        lit("\",\"quantity\":\""), qtyDisplay(col("qsum")), lit("\"}"))
+      val drugAgg = drugL1.groupBy(col("d_okey")).agg(
+        jsonArrDistinct(concat(lit("\""), upper(col("p_brand")), lit("\"")))
+          .as("drug_type"),
+        jsonArrOrdered(Seq(col("p_brand"), col("d_form")), drugJs)
+          .as("drug_with_quantity"))
+
+      // child role 3: chargesheets (firs_mv.sql:96-103) — nested two-level
+      // JSON: acts per (parent, chargesheet=supplier) with part-name
+      // sub-lookup, then chargesheet objects per parent with supplier-name
+      // sub-lookup. One scan + two broadcast dims. The associates list for
+      // the IR mega-doc rides the same level-2 groupBy (no extra scan).
+      val actJs = concat(
+        lit("{\"partkey\":"), col("l_partkey"), lit(",\"name\":\""), col("p_name"),
+        lit("\",\"qty\":"), col("l_quantity").cast("long"), lit("}"))
+      val csL1 = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("c_okey"), col("l_suppkey"), col("s_name"))
+        .agg(jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), actJs).as("acts"))
+      val csJs = concat(
+        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"),
+        lit("\",\"acts\":"), col("acts"), lit("}"))
+      val assocJs = concat(
+        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"), lit("\"}"))
+      val csAgg = csL1.groupBy(col("c_okey")).agg(
+        jsonArrOrdered(Seq(col("l_suppkey")), csJs).as("chargesheets"),
+        jsonArrOrdered(Seq(col("l_suppkey")), assocJs).as("associates"))
+
+      // child role 4: document list from two sources (firs_mv.sql:132-166
+      // UNION ALL) — a single scan emits both branches per row via a
+      // filtered-array explode, then DISTINCT JSON-agg per parent.
+      val fileJsA = when(col("l_returnflag") === "R",
+        concat(lit("{\"filePath\":\"/files/"), col("l_partkey"),
+          lit(".pdf\",\"type\":\"FIR_COPY\",\"isDownloaded\":false}")))
+      val fileJsB = when(col("l_linestatus") === "O",
+        concat(lit("{\"filePath\":\"/generated/chargesheets/"), col("l_suppkey"),
+          lit("/"), col("l_partkey"),
+          lit("\",\"type\":\"CHARGESHEET_FILE\",\"isDownloaded\":true}")))
+      val docsAgg = li
+        .select(col("l_orderkey").as("f_okey"),
+          explode(filter(array(fileJsA, fileJsB), x => x.isNotNull)).as("doc_js"))
+        .groupBy(col("f_okey"))
+        .agg(jsonArrDistinct(col("doc_js")).as("documents"))
+
+      // parent assembly: one orders scan, broadcast hierarchy dims, left
+      // joins on the parent key for every child aggregate.
+      val isComm = col("o_orderpriority") === "1-URGENT"
+      val days = datediff(lit(Anchor).cast("date"), col("o_orderdate"))
+      val stip = when(isComm,
+        when(days <= 180, "Within Limit (180 Days)")
+          .otherwise("Overdue (Beyond 180 Days)"))
+        .otherwise(when(days <= 60, "Within Limit (60 Days)")
+          .otherwise("Overdue (Beyond 60 Days)"))
+      val due = date_format(
+        date_add(to_date(col("o_orderdate")), when(isComm, 180).otherwise(60)),
+        "yyyy-MM-dd")
+      val irDoc = concat(
+        lit("{\"physical\":{\"id\":"), col("o_orderkey"),
+        lit(",\"status\":\""), col("o_orderstatus"),
+        lit("\",\"priority\":\""), col("o_orderpriority"),
+        lit("\"},\"socio\":{\"name\":\""), col("c_name"),
+        lit("\",\"segment\":\""), col("c_mktsegment"),
+        lit("\",\"nation\":\""), col("n_name"),
+        lit("\"},\"associateDetails\":"), coalesce(col("associates"), lit("[]")),
+        lit("}"))
+
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(liAgg, col("o_orderkey") === liAgg("l_orderkey"), "left")
+        .join(drugAgg, col("o_orderkey") === col("d_okey"), "left")
+        .join(csAgg, col("o_orderkey") === col("c_okey"), "left")
+        .join(docsAgg, col("o_orderkey") === col("f_okey"), "left")
+        .select(
+          col("o_orderkey").as("id"),
+          col("n_name").as("unit"),
+          col("c_name").as("ps"),
+          year(col("o_orderdate")).as("fir_year"),
+          col("o_orderpriority").as("section"),
+          col("o_orderstatus").as("case_status"),
+          isComm.as("is_commercial"),
+          stip.as("stipulated_period"),
+          due.as("due_date"),
+          coalesce(col("n_accused"), lit(0L)).as("n_accused"),
+          coalesce(col("accused_details"), lit("[]")).as("accused_details"),
+          coalesce(col("drug_type"), lit("[]")).as("drug_type"),
+          coalesce(col("drug_with_quantity"), lit("[]")).as("drug_with_quantity"),
+          qtyDisplay(coalesce(col("qty_tot"), lit(0L))).as("qty_display"),
+          coalesce(col("conviction_count"), lit(0L)).as("conviction_count"),
+          coalesce(col("acquittal_count"), lit(0L)).as("acquittal_count"),
+          coalesce(col("total_disposals"), lit(0L)).as("total_disposals"),
+          when(col("disp_flags").isNotNull, countsObj(col("disp_flags")))
+            .otherwise("{}").as("disposal_counts"),
+          coalesce(col("chargesheets"), lit("[]")).as("chargesheets"),
+          coalesce(col("documents"), lit("[]")).as("documents"),
+          irDoc.as("ir_doc"))
+    },
+
+    // ---- accuseds_mv: per-child-row MV, INNER join on the AI table -------
+    QueryDef(
+      "mv_accuseds",
+      "Per-accused gold row: INNER 4-way chain on the AI flat table (accuseds_mv.sql:132-136, contrast LEFT in advanced_search), nullable persons sub-lookup, decorrelated per-person crime counts + per-crime drug/disposal rollups",
+      Some("""
+        WITH person_agg AS (
+          SELECT l_suppkey AS pa_key,
+                 COUNT(DISTINCT l_orderkey) AS no_of_crimes,
+                 '[' || string_agg(DISTINCT '{"crimeId":' || l_orderkey || ',"firNumber":"FIR-' || l_orderkey || '"}',
+                                   ',' ORDER BY '{"crimeId":' || l_orderkey || ',"firNumber":"FIR-' || l_orderkey || '"}') || ']' AS previously_involved
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        crime0 AS (
+          SELECT l.l_orderkey, l.l_shipdate, l.l_linenumber, l.l_partkey,
+                 '{"name":"' || p.p_brand || '","quantity":"' ||
+                 CASE WHEN CAST(l.l_quantity AS BIGINT) >= 10 THEN CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) || ' Units'
+                      WHEN CAST(l.l_quantity AS BIGINT) > 0 THEN CAST(CAST(l.l_quantity AS BIGINT) * 1000 AS VARCHAR) || ' mg'
+                      ELSE 'N/A' END ||
+                 '","worth":' || CAST(floor(l.l_extendedprice) AS BIGINT) || '}' AS drug_js,
+                 CASE WHEN l.l_linestatus = 'F'
+                      THEN '{"disposalType":"' || l.l_returnflag || '"}' END AS disp_js
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        crime_agg AS (
+          SELECT l_orderkey AS ca_key,
+                 '[' || COALESCE(string_agg(drug_js, ',' ORDER BY l_shipdate, l_linenumber, l_partkey, drug_js), '') || ']' AS drug_with_quantity,
+                 '[' || COALESCE(string_agg(DISTINCT disp_js, ',' ORDER BY disp_js), '') || ']' AS disposal_details
+          FROM crime0 GROUP BY l_orderkey
+        )
+        SELECT 'A-' || l.l_orderkey || '-' || l.l_linenumber || '-' || l.l_partkey AS accused_code,
+               l.l_orderkey AS crime_id,
+               'FIR-' || l.l_orderkey AS fir_number,
+               n.n_name AS unit,
+               c.c_name AS ps,
+               o.o_orderstatus AS case_status,
+               o.o_orderpriority AS case_classification,
+               COALESCE(CAST(s.s_suppkey AS VARCHAR), '') AS person_id,
+               COALESCE(s.s_name, '') AS person_name,
+               concat_ws(', ', s.s_name, CAST(s.s_nationkey AS VARCHAR)) AS present_address,
+               COALESCE(pa.no_of_crimes, 0) AS no_of_crimes,
+               COALESCE(pa.previously_involved, '[]') AS previously_involved,
+               ca.drug_with_quantity,
+               ca.disposal_details
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_suppkey % 7 <> 0
+        LEFT JOIN person_agg pa ON l.l_suppkey = pa.pa_key
+        LEFT JOIN crime_agg ca ON l.l_orderkey = ca.ca_key
+        WHERE l.l_orderkey % 8 = 1
+      """)) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = broadcast(t(s, dir, "part"))
+
+      // decorrelated per-person history (accuseds_mv noOfCrimes +
+      // previouslyInvolvedCases): one scan of the AI table grouped by the
+      // person key; both subqueries share it.
+      val crimeJs = concat(lit("{\"crimeId\":"), col("l_orderkey"),
+        lit(",\"firNumber\":\"FIR-"), col("l_orderkey"), lit("\"}"))
+      val personAgg = li.groupBy(col("l_suppkey").as("pa_key")).agg(
+        countDistinct(col("l_orderkey")).as("no_of_crimes"),
+        jsonArrDistinct(crimeJs).as("previously_involved"))
+
+      // decorrelated per-crime rollups (drugWithQuantity is PER-ROW
+      // formatted and created_at-ordered in accuseds_mv — no sum — unlike
+      // firs_mv's two-level rollup; disposalDetails is DISTINCT).
+      val perRowQty = when(col("l_quantity").cast("long") >= 10,
+        concat(col("l_quantity").cast("long").cast("string"), lit(" Units")))
+        .when(col("l_quantity").cast("long") > 0,
+          concat((col("l_quantity").cast("long") * 1000).cast("string"), lit(" mg")))
+        .otherwise("N/A")
+      val drugJs = concat(lit("{\"name\":\""), col("p_brand"),
+        lit("\",\"quantity\":\""), perRowQty,
+        lit("\",\"worth\":"), floor(col("l_extendedprice")).cast("long"), lit("}"))
+      val dispJs = when(col("l_linestatus") === "F",
+        concat(lit("{\"disposalType\":\""), col("l_returnflag"), lit("\"}")))
+      val crimeAgg = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("ca_key"))
+        .agg(
+          jsonArrOrdered(Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey")),
+            drugJs).as("drug_with_quantity"),
+          jsonArrDistinct(dispJs).as("disposal_details"))
+
+      // INNER chain: AI row ⋈ crime ⋈ hierarchy (the accuseds_mv contrast:
+      // rows exist only where the AI table has them); persons is the LEFT
+      // sub-lookup with deterministic gaps (every 7th person missing).
+      val persons = t(s, dir, "supplier").filter(col("s_suppkey") % 7 =!= 0)
+      li.filter(col("l_orderkey") % 8 === 1)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(persons), col("l_suppkey") === col("s_suppkey"), "left")
+        .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
+        .join(crimeAgg, col("l_orderkey") === col("ca_key"), "left")
+        .select(
+          concat(lit("A-"), col("l_orderkey"), lit("-"), col("l_linenumber"),
+            lit("-"), col("l_partkey")).as("accused_code"),
+          col("l_orderkey").as("crime_id"),
+          concat(lit("FIR-"), col("l_orderkey")).as("fir_number"),
+          col("n_name").as("unit"),
+          col("c_name").as("ps"),
+          col("o_orderstatus").as("case_status"),
+          col("o_orderpriority").as("case_classification"),
+          // rendered as non-null strings: a nullable numeric column would
+          // hash differently across engines (pandas NaN repr)
+          coalesce(col("s_suppkey").cast("string"), lit("")).as("person_id"),
+          coalesce(col("s_name"), lit("")).as("person_name"),
+          concat_ws(", ", col("s_name"), col("s_nationkey").cast("string"))
+            .as("present_address"),
+          coalesce(col("no_of_crimes"), lit(0L)).as("no_of_crimes"),
+          coalesce(col("previously_involved"), lit("[]")).as("previously_involved"),
+          col("drug_with_quantity"),
+          col("disposal_details"))
+    },
+
+    // ---- advanced_search_firs_mv: flat per-parent search surface ---------
+    QueryDef(
+      "mv_advanced_search_firs",
+      "Flat FIR search row: crimes⋈hierarchy only, stipulated-period CASE + due date + per-row drug details w/ worth (advanced_search_firs_mv.sql:60-84)",
+      Some(s"""
+        WITH drug0 AS (
+          SELECT l.l_orderkey, l.l_shipdate, l.l_linenumber, l.l_partkey,
+                 '{"name":"' || p.p_brand || '","quantity":"' ||
+                 CASE WHEN CAST(l.l_quantity AS BIGINT) >= 10 THEN CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) || ' Units'
+                      WHEN CAST(l.l_quantity AS BIGINT) > 0 THEN CAST(CAST(l.l_quantity AS BIGINT) * 1000 AS VARCHAR) || ' mg'
+                      ELSE 'N/A' END ||
+                 '","worth":' || CAST(floor(l.l_extendedprice) AS BIGINT) || '}' AS js
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        drug_agg AS (
+          SELECT l_orderkey AS da_key,
+                 '[' || string_agg(js, ',' ORDER BY l_shipdate, l_linenumber, l_partkey, js) || ']' AS drug_details
+          FROM drug0 GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey AS id,
+               n.n_name AS unit,
+               c.c_name AS ps,
+               lower(c.c_name) AS search_ps,
+               CAST(year(o.o_orderdate) AS INTEGER) AS fir_year,
+               o.o_orderstatus AS case_status,
+               o.o_orderpriority AS case_classification,
+               (o.o_orderpriority = '1-URGENT') AS is_commercial,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN
+                      CASE WHEN date_diff('day', o.o_orderdate::DATE, DATE '$Anchor') <= 180
+                           THEN 'Within Limit (180 Days)' ELSE 'Overdue (Beyond 180 Days)' END
+                    ELSE
+                      CASE WHEN date_diff('day', o.o_orderdate::DATE, DATE '$Anchor') <= 60
+                           THEN 'Within Limit (60 Days)' ELSE 'Overdue (Beyond 60 Days)' END
+               END AS stipulated_period,
+               strftime(o.o_orderdate::DATE + CASE WHEN o.o_orderpriority = '1-URGENT' THEN 180 ELSE 60 END, '%Y-%m-%d') AS due_date,
+               COALESCE(d.drug_details, '[]') AS drug_details
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN drug_agg d ON o.o_orderkey = d.da_key
+      """)) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = broadcast(t(s, dir, "part"))
+      val perRowQty = when(col("l_quantity").cast("long") >= 10,
+        concat(col("l_quantity").cast("long").cast("string"), lit(" Units")))
+        .when(col("l_quantity").cast("long") > 0,
+          concat((col("l_quantity").cast("long") * 1000).cast("string"), lit(" mg")))
+        .otherwise("N/A")
+      val drugJs = concat(lit("{\"name\":\""), col("p_brand"),
+        lit("\",\"quantity\":\""), perRowQty,
+        lit("\",\"worth\":"), floor(col("l_extendedprice")).cast("long"), lit("}"))
+      val drugAgg = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("da_key"))
+        .agg(jsonArrOrdered(Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey")),
+          drugJs).as("drug_details"))
+
+      val isComm = col("o_orderpriority") === "1-URGENT"
+      val days = datediff(lit(Anchor).cast("date"), col("o_orderdate"))
+      val stip = when(isComm,
+        when(days <= 180, "Within Limit (180 Days)")
+          .otherwise("Overdue (Beyond 180 Days)"))
+        .otherwise(when(days <= 60, "Within Limit (60 Days)")
+          .otherwise("Overdue (Beyond 60 Days)"))
+      val due = date_format(
+        date_add(to_date(col("o_orderdate")), when(isComm, 180).otherwise(60)),
+        "yyyy-MM-dd")
+
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(drugAgg, col("o_orderkey") === col("da_key"), "left")
+        .select(
+          col("o_orderkey").as("id"),
+          col("n_name").as("unit"),
+          col("c_name").as("ps"),
+          lower(col("c_name")).as("search_ps"),
+          year(col("o_orderdate")).as("fir_year"),
+          col("o_orderstatus").as("case_status"),
+          col("o_orderpriority").as("case_classification"),
+          isComm.as("is_commercial"),
+          stip.as("stipulated_period"),
+          due.as("due_date"),
+          coalesce(col("drug_details"), lit("[]")).as("drug_details"))
+    })
+}
