@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.GoldMv.defs ++
       graft.queries.GoldMvFull.defs ++
       graft.queries.Resolve.defs ++
+      graft.queries.Cascades.defs ++
       graft.queries.DocPipeline.defs ++
       graft.queries.AnnSearch.defs ++
       graft.queries.Conform.defs ++
