@@ -18,6 +18,71 @@ object Nested {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** N4 at reference breadth: the reference fans one parent document into
+    * ~24 child tables driven by a declarative child-spec list
+    * (`etl-ir/ir_etl.py:918-1491` — one spec per child). Each spec here
+    * contributes (a) one aggregate column to a single groupBy and (b) one
+    * fan-out branch; the DuckDB oracle is GENERATED from the same spec
+    * list, so adding a child is a one-line change on both sides.
+    *
+    * @param agg        array<string> aggregate — already sorted + rendered
+    * @param sqlVal     DuckDB expression for the rendered value
+    * @param numericOrder distinct children: order buckets numerically
+    * @param orderedSql non-distinct children: explicit ORDER BY columns
+    */
+  private final case class ChildSpec(
+      name: String,
+      agg: Column,
+      sqlVal: String,
+      numericOrder: Boolean,
+      orderedSql: Option[String] = None)
+
+  private def distinctChild(name: String, sparkExpr: Column, sqlVal: String,
+      numeric: Boolean): ChildSpec =
+    ChildSpec(name,
+      transform(array_sort(collect_set(sparkExpr)), x => x.cast("string")),
+      sqlVal, numeric)
+
+  private val childSpecs: Seq[ChildSpec] = Seq(
+    ChildSpec("items",
+      transform(array_sort(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("q")))),
+        x => x.getField("pk").cast("string")),
+      "CAST(l_partkey AS VARCHAR)", numericOrder = false,
+      orderedSql = Some("l_linenumber, l_partkey, CAST(l_quantity AS BIGINT)")),
+    distinctChild("flags", col("l_returnflag"), "l_returnflag", numeric = false),
+    distinctChild("statuses", col("l_linestatus"), "l_linestatus", numeric = false),
+    distinctChild("suppliers", col("l_suppkey"),
+      "CAST(l_suppkey AS VARCHAR)", numeric = true),
+    distinctChild("parts", col("l_partkey"),
+      "CAST(l_partkey AS VARCHAR)", numeric = true),
+    distinctChild("quantities", col("l_quantity").cast("long"),
+      "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)", numeric = true),
+    distinctChild("ship_epochs", unix_timestamp(col("l_shipdate")),
+      "CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR)", numeric = true),
+    distinctChild("ship_years", year(col("l_shipdate")),
+      "CAST(CAST(year(l_shipdate) AS INTEGER) AS VARCHAR)", numeric = true),
+    distinctChild("ship_months", date_format(col("l_shipdate"), "yyyy-MM"),
+      "strftime(l_shipdate, '%Y-%m')", numeric = false),
+    distinctChild("discount_pct", round(col("l_discount") * 100).cast("long"),
+      "CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR)", numeric = true),
+    distinctChild("tax_pct", round(col("l_tax") * 100).cast("long"),
+      "CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR)", numeric = true),
+    distinctChild("price_k", floor(col("l_extendedprice") / 1000).cast("long"),
+      "CAST(CAST(floor(l_extendedprice / 1000) AS BIGINT) AS VARCHAR)", numeric = true),
+    distinctChild("flag_status",
+      concat_ws("-", col("l_returnflag"), col("l_linestatus")),
+      "l_returnflag || '-' || l_linestatus", numeric = false))
+
+  private def childSql(sp: ChildSpec): String = sp.orderedSql match {
+    case Some(ord) =>
+      s"SELECT '${sp.name}' AS child, l_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY $ord) - 1 AS INTEGER) AS ord, ${sp.sqlVal} AS v FROM li"
+    case None =>
+      val ordExpr = if (sp.numericOrder) "CAST(v AS BIGINT)" else "v"
+      s"SELECT '${sp.name}' AS child, l_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY $ordExpr) - 1 AS INTEGER) AS ord, v FROM (SELECT DISTINCT l_orderkey, ${sp.sqlVal} AS v FROM li)"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- N1: array explode WITH ORDINALITY ------------------------------
@@ -289,5 +354,26 @@ object Nested {
             concat(lit("\""), col("event_type"), lit("\":"), col("n")))), ","),
           lit("}")).as("doc"))
       doc.select(col("user_id"), col("doc"), md5(col("doc")).as("doc_md5"))
+    },
+
+    // ---- N4 data-driven: spec-table fan-out, 13 children, ONE pass ------
+    QueryDef(
+      "n4_spec_fanout",
+      s"Data-driven child-spec fan-out: ${childSpecs.length} child tables from ONE parent scan + ONE groupBy via packed-array explode; the spec list drives both the aggregates and the generated oracle (ir_etl.py:918-1491)",
+      Some(
+        s"""WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 9 = 4)
+           |${childSpecs.map(childSql).mkString("\nUNION ALL\n")}""".stripMargin)) { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 9 === 4)
+      // one scan, one shuffle: every child aggregate rides the same groupBy
+      val doc = li.groupBy(col("l_orderkey"))
+        .agg(childSpecs.head.agg.as(childSpecs.head.name),
+          childSpecs.tail.map(sp => sp.agg.as(sp.name)): _*)
+      // pack (child, arr) structs and explode twice — unlike a 13-way
+      // union of selects, the groupBy subtree appears ONCE in the plan
+      val packed = array(childSpecs.map(sp =>
+        struct(lit(sp.name).as("child"), col(sp.name).as("arr"))): _*)
+      doc.select(col("l_orderkey"), explode(packed).as("c"))
+        .select(col("c.child").as("child"), col("l_orderkey"),
+          posexplode(col("c.arr")).as(Seq("ord", "v")))
     })
 }
