@@ -41,9 +41,11 @@ object Udfs {
   def trigramSimilarity(a: String, b: String): Double = {
     // pg_trgm pads EACH word with 2 leading + 1 trailing space and unions
     // the per-word trigram sets; padding the whole phrase would emit a
-    // spurious word-final "x  " trigram pg_trgm never produces.
+    // spurious word-final "x  " trigram pg_trgm never produces. Words are
+    // delimited by ANY non-alphanumeric run (pg_trgm's word extraction),
+    // not just whitespace — "foo,bar" is two words.
     def grams(s: String): Set[String] =
-      s.trim.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+      s.trim.toLowerCase.split("[^\\p{Alnum}]+").iterator.filter(_.nonEmpty).flatMap { w =>
         val padded = "  " + w + " "
         (0 to padded.length - 3).map(i => padded.substring(i, i + 3))
       }.toSet

@@ -94,12 +94,28 @@ object RawZone {
     loop(1)
   }
 
+  /** Split a SQL script on statement-terminating semicolons only: a ';'
+    * inside a single-quoted literal does not end a statement. The ''
+    * escape toggles the quote state twice, which round-trips correctly. */
+  private[ingest] def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    script.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** S11: run a multi-statement SQL script (view refresh driver,
-    * `etl_refresh_views/views_refresh_sql.py`). Statements split on ';',
-    * validated read-only by QueryGuard, executed in order; returns the
-    * last result. */
+    * `etl_refresh_views/views_refresh_sql.py`). Statements split on
+    * quote-aware ';' boundaries, validated read-only by QueryGuard,
+    * executed in order; returns the last result. */
   def runScript(spark: SparkSession, dir: String, script: String): Either[graft.ql.QueryGuard.Denied, DataFrame] = {
-    val statements = script.split(";").map(_.trim).filter(_.nonEmpty)
+    val statements = splitStatements(script)
     statements.foldLeft(Right(spark.emptyDataFrame): Either[graft.ql.QueryGuard.Denied, DataFrame]) {
       case (Left(d), _) => Left(d)
       case (Right(_), stmt) => graft.ql.QueryGuard.execute(spark, dir, stmt, maxRows = 10000)

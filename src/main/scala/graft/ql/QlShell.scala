@@ -23,7 +23,9 @@ object QlShell {
     spark.sparkContext.setLogLevel("ERROR")
     Udfs.register(spark)
     QueryGuard.run(spark, dir, sql, maxRows) match {
-      case Right(rows) => rows.foreach(r => println(r.mkString(" | ")))
+      case Right(res) =>
+        println(res.columns.mkString(" | "))
+        res.rows.foreach(r => println(r.mkString(" | ")))
       case Left(denied) =>
         println(s"DENIED [${denied.threat}]: ${denied.reason}")
         sys.exit(2)

@@ -59,11 +59,20 @@ object QueryGuard {
       spark.sql(cleaned).limit(maxRows)
     }
 
+  /** Collected result: field names ride along so callers (the shell) can
+    * print a header without re-touching the DataFrame. */
+  final case class RunResult(columns: Array[String], rows: Array[org.apache.spark.sql.Row])
+
   /** Q6 — guarded COLLECTING executor with a statement timeout, mirroring
     * the reference's postgres executor (statement_timeout + row cap).
     * Runs the action inside a job group; on timeout the whole group is
     * cancelled so no tasks leak, and the caller gets a Denied instead of
-    * a hung shell.
+    * a hung shell. A cancellation flag is checked after the job group is
+    * registered and before the action, so a future that starts only
+    * after the caller already timed out never submits work (the
+    * setJobGroup/cancelJobGroup race on a saturated pool). Runtime
+    * failures (analysis errors, task failures) map to Denied instead of
+    * escaping as raw exceptions.
     */
   def run(
       spark: SparkSession,
@@ -71,21 +80,39 @@ object QueryGuard {
       sql: String,
       maxRows: Int = 100,
       timeout: scala.concurrent.duration.FiniteDuration =
-        scala.concurrent.duration.Duration(60, "s")): Either[Denied, Array[org.apache.spark.sql.Row]] =
-    execute(spark, dir, sql, maxRows).flatMap { df =>
-      import scala.concurrent.{Await, Future, TimeoutException}
-      import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.duration.Duration(60, "s")): Either[Denied, RunResult] = {
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.control.NonFatal
+    val analyzed =
+      try execute(spark, dir, sql, maxRows)
+      catch {
+        case NonFatal(e) =>
+          Left(Denied(s"analysis failed: ${firstLine(e.getMessage)}", "low"))
+      }
+    analyzed.flatMap { df =>
       val group = s"graft-ql-${java.util.UUID.randomUUID()}"
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val fut = Future {
         spark.sparkContext.setJobGroup(group, sql.take(120), interruptOnCancel = true)
-        try df.collect()
-        finally spark.sparkContext.clearJobGroup()
+        try {
+          if (cancelled.get())
+            throw new java.util.concurrent.CancellationException("timed out before start")
+          RunResult(df.columns, df.collect())
+        } finally spark.sparkContext.clearJobGroup()
       }
       try Right(Await.result(fut, timeout))
       catch {
         case _: TimeoutException =>
+          cancelled.set(true)
           spark.sparkContext.cancelJobGroup(group)
           Left(Denied(s"statement timeout after ${timeout.toSeconds}s", "medium"))
+        case NonFatal(e) =>
+          Left(Denied(s"execution failed: ${firstLine(e.getMessage)}", "low"))
       }
     }
+  }
+
+  private def firstLine(s: String): String =
+    Option(s).map(_.takeWhile(_ != '\n')).getOrElse("(no message)")
 }

@@ -48,12 +48,72 @@ object AnnSearch {
       FROM embeddings
     )"""
 
+  /** 4-bit sign-signature LSH bucket over a double vector column. */
+  private def signBucket(v: Column): Column =
+    Seq(1 -> 8, 17 -> 4, 33 -> 2, 49 -> 1).map { case (i, w) =>
+      when(element_at(v, i) >= 0, w).otherwise(0)
+    }.reduce(_ + _).cast("int")
+
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- DD14: embedding-cosine near-duplicate pairs ---------------------
+    QueryDef(
+      "dd14_embedding_neardup",
+      "Embedding-cosine near-dup detection: sign-LSH bucketed self-join, cosine >= 0.95 pairs only (planted perturbed duplicates; the bucket equi-join keeps it far from all-pairs)",
+      Some("""
+        WITH vecs0 AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        dups AS (
+          SELECT vec_id + 100000 AS vec_id, list_concat([v[1] * 1.01], v[2:]) AS v
+          FROM vecs0 WHERE vec_id % 50 = 0
+        ),
+        allv AS (SELECT * FROM vecs0 UNION ALL SELECT * FROM dups),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM allv),
+        b AS (
+          SELECT *, CAST(CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
+                       + CASE WHEN v[17] >= 0 THEN 4 ELSE 0 END
+                       + CASE WHEN v[33] >= 0 THEN 2 ELSE 0 END
+                       + CASE WHEN v[49] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+          FROM n
+        ),
+        pairs AS (
+          SELECT a.vec_id AS a_id, x.vec_id AS b_id,
+                 round(list_dot_product(a.v, x.v) / (a.norm * x.norm), 6) AS cos
+          FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+        )
+        SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.95
+      """)) { (s, dir) =>
+      val vecs0 = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      // planted near-dups: copy every 50th vector with its first component
+      // scaled 1% — cosine vs the original ≈ 0.99995, everything else in
+      // this corpus stays below 0.5, so the threshold isolates the plants
+      val dups = vecs0.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("v"), 1) * 1.01),
+            slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+      val allv = vecs0.unionByName(dups)
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+        .withColumn("bucket", signBucket(col("v")))
+      val lhs = allv.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("an"), col("bucket").as("ab"))
+      lhs.join(allv, col("ab") === col("bucket") && col("a_id") < col("vec_id"))
+        .select(col("a_id"), col("vec_id").as("b_id"),
+          round(dot(col("av"), col("v")) / (col("an") * col("norm")), 6).as("cos"))
+        .filter(col("cos") >= 0.95)
+    },
+
     // ---- E5a: brute-force cosine top-k (broadcast query set) ------------
+    // Size bound: the BROADCAST side is the query set, not the corpus —
+    // sized at |queries| × (dim+2) × 8 bytes. It must stay under the
+    // executor broadcast budget (~1 GiB ≈ 2M 64-dim queries); the corpus
+    // side streams unbounded. For larger query batches, switch to the
+    // LSH/IVF variants below, whose probe side is bucket-partitioned.
     QueryDef(
       "e5_ann_bruteforce",
-      "Brute-force cosine top-3 per query vector; query set broadcast, corpus never shuffled",
+      "Brute-force cosine top-3 per query vector; query set broadcast (bounded: |Q|x(dim+2)x8B under the broadcast budget), corpus never shuffled",
       Some(s"""
         WITH $vecSql,
         q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM vecs WHERE vec_id % 100 = 0),

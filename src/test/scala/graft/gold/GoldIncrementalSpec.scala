@@ -46,6 +46,27 @@ class GoldIncrementalSpec extends SparkTestBase {
     goldV1.unpersist(); changed.unpersist(); factV2.unpersist()
   }
 
+  test("a changed parent whose recompute returns zero rows drops its stale gold row") {
+    val goldV1 = buildGold(lineitem).cache()
+    // delta: every 40th order's children are DELETED from the fact table
+    val changed = lineitem.filter(col("l_orderkey") % 40 === 0)
+      .select(col("l_orderkey")).distinct().cache()
+    val factV2 = lineitem.filter(col("l_orderkey") % 40 =!= 0).cache()
+
+    val incremental = GoldIncremental.refresh(goldV1, changed, "l_orderkey") { keys =>
+      buildGold(factV2.join(keys, Seq("l_orderkey"), "left_semi"))
+    }
+    val full = buildGold(factV2)
+
+    // the recompute over the changed keys is genuinely empty…
+    assert(factV2.join(changed, Seq("l_orderkey"), "left_semi").isEmpty)
+    // …and the incremental result must equal the full rebuild: the stale
+    // gold rows for the deleted parents are gone, not carried over
+    assert(incremental.join(changed, Seq("l_orderkey"), "left_semi").isEmpty)
+    assert(sameRows(incremental, full))
+    goldV1.unpersist(); changed.unpersist(); factV2.unpersist()
+  }
+
   test("refresh with an empty changed set is the identity") {
     val goldV1 = buildGold(lineitem)
     val empty = lineitem.select(col("l_orderkey")).filter(lit(false))

@@ -88,4 +88,14 @@ class RawZoneSpec extends SparkTestBase {
       "SELECT 1; DELETE FROM orders")
     assert(blocked.isLeft)
   }
+
+  test("runScript does not split on a semicolon inside a string literal") {
+    val res = RawZone.runScript(spark, sf0001,
+      "SELECT 'a;b' AS s; SELECT 'it''s; fine' AS t")
+    assert(res.isRight)
+    assert(res.toOption.get.collect().head.getString(0) == "it's; fine")
+    // and the splitter itself is statement-accurate
+    assert(RawZone.splitStatements("SELECT 'x;y' AS a; SELECT 1") ==
+      Seq("SELECT 'x;y' AS a", "SELECT 1"))
+  }
 }

@@ -45,4 +45,33 @@ class QueryGuardSpec extends SparkTestBase {
   test("trailing semicolon on a single statement is tolerated") {
     assert(QueryGuard.validate("SELECT 1;").isRight)
   }
+
+  test("run returns columns + rows for the shell header") {
+    val res = QueryGuard.run(spark, sf0001,
+      "SELECT o_orderkey, o_orderstatus FROM orders", maxRows = 5)
+    assert(res.isRight)
+    val r = res.toOption.get
+    assert(r.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))
+    assert(r.rows.length == 5)
+  }
+
+  test("run times out a long statement with Denied and cancels the job group") {
+    import scala.concurrent.duration._
+    // quadratic blowup: big enough that 50ms always expires first
+    val res = QueryGuard.run(spark, sf001,
+      "SELECT COUNT(*) AS n FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey JOIN lineitem c ON b.l_suppkey = c.l_suppkey",
+      maxRows = 1, timeout = 50.millis)
+    assert(res.isLeft)
+    assert(res.swap.toOption.get.reason.contains("timeout"))
+    // the session is still healthy afterwards: no leaked hung jobs block it
+    val after = QueryGuard.run(spark, sf0001, "SELECT COUNT(*) AS n FROM nation")
+    assert(after.isRight)
+    assert(after.toOption.get.rows.head.getLong(0) == 25L)
+  }
+
+  test("runtime failures surface as Denied, not raw exceptions") {
+    val res = QueryGuard.run(spark, sf0001, "SELECT no_such_column FROM orders")
+    assert(res.isLeft)
+    assert(res.swap.toOption.get.threat == "low")
+  }
 }
