@@ -229,34 +229,52 @@ object Cascades {
             .when(col("l_linenumber") % 4 === 2, split(col("p_name"), " ").getItem(0))
             .otherwise(concat(lit("Z-"), col("l_partkey"))).as("code"))
 
-      val key = Seq("ex_id", "code")
-      // tier 1: exact accused_code match (main.py:414-416)
-      val t1 = ex.join(broadcast(db), col("code") === col("db_code"))
-        .select(col("ex_id"), col("code"), lit("exact").as("tier"),
-          col("p_partkey"), col("db_name"))
-      val r1 = ex.join(t1.select(key.map(col): _*), key, "left_anti")
-      // tier 2: normalized code match (main.py:418-421)
-      val t2 = r1.join(broadcast(db), normCode(col("code")) === col("db_norm"))
-        .select(col("ex_id"), col("code"), lit("normalized").as("tier"),
-          col("p_partkey"), col("db_name"))
-      val r2 = r1.join(t2.select(key.map(col): _*), key, "left_anti")
-      // tier 3: name containment, blocked on the first name token so the
-      // candidate set is bounded — never all-pairs (main.py:423-433)
-      val contained = (col("db_name").contains(lower(col("code"))) ||
-        lower(col("code")).contains(col("db_name"))) &&
-        length(col("code")) > 3 && length(col("db_name")) > 3
-      val w3 = Window.partitionBy(col("ex_id"), col("code")).orderBy(col("p_partkey"))
-      val t3 = r2.join(broadcast(db), lower(split(col("code"), " ").getItem(0)) === col("db_block"))
-        .filter(contained)
-        .withColumn("rn", row_number().over(w3)).filter(col("rn") === 1)
-        .select(col("ex_id"), col("code"), lit("name").as("tier"),
-          col("p_partkey"), col("db_name"))
-      val r3 = r2.join(t3.select(key.map(col): _*), key, "left_anti")
-        .select(col("ex_id"), col("code"), lit("unmatched").as("tier"),
-          lit(-1L).as("p_partkey"), lit("").as("db_name"))
-
-      t1.unionByName(t2).unionByName(t3).unionByName(r3)
-        .withColumnRenamed("p_partkey", "matched_key")
-        .withColumnRenamed("db_name", "matched_name")
+      // Single-pass cascade: three LEFT joins against broadcast dim slices
+      // with CASE precedence — result-identical to the anti-join chain in
+      // the oracle (a row matched at tier N ignores lower tiers), but the
+      // ex subtree is computed ONCE in one linear plan. The anti-join
+      // formulation re-derived ex for every tier branch and was ~10x
+      // slower at sf0.1.
+      val t1d = broadcast(db.select(col("db_code").as("t1_code"),
+        col("p_partkey").as("t1_key"), col("db_name").as("t1_name")))
+      val t2d = broadcast(db.select(col("db_norm").as("t2_norm"),
+        col("p_partkey").as("t2_key"), col("db_name").as("t2_name")))
+      val t3d = broadcast(db.select(col("db_block").as("t3_block"),
+        col("p_partkey").as("t3_key"), col("db_name").as("t3_name")))
+      // tier-3 containment rides the block-key equi-join as a residual
+      // condition, so the candidate set stays bounded (main.py:423-433)
+      val contained3 = (col("t3_name").contains(lower(col("code"))) ||
+        lower(col("code")).contains(col("t3_name"))) &&
+        length(col("code")) > 3 && length(col("t3_name")) > 3
+      // dedupe-then-score: the match depends only on the code STRING, so
+      // score each distinct code once (the reference builds one
+      // roles_by_code dict, not one lookup per row), then join the
+      // mapping back to the extracted rows. At scale this keeps the
+      // containment tier's candidate blow-up bounded by |distinct codes|,
+      // not |rows| — and duplicate extracted rows pair independently for
+      // free, since the mapping join preserves multiplicity.
+      val codes = ex.select(col("code")).distinct()
+      val joinedC = codes
+        .join(t1d, col("code") === col("t1_code"), "left")
+        .join(t2d, normCode(col("code")) === col("t2_norm"), "left")
+        .join(t3d,
+          lower(split(col("code"), " ").getItem(0)) === col("t3_block") && contained3,
+          "left")
+      // top-1 name candidate per code (ties by part key); codes with no
+      // t3 match keep their single null-extended copy
+      val wc = Window.partitionBy(col("code")).orderBy(col("t3_key").asc_nulls_last)
+      val mapping = joinedC.withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+        .select(col("code").as("m_code"),
+          when(col("t1_key").isNotNull, "exact")
+            .when(col("t2_key").isNotNull, "normalized")
+            .when(col("t3_key").isNotNull, "name")
+            .otherwise("unmatched").as("tier"),
+          coalesce(col("t1_key"), col("t2_key"), col("t3_key"), lit(-1L))
+            .as("matched_key"),
+          coalesce(col("t1_name"), col("t2_name"), col("t3_name"), lit(""))
+            .as("matched_name"))
+      ex.join(mapping, col("code") === col("m_code"))
+        .select(col("ex_id"), col("code"), col("tier"),
+          col("matched_key"), col("matched_name"))
     })
 }

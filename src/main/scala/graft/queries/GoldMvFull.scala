@@ -219,6 +219,17 @@ object GoldMvFull {
         lit("{\"personCode\":\"L-"), col("l_linenumber"),
         lit("\",\"partId\":"), col("l_partkey"),
         lit(",\"status\":\""), statusNorm, lit("\"}"))
+      // child role 4 rides the same groupBy (firs_mv.sql:132-166): the
+      // UNION-ALL document list is two per-row branch renderings collected
+      // as distinct sets and merged — same rows as the oracle's UNION ALL
+      // + DISTINCT agg, one fewer scan+shuffle than a separate explode.
+      val fileJsA = when(col("l_returnflag") === "R",
+        concat(lit("{\"filePath\":\"/files/"), col("l_partkey"),
+          lit(".pdf\",\"type\":\"FIR_COPY\",\"isDownloaded\":false}")))
+      val fileJsB = when(col("l_linestatus") === "O",
+        concat(lit("{\"filePath\":\"/generated/chargesheets/"), col("l_suppkey"),
+          lit("/"), col("l_partkey"),
+          lit("\",\"type\":\"CHARGESHEET_FILE\",\"isDownloaded\":true}")))
       val liAgg = li.groupBy(col("l_orderkey")).agg(
         count(lit(1)).as("n_accused"),
         // disposal counters folded into the same pass (firs_mv.sql:78-89):
@@ -232,7 +243,12 @@ object GoldMvFull {
         jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), accusedJs)
           .as("accused_details"),
         collect_list(when(col("l_linestatus") === "F", col("l_returnflag")))
-          .as("disp_flags"))
+          .as("disp_flags"),
+        // the two branch sets cannot overlap (distinct type tags), so the
+        // sorted concat equals the oracle's DISTINCT-sorted UNION ALL
+        concat(lit("["),
+          array_join(array_sort(concat(collect_set(fileJsA), collect_set(fileJsB))), ","),
+          lit("]")).as("documents"))
 
       // child role 2: drug_flat (firs_mv.sql:55-71) — two-level rollup:
       // sum per (parent, drug, form), then JSON-agg per parent. The
@@ -273,22 +289,6 @@ object GoldMvFull {
         jsonArrOrdered(Seq(col("l_suppkey")), csJs).as("chargesheets"),
         jsonArrOrdered(Seq(col("l_suppkey")), assocJs).as("associates"))
 
-      // child role 4: document list from two sources (firs_mv.sql:132-166
-      // UNION ALL) — a single scan emits both branches per row via a
-      // filtered-array explode, then DISTINCT JSON-agg per parent.
-      val fileJsA = when(col("l_returnflag") === "R",
-        concat(lit("{\"filePath\":\"/files/"), col("l_partkey"),
-          lit(".pdf\",\"type\":\"FIR_COPY\",\"isDownloaded\":false}")))
-      val fileJsB = when(col("l_linestatus") === "O",
-        concat(lit("{\"filePath\":\"/generated/chargesheets/"), col("l_suppkey"),
-          lit("/"), col("l_partkey"),
-          lit("\",\"type\":\"CHARGESHEET_FILE\",\"isDownloaded\":true}")))
-      val docsAgg = li
-        .select(col("l_orderkey").as("f_okey"),
-          explode(filter(array(fileJsA, fileJsB), x => x.isNotNull)).as("doc_js"))
-        .groupBy(col("f_okey"))
-        .agg(jsonArrDistinct(col("doc_js")).as("documents"))
-
       // parent assembly: one orders scan, broadcast hierarchy dims, left
       // joins on the parent key for every child aggregate.
       val isComm = col("o_orderpriority") === "1-URGENT"
@@ -317,7 +317,6 @@ object GoldMvFull {
         .join(liAgg, col("o_orderkey") === liAgg("l_orderkey"), "left")
         .join(drugAgg, col("o_orderkey") === col("d_okey"), "left")
         .join(csAgg, col("o_orderkey") === col("c_okey"), "left")
-        .join(docsAgg, col("o_orderkey") === col("f_okey"), "left")
         .select(
           col("o_orderkey").as("id"),
           col("n_name").as("unit"),
