@@ -20,6 +20,24 @@ class ApproxSpec extends SparkTestBase {
     assert(err < 0.05, s"exact=$exact approx=$approx err=$err")
   }
 
+  test("ANN scale knobs retune bucketing without breaking the query") {
+    def lsh() = SparkEntry.all.find(_.name == "e5_ann_lsh").get
+      .run(spark, sf0001).collect()
+    val atDefault = lsh()
+    try {
+      // 5 bits → 32 smaller buckets: the query still returns top-3 per
+      // probe vector; recall/rows may differ, the contract holds
+      spark.conf.set("spark.graft.ann.lshBits", "5")
+      val tuned = lsh()
+      assert(tuned.nonEmpty)
+      assert(tuned.map(_.getLong(0)).distinct.length ==
+        atDefault.map(_.getLong(0)).distinct.length) // same probe set answered
+    } finally spark.conf.unset("spark.graft.ann.lshBits")
+    // back at defaults the result is byte-stable (the oracle's values)
+    assert(lsh().map(_.toString).sorted.sameElements(
+      atDefault.map(_.toString).sorted))
+  }
+
   test("grouped approx counts track exact counts per priority") {
     val exact = Tables(spark, sf001, "orders")
       .groupBy("o_orderpriority").agg(countDistinct(col("o_custkey")).as("n"))
