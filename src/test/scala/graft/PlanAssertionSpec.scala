@@ -21,6 +21,31 @@ class PlanAssertionSpec extends SparkTestBase {
     assert(badAdjacency.findFirstIn(plan).isEmpty, plan)
   }
 
+  test("NO query in the inventory ships a cartesian product or a single-partition window") {
+    // engine-wide scale audit (the reference's query_optimizer.py plan
+    // checks, engine-side): every query's EXECUTED plan is scanned for
+    // the two antipatterns that silently stop scaling — a cartesian
+    // product, and a Sort/Window funneling the data through one
+    // partition. Justified exceptions are listed explicitly.
+    // (global ORDER BY + LIMIT queries like w4/w7 compile to
+    // TakeOrderedAndProject, so no exception list is needed)
+    val singlePartitionOk = Set.empty[String]
+    val badAdjacency = "(?m)Sort[^\\n]*\\n[^\\n]*Exchange SinglePartition".r
+    val failures = SparkEntry.all.flatMap { q =>
+      try {
+        val df = q.run(spark, sf0001)
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val sp = !singlePartitionOk(q.name) && badAdjacency.findFirstIn(plan).isDefined
+        if (cart || sp)
+          Some(s"${q.name}: cartesian=$cart singlePartitionWindow=$sp")
+        else None
+      } catch { case e: Throwable => Some(s"${q.name}: failed ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("mv_firs_full child aggregates shuffle on the parent key, dims broadcast") {
     val df = SparkEntry.all.find(_.name == "mv_firs_full").get.run(spark, sf0001)
     df.collect()
