@@ -136,19 +136,24 @@ object GoldMvFull {
         ),
         cs0 AS (
           SELECT l_orderkey AS c_okey, l_suppkey, s_name, l_linenumber, l_partkey,
-                 '{"partkey":' || l_partkey || ',"name":"' || p_name || '","qty":' || CAST(l_quantity AS BIGINT) || '}' AS js
+                 '{"partkey":' || l_partkey || ',"name":"' || p_name || '","qty":' || CAST(l_quantity AS BIGINT) || '}' AS js,
+                 '{"personId":' || l_partkey || ',"value":"' || p_name || '","chargeStatus":"' ||
+                 CASE WHEN l_returnflag = 'R' THEN 'Charged'
+                      WHEN l_returnflag = 'A' THEN 'Dropped'
+                      ELSE 'Pending' END || '"}' AS js2
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN part ON l_partkey = p_partkey
         ),
         cs1 AS (
           SELECT c_okey, l_suppkey, s_name,
-                 '[' || string_agg(js, ',' ORDER BY l_linenumber, l_partkey, js) || ']' AS acts
+                 '[' || string_agg(js, ',' ORDER BY l_linenumber, l_partkey, js) || ']' AS acts,
+                 '[' || string_agg(DISTINCT js2, ',' ORDER BY js2) || ']' AS accuseds
           FROM cs0 GROUP BY 1, 2, 3
         ),
         cs_agg AS (
           SELECT c_okey,
-                 '[' || string_agg('{"id":' || l_suppkey || ',"value":"' || s_name || '","acts":' || acts || '}', ',' ORDER BY l_suppkey) || ']' AS chargesheets,
+                 '[' || string_agg('{"id":' || l_suppkey || ',"value":"' || s_name || '","acts":' || acts || ',"accuseds":' || accuseds || '}', ',' ORDER BY l_suppkey) || ']' AS chargesheets,
                  '[' || string_agg('{"id":' || l_suppkey || ',"value":"' || s_name || '"}', ',' ORDER BY l_suppkey) || ']' AS associates
           FROM cs1 GROUP BY c_okey
         ),
@@ -276,13 +281,24 @@ object GoldMvFull {
       val actJs = concat(
         lit("{\"partkey\":"), col("l_partkey"), lit(",\"name\":\""), col("p_name"),
         lit("\",\"qty\":"), col("l_quantity").cast("long"), lit("}"))
+      // second sub-array per chargesheet (firs_mv.sql:98-101): the DISTINCT
+      // accused roster, each with its own name sub-lookup + status CASE
+      val accJs = concat(
+        lit("{\"personId\":"), col("l_partkey"), lit(",\"value\":\""), col("p_name"),
+        lit("\",\"chargeStatus\":\""),
+        when(col("l_returnflag") === "R", "Charged")
+          .when(col("l_returnflag") === "A", "Dropped")
+          .otherwise("Pending"),
+        lit("\"}"))
       val csL1 = li.join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_orderkey").as("c_okey"), col("l_suppkey"), col("s_name"))
-        .agg(jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), actJs).as("acts"))
+        .agg(jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), actJs).as("acts"),
+          jsonArrDistinct(accJs).as("accuseds"))
       val csJs = concat(
         lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"),
-        lit("\",\"acts\":"), col("acts"), lit("}"))
+        lit("\",\"acts\":"), col("acts"),
+        lit(",\"accuseds\":"), col("accuseds"), lit("}"))
       val assocJs = concat(
         lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"), lit("\"}"))
       val csAgg = csL1.groupBy(col("c_okey")).agg(
