@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
 object Planner {
 
   final case class Plan(
-      intent: String,            // count | list | aggregate | search
+      intent: String,            // count | list | aggregate | search | topk_group | which_group
       table: String,
       needsAggregation: Boolean,
       limit: Int,
@@ -26,7 +26,16 @@ object Planner {
       yearRange: Option[(Int, Int)] = None,
       statusFilter: Option[String] = None,
       groupDim: Option[String] = None,
-      joined: Seq[String] = Nil)
+      joined: Seq[String] = Nil,
+      /** false when a year range was recognized but no date column could
+        * be resolved on the primary or joined table — the caller can tell
+        * the filter was dropped instead of mistaking unfiltered rows for
+        * a filtered answer. */
+      yearApplied: Boolean = true,
+      /** true when the status filter is negated ("not finished"). */
+      negated: Boolean = false,
+      /** ORDER BY applied for superlative phrasings ("most expensive"). */
+      orderBy: Option[String] = None)
 
   private val tableKeywords: Map[String, Seq[String]] = Map(
     "orders" -> Seq("order", "purchase history"),
@@ -50,6 +59,14 @@ object Planner {
     "customer" -> "c_name", "supplier" -> "s_name", "part" -> "p_name",
     "nation" -> "n_name", "documents" -> "text")
 
+  /** Stable tie-break key per table so superlative / top-k-per-group
+    * rankings are deterministic under ties. */
+  private val keyCols = Map(
+    "orders" -> "o_orderkey", "customer" -> "c_custkey",
+    "supplier" -> "s_suppkey", "part" -> "p_partkey",
+    "nation" -> "n_nationkey", "lineitem" -> "l_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id")
+
   /** FK join chains between co-mentioned tables (reference: schema-graph
     * join planning, `intelligent_query_planner.py:233-287`). */
   private val joinPathsBase: Map[(String, String), String] = Map(
@@ -68,21 +85,25 @@ object Planner {
     joinPathsBase ++ joinPathsBase.map { case ((a, b), v) => ((b, a), v) }
 
   /** Grouping dimension for aggregate intents: "by <kw>" / "per <kw>" →
-    * (group column, fact table, FROM clause). */
-  private final case class DimRule(kw: String, col: String, fact: String, from: String)
+    * (group column, owning table, default fact table, FROM clause). */
+  private final case class DimRule(
+      kw: String, col: String, table: String, fact: String, from: String)
   private val dims = Seq(
-    DimRule("nation", "n_name", "orders",
+    DimRule("nation", "n_name", "nation", "orders",
       joinPaths(("orders", "nation"))),
-    DimRule("customer", "c_name", "orders", joinPaths(("orders", "customer"))),
-    DimRule("supplier", "s_name", "lineitem", joinPaths(("lineitem", "supplier"))),
-    DimRule("brand", "p_brand", "lineitem", joinPaths(("lineitem", "part"))),
-    DimRule("priority", "o_orderpriority", "orders", "orders"),
-    DimRule("status", "o_orderstatus", "orders", "orders"),
-    DimRule("segment", "c_mktsegment", "customer", "customer"),
-    DimRule("event type", "event_type", "events", "events"),
-    DimRule("language", "lang", "documents", "documents"),
-    DimRule("source", "source", "documents", "documents"),
-    DimRule("year", "", "orders", "orders")) // col resolved from the date column
+    DimRule("customer", "c_name", "customer", "orders",
+      joinPaths(("orders", "customer"))),
+    DimRule("supplier", "s_name", "supplier", "lineitem",
+      joinPaths(("lineitem", "supplier"))),
+    DimRule("brand", "p_brand", "part", "lineitem",
+      joinPaths(("lineitem", "part"))),
+    DimRule("priority", "o_orderpriority", "orders", "orders", "orders"),
+    DimRule("status", "o_orderstatus", "orders", "orders", "orders"),
+    DimRule("segment", "c_mktsegment", "customer", "customer", "customer"),
+    DimRule("event type", "event_type", "events", "events", "events"),
+    DimRule("language", "lang", "documents", "documents", "documents"),
+    DimRule("source", "source", "documents", "documents", "documents"),
+    DimRule("year", "", "orders", "orders", "orders")) // col resolved from the date column
 
   /** Status / category filters: keyword → (table it applies to, predicate). */
   private val statusRules = Seq(
@@ -134,25 +155,44 @@ object Planner {
   def needsAggregation(q: String): Boolean =
     detectIntent(q) == "count" || detectIntent(q) == "aggregate"
 
-  /** Q3 — date-range extraction: "in 1996", "since 1997", "before 1999",
+  /** Q3 — date-range extraction: "in 1996", "since 1997" (inclusive),
+    * "after 1997" (exclusive → starts at 1998), "before 1999" (exclusive),
     * "from 1995 to 1997" → inclusive year bounds. */
   def extractYearRange(q: String): Option[(Int, Int)] = {
     val s = q.toLowerCase
     "(?:between|from)\\s+(\\d{4})\\s+(?:and|to)\\s+(\\d{4})".r.findFirstMatchIn(s)
       .map(m => (m.group(1).toInt, m.group(2).toInt))
-      .orElse("(?:since|after)\\s+(\\d{4})".r.findFirstMatchIn(s)
+      .orElse("since\\s+(\\d{4})".r.findFirstMatchIn(s)
         .map(m => (m.group(1).toInt, 9999)))
+      .orElse("after\\s+(\\d{4})".r.findFirstMatchIn(s)
+        .map(m => (m.group(1).toInt + 1, 9999)))
       .orElse("before\\s+(\\d{4})".r.findFirstMatchIn(s)
         .map(m => (0, m.group(1).toInt - 1)))
       .orElse("\\bin\\s+(\\d{4})\\b".r.findFirstMatchIn(s)
         .map(m => (m.group(1).toInt, m.group(1).toInt)))
   }
 
-  /** Q3 — status/category filter applicable to the chosen table. */
-  def extractStatusFilter(q: String, table: String): Option[String] = {
+  /** A negator token (optionally with one intervening word) directly
+    * before position `idx`: "not finished", "non-urgent", "excluding
+    * returned", "not yet finished". */
+  private def negatedAt(s: String, idx: Int): Boolean = {
+    val prefix = s.substring(math.max(0, idx - 24), idx)
+    "\\b(?:not|non|no|excluding|except|without)[\\s-]+(?:\\w+[\\s-]+)?$".r
+      .findFirstIn(prefix).isDefined
+  }
+
+  /** Q3 — status/category filter applicable to the chosen table, with
+    * negation support ("orders that are not finished" → NOT (pred)). */
+  def extractStatusFilter(q: String, table: String): Option[String] =
+    extractStatusFilterN(q, table).map(_._1)
+
+  /** Like [[extractStatusFilter]] but also reports whether the predicate
+    * was negated. */
+  def extractStatusFilterN(q: String, table: String): Option[(String, Boolean)] = {
     val s = q.toLowerCase
     statusRules.collectFirst {
-      case (kw, t, pred) if t == table && s.contains(kw) => pred
+      case (kw, t, pred) if t == table && s.contains(kw) =>
+        if (negatedAt(s, s.indexOf(kw))) (s"NOT ($pred)", true) else (pred, false)
     }
   }
 
@@ -175,35 +215,159 @@ object Planner {
 
   private def extractGroupDim(q: String): Option[DimRule] = {
     val s = q.toLowerCase
-    dims.find(d => s.contains("by " + d.kw) || s.contains("per " + d.kw))
+    dims.find(d => Seq("by ", "per ", "in each ", "for each ", "of each ")
+      .exists(sep => s.contains(sep + d.kw)))
+  }
+
+  /** Superlative phrasing → deterministic ORDER BY on the table's numeric
+    * or date column, with the key column as tie-break. */
+  private def extractOrder(q: String, table: String): Option[String] = {
+    val s = q.toLowerCase
+    val key = keyCols.getOrElse(table, "1")
+    val numDesc = Seq("most expensive", "highest", "largest", "biggest",
+      "greatest", "most valuable", "priciest")
+    val numAsc = Seq("cheapest", "least expensive", "lowest", "smallest")
+    val dateDesc = Seq("newest", "latest", "most recent")
+    val dateAsc = Seq("oldest", "earliest")
+    def num = numericCols.get(table)
+    def dt = dateCols.get(table)
+    if (numDesc.exists(s.contains)) num.map(c => s"$c DESC, $key")
+    else if (numAsc.exists(s.contains)) num.map(c => s"$c ASC, $key")
+    else if (dateDesc.exists(s.contains)) dt.map(c => s"$c DESC, $key")
+    else if (dateAsc.exists(s.contains)) dt.map(c => s"$c ASC, $key")
+    else None
+  }
+
+  /** Top-k-per-group: "top 3 customers per nation" → rank entities inside
+    * each dimension group by the entity's numeric column, keep rank<=k.
+    * Returns (entity table, dim rule, k) when the phrasing and a join
+    * path both resolve. */
+  private def extractTopKGroup(q: String): Option[(String, DimRule, Int)] = {
+    val s = q.toLowerCase
+    for {
+      m <- "top\\s+(\\d+)\\s+.*?\\b(?:per|in each|for each)\\s+(.+)$".r.findFirstMatchIn(s)
+      d <- dims.find(dr => m.group(2).startsWith(dr.kw))
+      // table-match on the text before the group clause so the dim noun
+      // ("nation" in "per nation") cannot hijack the entity table
+      entity = matchTable(s.substring(0, m.start(2)))
+      if d.kw == "year" || d.table == entity || joinPaths.contains((entity, d.table))
+    } yield (entity, d, m.group(1).toInt)
+  }
+
+  /** "which <dim> has the most <entity>" → grouped count (or sum for
+    * highest/lowest) ordered, LIMIT 1. */
+  private def extractWhichGroup(q: String)
+      : Option[(DimRule, String, String, String)] = {
+    val s = q.toLowerCase
+    for {
+      m <- ("which\\s+([a-z ]+?)\\s+has\\s+the\\s+" +
+        "(most|fewest|least|highest|largest|lowest|smallest)\\b").r.findFirstMatchIn(s)
+      d <- dims.find(dr => m.group(1).contains(dr.kw))
+      entity = matchTable(s.substring(m.end))
+      if d.table == entity || joinPaths.contains((entity, d.table))
+    } yield {
+      val sup = m.group(2)
+      val metric = if (Seq("most", "fewest", "least").contains(sup)) "n" else "total"
+      val dir = if (Seq("most", "highest", "largest").contains(sup)) "DESC" else "ASC"
+      (d, entity, metric, dir)
+    }
   }
 
   /** Q4 — deterministic SQL generation for the supported intents. */
   def plan(q: String): Plan = {
-    val intent = detectIntent(q)
-    val limit = extractLimit(q)
-    val dim = if (intent == "aggregate") extractGroupDim(q) else None
-    val table = dim.map(_.fact).getOrElse(matchTable(q))
-    val years = extractYearRange(q)
-    val status = extractStatusFilter(q, table)
-    val secondary = if (dim.isEmpty) detectSecondary(q, table) else None
-    val from = dim.map(_.from)
-      .orElse(secondary.map(sec => joinPaths((table, sec))))
-      .getOrElse(table)
+    extractTopKGroup(q).map { case (entity, d, k) => planTopKGroup(q, entity, d, k) }
+      .orElse(extractWhichGroup(q).map { case (d, entity, metric, dir) =>
+        planWhichGroup(q, d, entity, metric, dir)
+      })
+      .getOrElse(planBasic(q))
+  }
 
+  /** WHERE clause assembly shared by all plan shapes. Returns the clause
+    * plus the features that fed it, so the Plan can surface them. The
+    * date column resolves on the primary table first, then on the joined
+    * tables — a recognized range is surfaced as yearApplied=false rather
+    * than silently dropped when no date column resolves at all. */
+  private def buildWhere(
+      q: String,
+      intent: String,
+      table: String,
+      joinedTables: Seq[String]): (String, Option[(Int, Int)], Option[String], Boolean, Boolean) = {
+    val years = extractYearRange(q)
+    val statusN = extractStatusFilterN(q, table)
+      .orElse(joinedTables.flatMap(t2 => extractStatusFilterN(q, t2)).headOption)
     val dateCond = years.flatMap { case (a, b) =>
-      dateCols.get(table).map(dc => s"year($dc) BETWEEN $a AND $b")
+      (table +: joinedTables).flatMap(dateCols.get).headOption
+        .map(dc => s"year($dc) BETWEEN $a AND $b")
     }
     val searchCond =
       if (intent == "search")
         extractSearchTerm(q).flatMap(t0 =>
           searchCols.get(table).map(c => s"lower($c) LIKE '%$t0%'"))
       else None
-    val conds = dateCond.toSeq ++ status.toSeq ++ searchCond.toSeq
+    val conds = dateCond.toSeq ++ statusN.map(_._1).toSeq ++ searchCond.toSeq
     val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    (where, years, statusN.map(_._1), years.isEmpty || dateCond.isDefined,
+      statusN.exists(_._2))
+  }
+
+  private def planTopKGroup(q: String, entity: String, d: DimRule, k: Int): Plan = {
+    val from =
+      if (d.kw == "year" || d.table == entity) entity
+      else joinPaths((entity, d.table))
+    val joined = if (from == entity) Nil else Seq(d.table)
+    val (where, years, status, yearApplied, negated) =
+      buildWhere(q, "topk", entity, joined)
+    val g = if (d.kw == "year")
+      s"year(${dateCols.getOrElse(entity, "o_orderdate")})" else d.col
+    val num = numericCols.getOrElse(entity, "1")
+    val key = keyCols.getOrElse(entity, "1")
+    val sql = s"SELECT * FROM (SELECT *, ROW_NUMBER() OVER " +
+      s"(PARTITION BY $g ORDER BY $num DESC, $key) AS rnk " +
+      s"FROM $from$where) ranked WHERE rnk <= $k"
+    Plan("topk_group", entity, needsAggregation = false, limit = k, sql,
+      yearRange = years, statusFilter = status, groupDim = Some(d.kw),
+      joined = joined, yearApplied = yearApplied, negated = negated,
+      orderBy = Some(s"$num DESC, $key"))
+  }
+
+  private def planWhichGroup(
+      q: String, d: DimRule, entity: String, metric: String, dir: String): Plan = {
+    val from = if (d.table == entity) entity else joinPaths((entity, d.table))
+    val joined = if (from == entity) Nil else Seq(d.table)
+    val (where, years, status, yearApplied, negated) =
+      buildWhere(q, "which", entity, joined)
+    val num = numericCols.getOrElse(entity, "1")
+    val sql = s"SELECT ${d.col} AS grp, COUNT(*) AS n, SUM($num) AS total " +
+      s"FROM $from$where GROUP BY ${d.col} ORDER BY $metric $dir, grp LIMIT 1"
+    Plan("which_group", entity, needsAggregation = true, limit = 1, sql,
+      yearRange = years, statusFilter = status, groupDim = Some(d.kw),
+      joined = joined, yearApplied = yearApplied, negated = negated,
+      orderBy = Some(s"$metric $dir"))
+  }
+
+  private def planBasic(q: String): Plan = {
+    val intent = detectIntent(q)
+    val limit = extractLimit(q)
+    val dim =
+      if (intent == "aggregate" || intent == "count") extractGroupDim(q) else None
+    val table = dim.map(_.fact).getOrElse(matchTable(q))
+    val secondary = if (dim.isEmpty) detectSecondary(q, table) else None
+    val from = dim.map(_.from)
+      .orElse(secondary.map(sec => joinPaths((table, sec))))
+      .getOrElse(table)
+    val (where, years, status, yearApplied, negated) =
+      buildWhere(q, intent, table, secondary.toSeq)
+    val order = extractOrder(q, table)
 
     val sql = intent match {
-      case "count" => s"SELECT COUNT(*) AS n FROM $from$where"
+      case "count" =>
+        dim match {
+          case Some(d) =>
+            val g = if (d.kw == "year")
+              s"year(${dateCols.getOrElse(table, "o_orderdate")})" else d.col
+            s"SELECT $g AS grp, COUNT(*) AS n FROM $from$where GROUP BY $g"
+          case None => s"SELECT COUNT(*) AS n FROM $from$where"
+        }
       case "aggregate" =>
         val num = numericCols.getOrElse(table, "1")
         dim match {
@@ -214,11 +378,14 @@ object Planner {
           case None =>
             s"SELECT COUNT(*) AS n, SUM($num) AS total FROM $from$where"
         }
-      case _ => s"SELECT * FROM $from$where LIMIT $limit"
+      case _ =>
+        val ob = order.map(o => s" ORDER BY $o").getOrElse("")
+        s"SELECT * FROM $from$where$ob LIMIT $limit"
     }
     Plan(intent, table, needsAggregation(q), limit, sql,
       yearRange = years, statusFilter = status,
-      groupDim = dim.map(_.kw), joined = secondary.toSeq)
+      groupDim = dim.map(_.kw), joined = secondary.toSeq,
+      yearApplied = yearApplied, negated = negated, orderBy = order)
   }
 
   // ---- Q7: schema fetch + cache ------------------------------------------

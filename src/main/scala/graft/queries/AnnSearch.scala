@@ -80,7 +80,8 @@ object AnnSearch {
           FROM embeddings
         ),
         dups AS (
-          SELECT vec_id + 100000 AS vec_id, list_concat([v[1] * 1.01], v[2:]) AS v
+          SELECT vec_id + (SELECT max(vec_id) + 1 FROM vecs0) AS vec_id,
+                 list_concat([v[1] * 1.01], v[2:]) AS v
           FROM vecs0 WHERE vec_id % 50 = 0
         ),
         allv AS (SELECT * FROM vecs0 UNION ALL SELECT * FROM dups),
@@ -103,9 +104,12 @@ object AnnSearch {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       // planted near-dups: copy every 50th vector with its first component
       // scaled 1% — cosine vs the original ≈ 0.99995, everything else in
-      // this corpus stays below 0.5, so the threshold isolates the plants
+      // this corpus stays below 0.5, so the threshold isolates the plants.
+      // Planted ids start at max(vec_id)+1 (broadcast 1-row agg) so they
+      // can never collide with real ids if the fixture grows.
       val dups = vecs0.filter(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .crossJoin(broadcast(vecs0.agg(max(col("vec_id")).as("max_id"))))
+        .select((col("vec_id") + col("max_id") + 1).as("vec_id"),
           concat(array(element_at(col("v"), 1) * 1.01),
             slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
       val allv = vecs0.unionByName(dups)

@@ -243,8 +243,11 @@ object Cascades {
         col("p_partkey").as("t3_key"), col("db_name").as("t3_name")))
       // tier-3 containment rides the block-key equi-join as a residual
       // condition, so the candidate set stays bounded (main.py:423-433)
-      val contained3 = (col("t3_name").contains(lower(col("code"))) ||
-        lower(col("code")).contains(col("t3_name"))) &&
+      // both sides lowered to mirror the oracle's contains(lower, lower)
+      // exactly — p_name happens to be all-lowercase in the testdata, but
+      // mixed-case name data must not diverge Spark from the oracle
+      val contained3 = (lower(col("t3_name")).contains(lower(col("code"))) ||
+        lower(col("code")).contains(lower(col("t3_name")))) &&
         length(col("code")) > 3 && length(col("t3_name")) > 3
       // dedupe-then-score: the match depends only on the code STRING, so
       // score each distinct code once (the reference builds one

@@ -98,4 +98,21 @@ class RawZoneSpec extends SparkTestBase {
     assert(RawZone.splitStatements("SELECT 'x;y' AS a; SELECT 1") ==
       Seq("SELECT 'x;y' AS a", "SELECT 1"))
   }
+
+  test("splitStatements ignores quotes and semicolons inside comments and quoted identifiers") {
+    // an apostrophe in a line comment must not flip quote state
+    assert(RawZone.splitStatements("SELECT 1 -- don't split here\n; SELECT 2") ==
+      Seq("SELECT 1 -- don't split here", "SELECT 2"))
+    // a ';' inside a comment is not a statement boundary
+    assert(RawZone.splitStatements("SELECT 1 -- a;b\n + 2; SELECT 3") ==
+      Seq("SELECT 1 -- a;b\n + 2", "SELECT 3"))
+    assert(RawZone.splitStatements("SELECT /* don't; split */ 1; SELECT 2") ==
+      Seq("SELECT /* don't; split */ 1", "SELECT 2"))
+    // double-quoted identifiers may contain ';' and '
+    assert(RawZone.splitStatements("SELECT 1 AS \"a;b's\"; SELECT 2") ==
+      Seq("SELECT 1 AS \"a;b's\"", "SELECT 2"))
+    // unterminated block comment swallows the rest (no bogus split)
+    assert(RawZone.splitStatements("SELECT 1 /* open; forever") ==
+      Seq("SELECT 1 /* open; forever"))
+  }
 }

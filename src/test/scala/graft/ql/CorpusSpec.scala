@@ -7,8 +7,10 @@ import graft.SparkTestBase
   * that executes and returns rows. The planner is rule-based (the LLM
   * generator is external); this pins the engine-side contract: planned
   * SQL is always valid, safe, and answerable. Categories mirror
-  * questions.txt: counts, global + grouped aggregations, lists, top-N,
-  * search, date ranges, status filters, FK joins, and combinations.
+  * questions.txt: counts, global + grouped aggregations, grouped counts,
+  * lists, top-N, top-k-per-group, superlatives ("which X has the most"),
+  * search, date ranges, status filters, negations, FK joins, and
+  * multi-constraint compositions (date + status + join + group-by).
   */
 class CorpusSpec extends SparkTestBase {
 
@@ -26,7 +28,17 @@ class CorpusSpec extends SparkTestBase {
     "how many line items shipped before 1998",
     "count open orders",
     "how many urgent orders are there",
-    "count click events")
+    "count click events",
+    "count purchase events",
+    "count view events",
+    "how many orders were placed in 2001",
+    "count orders before 1996",
+    "how many line items shipped since 2000",
+    "count chinese documents",
+    "how many pending orders are there",
+    "count signup events",
+    "how many error events happened",
+    "count german documents")
 
   private val globalAggs = Seq(
     "total value of all orders",
@@ -34,7 +46,13 @@ class CorpusSpec extends SparkTestBase {
     "average order value",
     "total event value in 2024",
     "sum of customer balances",
-    "total supplier account balance")
+    "total supplier account balance",
+    "average line item value",
+    "total order value since 1997",
+    "sum of order totals before 2000",
+    "average event value",
+    "total part retail value",
+    "sum of document sizes")
 
   private val groupedAggs = Seq(
     "total value by nation",
@@ -52,7 +70,27 @@ class CorpusSpec extends SparkTestBase {
     "average value by priority",
     "sales by year",
     "total value by event type",
-    "spend by nation")
+    "spend by nation",
+    "total revenue by nation",
+    "sum of balances by segment",
+    "total line item value by supplier",
+    "average spend by brand")
+
+  private val groupedCounts = Seq(
+    "how many orders per status",
+    "count orders by priority",
+    "how many customers per segment",
+    "count documents by language",
+    "how many documents per source",
+    "count events by event type",
+    "how many orders per year",
+    "count line items by supplier",
+    "how many orders per customer",
+    "count orders by nation",
+    "how many line items per brand",
+    "count customers in each segment",
+    "how many orders in each status",
+    "count documents for each language")
 
   private val lists = Seq(
     "list recent orders",
@@ -76,6 +114,56 @@ class CorpusSpec extends SparkTestBase {
     "first 3 events",
     "top 10 line items")
 
+  private val topKPerGroup = Seq(
+    "top 3 customers per nation",
+    "top 2 orders per customer",
+    "top 5 parts per brand",
+    "top 3 orders per priority",
+    "top 2 orders per status",
+    "top 3 customers per segment",
+    "top 2 events per event type",
+    "top 3 documents per language",
+    "top 2 documents per source",
+    "top 3 orders per year",
+    "top 2 line items per supplier",
+    "top 3 line items per year",
+    "top 5 orders in each priority",
+    "top 2 customers for each segment")
+
+  private val whichGroup = Seq(
+    "which nation has the most customers",
+    "which nation has the most orders",
+    "which customer has the most orders",
+    "which segment has the most customers",
+    "which priority has the most orders",
+    "which status has the most orders",
+    "which language has the most documents",
+    "which source has the fewest documents",
+    "which event type has the most events",
+    "which supplier has the most line items",
+    "which brand has the most parts",
+    "which nation has the highest total order value",
+    "which segment has the highest customer balance",
+    "which priority has the lowest total order value")
+
+  private val superlatives = Seq(
+    "show the most expensive parts",
+    "list the cheapest parts",
+    "show the largest orders",
+    "show the highest value orders",
+    "list the smallest orders",
+    "show the newest orders",
+    "list the oldest orders",
+    "show the latest events",
+    "list the earliest events",
+    "show the most recent line items",
+    "list the biggest line items",
+    "show customers with the highest balance",
+    "list the most valuable customers",
+    "show the priciest parts",
+    "list suppliers with the lowest balance",
+    "show the greatest orders")
+
   private val searches = Seq(
     "find customers named customer",
     "find suppliers named supplier",
@@ -86,7 +174,12 @@ class CorpusSpec extends SparkTestBase {
     "find documents containing join",
     "search orders",
     "find the part called gizmo",
-    "search for documents about data")
+    "search for documents about data",
+    "find parts named rod",
+    "find documents about merge",
+    "find documents containing filter",
+    "find documents about window",
+    "find documents containing customer")
 
   private val dateRanges = Seq(
     "list orders in 1996",
@@ -100,7 +193,15 @@ class CorpusSpec extends SparkTestBase {
     "list events since 2024",
     "orders placed after 1997",
     "line items before 2000",
-    "show orders between 1996 and 1998")
+    "show orders between 1996 and 1998",
+    "list orders in 1995",
+    "show orders in 2001",
+    "orders since 2000",
+    "line items since 2000",
+    "show events before 2025",
+    "list line items after 1998",
+    "orders after 1995",
+    "show line items from 1997 to 1999")
 
   private val statusFilters = Seq(
     "list open orders",
@@ -114,7 +215,29 @@ class CorpusSpec extends SparkTestBase {
     "list error events",
     "show signup events",
     "list english documents",
-    "show french documents")
+    "show french documents",
+    "list view events",
+    "show german documents",
+    "list spanish documents",
+    "show chinese documents")
+
+  private val negations = Seq(
+    "list orders that are not finished",
+    "show orders not open",
+    "count orders that are not pending",
+    "list non-urgent orders",
+    "show orders excluding high priority ones",
+    "count line items not returned",
+    "list line items that were not returned",
+    "show events excluding click events",
+    "count events that are not error events",
+    "list documents that are not english",
+    "show documents not in french",
+    "count non-english documents",
+    "list events without signup events",
+    "show orders that are not urgent",
+    "count documents excluding spanish documents",
+    "list orders except finished orders")
 
   private val combos = Seq(
     "list open orders in 1996",
@@ -142,12 +265,54 @@ class CorpusSpec extends SparkTestBase {
     "orders with customers since 1998",
     "finished orders with customer info")
 
-  private val corpus: Seq[String] =
-    counts ++ globalAggs ++ groupedAggs ++ lists ++ topN ++ searches ++
-      dateRanges ++ statusFilters ++ combos ++ joins ++ joinCombos
+  /** Date + status + join + group-by compositions in one question — the
+    * multi-constraint category the reference corpus leans on. */
+  private val multiConstraint = Seq(
+    "total value by nation for open orders since 1996",
+    "total value by nation since 1996",
+    "sum of order value by priority in 1997",
+    "average order value by status before 2000",
+    "total revenue by year for finished orders",
+    "order totals by customer since 1997",
+    "total spend by supplier in 1996",
+    "line item value by brand since 1998",
+    "event value by event type in 2024",
+    "count open orders since 1996",
+    "count returned items before 1999",
+    "how many urgent orders in 1997",
+    "count finished orders by year",
+    "how many open orders per priority",
+    "list open orders with customer names in 1996",
+    "show finished orders with customer details since 1997",
+    "list returned items with part details in 1996",
+    "show urgent orders with nations before 1999",
+    "list pending orders with customers from 1996 to 1998",
+    "top 3 open orders per priority",
+    "top 2 finished orders per customer since 1996",
+    "top 3 orders per year for open orders",
+    "which nation has the most open orders",
+    "which priority has the most orders since 1997",
+    "which customer has the most orders in 1996",
+    "count orders that are not finished since 1996",
+    "list non-urgent orders in 1997",
+    "show orders not open with customer names",
+    "count line items not returned since 1997",
+    "show the newest open orders",
+    "list the largest orders since 1998",
+    "show the oldest orders with customer names",
+    "customers with orders in 1996",
+    "customers with orders before 1997",
+    "count pending orders in 1996",
+    "total value by status since 1997")
 
-  test("corpus has at least 100 questions") {
-    assert(corpus.size >= 100, s"corpus has ${corpus.size} questions")
+  private val corpus: Seq[String] =
+    counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
+      topKPerGroup ++ whichGroup ++ superlatives ++ searches ++ dateRanges ++
+      statusFilters ++ negations ++ combos ++ joins ++ joinCombos ++
+      multiConstraint
+
+  test("corpus has at least 250 questions") {
+    assert(corpus.size >= 250, s"corpus has ${corpus.size} questions")
   }
 
   test("every corpus question plans, validates, executes, and returns rows") {
@@ -181,12 +346,29 @@ class CorpusSpec extends SparkTestBase {
     assert(rows.nonEmpty && rows.forall(r => r.getInt(0) >= 1995 && r.getInt(0) <= 1997))
   }
 
+  test("'after YYYY' is exclusive, 'since YYYY' inclusive") {
+    assert(Planner.plan("orders placed after 1997").yearRange.contains((1998, 9999)))
+    assert(Planner.plan("orders since 1997").yearRange.contains((1997, 9999)))
+    val rows = QueryGuard.execute(spark, sf0001,
+      Planner.plan("list orders after 1997").sql, maxRows = 100).toOption.get
+      .selectExpr("year(o_orderdate) AS y").collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(0) >= 1998))
+  }
+
   test("status questions actually filter: only the requested status comes back") {
     val p = Planner.plan("list open orders")
     assert(p.statusFilter.contains("o_orderstatus = 'O'"))
     val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 100).toOption.get
       .select("o_orderstatus").distinct().collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("O"))
+  }
+
+  test("negated status questions exclude exactly the negated status") {
+    val p = Planner.plan("list orders that are not finished")
+    assert(p.negated && p.statusFilter.contains("NOT (o_orderstatus = 'F')"))
+    val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 1000).toOption.get
+      .select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.nonEmpty && !rows.contains("F"))
   }
 
   test("join questions produce joined columns from both tables") {
@@ -203,5 +385,54 @@ class CorpusSpec extends SparkTestBase {
     val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 100).toOption.get.collect()
     assert(rows.length > 1, "expected multiple nation groups")
     assert(rows.forall(r => !r.isNullAt(1) && r.getLong(1) > 0))
+  }
+
+  test("grouped count questions return one row per group") {
+    val p = Planner.plan("how many orders per status")
+    assert(p.intent == "count" && p.groupDim.contains("status"))
+    val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 100).toOption.get.collect()
+    assert(rows.length == 3) // O, F, P
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("top-k-per-group keeps at most k rows per group, ranked by the numeric column") {
+    val p = Planner.plan("top 3 customers per nation")
+    assert(p.intent == "topk_group" && p.groupDim.contains("nation"))
+    val df = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 1000).toOption.get
+    val perGroup = df.groupBy("n_name").count().collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getLong(1) <= 3))
+    // within one group the balances are in descending order
+    val one = df.filter(df("n_name") === perGroup.head.getString(0))
+      .selectExpr("c_acctbal", "rnk").collect().sortBy(_.getInt(1))
+    assert(one.map(_.getDouble(0)).sliding(2).forall(p2 => p2.length < 2 || p2(0) >= p2(1)))
+  }
+
+  test("'which X has the most Y' returns exactly the top group") {
+    val p = Planner.plan("which nation has the most customers")
+    assert(p.intent == "which_group" && p.limit == 1)
+    val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 10).toOption.get.collect()
+    assert(rows.length == 1)
+    // cross-check against a direct grouped count
+    val expected = QueryGuard.execute(spark, sf0001,
+      "SELECT n_name, COUNT(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n DESC, n_name LIMIT 1", maxRows = 10)
+      .toOption.get.collect()
+    assert(rows.head.getString(0) == expected.head.getString(0))
+  }
+
+  test("superlative questions order by the numeric column") {
+    val p = Planner.plan("show the most expensive parts")
+    assert(p.orderBy.exists(_.startsWith("p_retailprice DESC")))
+    val prices = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 20).toOption.get
+      .select("p_retailprice").collect().map(_.getDouble(0))
+    assert(prices.nonEmpty && prices.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("a recognized year range that cannot resolve a date column is surfaced, not dropped") {
+    val p = Planner.plan("list customers since 1996") // customer has no date column
+    assert(p.yearRange.contains((1996, 9999)) && !p.yearApplied)
+    // and with a joined table that has one, it IS applied
+    val pj = Planner.plan("customers with orders since 1998")
+    assert(pj.yearApplied && pj.sql.contains("year(o_orderdate) BETWEEN 1998 AND 9999"))
   }
 }
