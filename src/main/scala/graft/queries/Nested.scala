@@ -29,13 +29,16 @@ object Nested {
     * @param sqlVal     DuckDB expression for the rendered value
     * @param numericOrder distinct children: order buckets numerically
     * @param orderedSql non-distinct children: explicit ORDER BY columns
+    * @param sqlFrom    override for the oracle's distinct source subquery
+    *                   (bare-string-array children unnest a per-row array)
     */
   private final case class ChildSpec(
       name: String,
       agg: Column,
       sqlVal: String,
       numericOrder: Boolean,
-      orderedSql: Option[String] = None)
+      orderedSql: Option[String] = None,
+      sqlFrom: Option[String] = None)
 
   private def distinctChild(name: String, sparkExpr: Column, sqlVal: String,
       numeric: Boolean): ChildSpec =
@@ -73,14 +76,64 @@ object Nested {
       "CAST(CAST(floor(l_extendedprice / 1000) AS BIGINT) AS VARCHAR)", numeric = true),
     distinctChild("flag_status",
       concat_ws("-", col("l_returnflag"), col("l_linestatus")),
-      "l_returnflag || '-' || l_linestatus", numeric = false))
+      "l_returnflag || '-' || l_linestatus", numeric = false),
+    // ---- round-5 additions: the 11 remaining child shapes ---------------
+    // Bare-string-array child (REGULAR_HABITS pattern, ir_etl.py:918-1491):
+    // each ROW carries a plain array<string>; the child is the flattened,
+    // deduped union across the group — explode of a non-struct array.
+    ChildSpec("habits",
+      array_sort(array_distinct(flatten(collect_list(array(
+        concat(lit("flag:"), col("l_returnflag")),
+        concat(lit("status:"), col("l_linestatus")),
+        concat(lit("qty:"), floor(col("l_quantity") / 10).cast("long").cast("string"))))))),
+      "v", numericOrder = false,
+      sqlFrom = Some("(SELECT DISTINCT l_orderkey, unnest([" +
+        "'flag:' || l_returnflag, 'status:' || l_linestatus, " +
+        "'qty:' || CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS VARCHAR)]) AS v FROM li)")),
+    distinctChild("line_numbers", col("l_linenumber"),
+      "CAST(l_linenumber AS VARCHAR)", numeric = true),
+    distinctChild("ship_days", dayofmonth(col("l_shipdate")),
+      "CAST(CAST(day(l_shipdate) AS INTEGER) AS VARCHAR)", numeric = true),
+    distinctChild("ship_dows", weekday(col("l_shipdate")),
+      "CAST(CAST(isodow(l_shipdate) - 1 AS INTEGER) AS VARCHAR)", numeric = true),
+    distinctChild("qty_buckets", floor(col("l_quantity") / 10).cast("long"),
+      "CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS VARCHAR)", numeric = true),
+    distinctChild("price_units", floor(col("l_extendedprice")).cast("long"),
+      "CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR)", numeric = true),
+    distinctChild("revenue_k",
+      floor(col("l_extendedprice") * (lit(1) - col("l_discount")) / 1000).cast("long"),
+      "CAST(CAST(floor(l_extendedprice * (1 - l_discount) / 1000) AS BIGINT) AS VARCHAR)",
+      numeric = true),
+    distinctChild("ship_quarters",
+      concat(year(col("l_shipdate")).cast("string"), lit("-Q"),
+        quarter(col("l_shipdate")).cast("string")),
+      "CAST(year(l_shipdate) AS VARCHAR) || '-Q' || CAST(quarter(l_shipdate) AS VARCHAR)",
+      numeric = false),
+    distinctChild("tax_disc_sum",
+      round((col("l_tax") + col("l_discount")) * 100).cast("long"),
+      "CAST(CAST(round((l_tax + l_discount) * 100) AS BIGINT) AS VARCHAR)",
+      numeric = true),
+    ChildSpec("qty_sequence",
+      transform(array_sort(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("q")))),
+        x => x.getField("q").cast("string")),
+      "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)", numericOrder = false,
+      orderedSql = Some("l_linenumber, l_partkey, CAST(l_quantity AS BIGINT)")),
+    ChildSpec("supp_sequence",
+      transform(array_sort(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_suppkey").as("sk")))),
+        x => x.getField("sk").cast("string")),
+      "CAST(l_suppkey AS VARCHAR)", numericOrder = false,
+      orderedSql = Some("l_linenumber, l_suppkey")))
 
   private def childSql(sp: ChildSpec): String = sp.orderedSql match {
     case Some(ord) =>
       s"SELECT '${sp.name}' AS child, l_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY $ord) - 1 AS INTEGER) AS ord, ${sp.sqlVal} AS v FROM li"
     case None =>
       val ordExpr = if (sp.numericOrder) "CAST(v AS BIGINT)" else "v"
-      s"SELECT '${sp.name}' AS child, l_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY $ordExpr) - 1 AS INTEGER) AS ord, v FROM (SELECT DISTINCT l_orderkey, ${sp.sqlVal} AS v FROM li)"
+      val src = sp.sqlFrom.getOrElse(s"(SELECT DISTINCT l_orderkey, ${sp.sqlVal} AS v FROM li)")
+      s"SELECT '${sp.name}' AS child, l_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY $ordExpr) - 1 AS INTEGER) AS ord, v FROM $src"
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -64,4 +64,23 @@ class PlanAssertionSpec extends SparkTestBase {
     val liScans = "Location: [^\\n]*lineitem\\.parquet".r.findAllIn(formatted).length
     assert(liScans == 3, s"expected 3 lineitem child-role scans, got $liScans")
   }
+
+  test("n4_spec_fanout at 24-child breadth still reads the parent exactly once") {
+    val q = SparkEntry.all.find(_.name == "n4_spec_fanout").get
+    // 24 children in the spec list (reference breadth, ir_etl.py:918-1491)
+    assert(q.doc.contains("24 child tables"), q.doc)
+    val df = q.run(spark, sf0001)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the packed-array explode keeps the groupBy subtree (and the scan)
+    // single no matter how many children the spec list fans out
+    val liScans = "Location: [^\\n]*lineitem\\.parquet".r.findAllIn(formatted).length
+    assert(liScans == 1, s"expected exactly 1 lineitem scan, got $liScans")
+    // one shuffle total — count only the Final Plan section (the AQE
+    // printout repeats the tree under Initial Plan with fresh node ids)
+    val finalSection = formatted.split("== Initial Plan ==").head
+    val shuffles = "Exchange \\(\\d+\\)".r.findAllIn(finalSection).length
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles\n$formatted")
+  }
 }
