@@ -408,9 +408,16 @@ object DocPipeline {
       """)) { (s, dir) =>
       val keyed = corpus(s, dir).select(col("doc_id"),
         md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("k"))
-      val bagEdges = keyed.as("x").join(keyed.as("y"),
-          col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      // star edges, not all-pairs: each member links to the group minimum.
+      // Same connected components, but a g-sized duplicate group emits g-1
+      // edges instead of g(g-1)/2 — at 100 TB a 100k-duplicate mega-group
+      // would otherwise produce 5e9 edges. The key-partitioned window is
+      // one shuffle, same as the self-join it replaces.
+      val wk = Window.partitionBy("k")
+      val bagEdges = keyed
+        .withColumn("root", min(col("doc_id")).over(wk))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("a"), col("doc_id").as("b"))
       val variantEdges = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("a"), (col("doc_id") + 10000).as("b"))
       val cc = graft.resolve.DocCluster.connectedComponents(
