@@ -24,13 +24,31 @@ object Bench {
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val ordered = SparkEntry.all.map(q => q.name -> q.run)
+    // Order-insensitivity: drop every cached/checkpointed block a query
+    // left behind before timing the next one. Iterative queries
+    // (localCheckpoint) and within-query caches otherwise accumulate
+    // pinned blocks across the 4 passes (warmup + 3) of all ~100 queries,
+    // and queries benched late read from a memory-starved executor —
+    // their numbers then depend on bench ORDER, not on their plan.
+    def dropLeftoverBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    // optional filter for isolated reruns: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map(q => q.name -> q.run)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // warm-up: one full pass (also smokes every query)
     ordered.foreach { case (name, fn) =>
       try exec(fn)
       catch { case e: Throwable => errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200) }
+      dropLeftoverBlocks()
     }
 
     val timings = ordered.collect { case (name, fn) if !errors.contains(name) =>
@@ -41,6 +59,7 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200); Double.NaN }
       }.filterNot(_.isNaN).sorted
       val median = if (runs.isEmpty) Double.NaN else runs(runs.size / 2)
+      dropLeftoverBlocks()
       name -> median
     }.filterNot(_._2.isNaN)
       // a query that failed during ANY timed run is an error, never a timing

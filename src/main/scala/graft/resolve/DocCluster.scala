@@ -25,24 +25,40 @@ object DocCluster {
       .distinct().cache()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node")).cache()
+    val sc = edges.sparkSession.sparkContext
     var changed = 1L
     var i = 0
+    // RDD ids of the previous round's localCheckpoint: Dataset.unpersist
+    // is a CacheManager no-op for checkpointed datasets, so their pinned
+    // blocks must be dropped through the SparkContext registry — leaking
+    // one persisted RDD per round keeps O(iterations) copies of the label
+    // table in executor memory for the rest of the application.
+    var prevRoundIds: scala.collection.Set[Int] = Set.empty[Int]
     while (changed > 0 && i < maxIter) {
       val propagated = sym.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("cluster"))
       // localCheckpoint (not cache): truncates the lineage each round —
       // otherwise the plan grows exponentially with iterations and the
-      // optimizer itself OOMs on long chains
+      // optimizer itself OOMs on long chains. Eager: materialized here.
+      val before = sc.getPersistentRDDs.keySet
       val next = labels.unionByName(propagated)
         .groupBy("node").agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
+      val thisRoundIds = sc.getPersistentRDDs.keySet.diff(before)
       changed = next.as("n")
         .join(labels.select(col("node"), col("cluster").as("old")).as("o"), "node")
         .filter(col("cluster") =!= col("old")).count()
+      // `next` no longer depends on the previous round — drop its blocks
+      labels.unpersist() // frees the initial .cache() on round 0
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = thisRoundIds
       labels = next
       i += 1
     }
     sym.unpersist()
+    // the final round's checkpoint stays pinned — it IS the result; the
+    // caller (or Bench's between-query cleanup) releases it after use
     labels
   }
 }
