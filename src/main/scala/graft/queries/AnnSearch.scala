@@ -157,6 +157,77 @@ object AnnSearch {
         .select(col("q_id"), col("cand_id"), col("cos"))
     },
 
+    // ---- E5d: deterministic candidate disambiguation --------------------
+    // The reference follows cosine top-k with an LLM disambiguation pass
+    // (`core/geo_resolver.py:193-235`). The engine-side default is a
+    // deterministic rule: pick the candidate with the highest exact
+    // token overlap against the query name, ties by higher cosine, then
+    // lexicographic name, then id — so the pipeline is runnable (and
+    // oracle-checkable) without the external model; an LLM chooser can
+    // override the rule but inherits the same candidate frame.
+    QueryDef(
+      "e5_disambiguate",
+      "Deterministic disambiguation over cosine top-3 candidates: exact-token-overlap tie-break, then cosine, then lexicographic (geo_resolver.py:193-235 with the LLM pass replaced by a rule)",
+      Some(s"""
+        WITH $vecSql,
+        names AS (SELECT p_partkey AS nk, p_name AS name FROM part WHERE p_partkey < 200),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM vecs WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS cand_id,
+                 round(list_dot_product(q.qv, c.v) / (q.qn * c.norm), 6) AS cos
+          FROM q JOIN vecs c ON c.vec_id <> q.q_id
+        ),
+        top3 AS (
+          SELECT q_id, cand_id, cos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+            FROM scored
+          ) WHERE rn <= 3
+        ),
+        named AS (
+          SELECT t.q_id, t.cand_id, t.cos, qn.name AS q_name, cn.name AS cand_name,
+                 len(list_intersect(string_split(qn.name, ' '),
+                                    string_split(cn.name, ' '))) AS overlap
+          FROM top3 t
+          JOIN names qn ON qn.nk = t.q_id % 200
+          JOIN names cn ON cn.nk = t.cand_id % 200
+        )
+        SELECT q_id, q_name, cand_id AS picked_id, cand_name AS picked_name,
+               CAST(overlap AS INTEGER) AS overlap, cos
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id
+            ORDER BY overlap DESC, cos DESC, cand_name, cand_id) AS rk
+          FROM named
+        ) WHERE rk = 1
+      """)) { (s, dir) =>
+      val vecs = withVec(t(s, dir, "embeddings"))
+      // name dictionary: 200 rows, broadcast — stands in for the
+      // reference's gazetteer names attached to each vector id
+      val names = broadcast(t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("nk"), col("p_name").as("name")))
+      val q = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+      val scored = vecs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      val top3 = scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3).select(col("q_id"), col("cand_id"), col("cos"))
+      val named = top3
+        .join(names.as("qn"), col("qn.nk") === col("q_id") % 200)
+        .withColumnRenamed("name", "q_name").drop("nk")
+        .join(names.as("cn"), col("cn.nk") === col("cand_id") % 200)
+        .withColumnRenamed("name", "cand_name").drop("nk")
+        .withColumn("overlap", size(array_intersect(
+          split(col("q_name"), " "), split(col("cand_name"), " "))))
+      val wPick = Window.partitionBy("q_id").orderBy(
+        col("overlap").desc, col("cos").desc, col("cand_name"), col("cand_id"))
+      named.withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+        .select(col("q_id"), col("q_name"), col("cand_id").as("picked_id"),
+          col("cand_name").as("picked_name"), col("overlap"), col("cos"))
+    },
+
     // ---- E5b: sign-bucket LSH top-k (equi-join on bucket) ---------------
     QueryDef(
       "e5_ann_lsh",
