@@ -46,76 +46,126 @@ object Pipeline {
   /** Runs the five stages; returns (stage, summary) lines for the log. */
   def run(spark: SparkSession, sfDir: String, workDir: String): Seq[(String, String)] = {
     val log = Seq.newBuilder[(String, String)]
+    stageBlocks(spark, sfDir, workDir, log).foreach(_.step())
+    log.result()
+  }
+
+  /** Master-orchestrated variant (reference `etl_master/master_etl.py`):
+    * the same five stages as ORDERED blocks through [[Orchestrator.run]]
+    * — run-lock, retry with backoff, and the gold refresh listed TWICE
+    * (the reference's master block list names view-refresh steps
+    * redundantly; the second occurrence must dedupe, not re-run).
+    */
+  def runMaster(
+      spark: SparkSession,
+      sfDir: String,
+      workDir: String,
+      maxRetries: Int = 2,
+      sleeper: Long => Unit = Thread.sleep): (Orchestrator.RunReport, Seq[(String, String)]) = {
+    val log = Seq.newBuilder[(String, String)]
+    val blocks = stageBlocks(spark, sfDir, workDir, log)
+    val withDup = blocks.flatMap { b =>
+      if (b.name == "gold") Seq(b, b.copy(name = "gold_refresh_again")) else Seq(b)
+    }
+    val report = Orchestrator.run(withDup, maxRetries = maxRetries, sleeper = sleeper)
+    (report, log.result())
+  }
+
+  /** The five stages as ordered blocks sharing state through lazy vals
+    * (each stage forces only its own inputs), appending summaries to
+    * `log`. The gold stage carries a refreshKey so duplicate listings
+    * dedupe. */
+  private def stageBlocks(
+      spark: SparkSession,
+      sfDir: String,
+      workDir: String,
+      log: scala.collection.mutable.Builder[(String, String), Seq[(String, String)]]): Seq[Orchestrator.Block] = {
 
     // -- 0. simulate the API: even-keyed orders land as a JSON drop (one
     //       chunk), with one corrupt line, mirroring a REST payload dump.
+    //       Lazy: a retried land block re-runs the (idempotent) setup.
     val dropDir = s"$workDir/raw/orders"
-    val staged0 = Tables(spark, sfDir, "orders")
-      .filter(col("o_orderkey") % 2 === 0)
-      .select(
-        col("o_orderkey").as("ORDER_ID"),
-        col("o_orderstatus").as("ORDER_STATUS"),
-        col("o_totalprice").as("TOTAL_PRICE"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ORDER_DATE"))
-    staged0.coalesce(1).write.mode("overwrite").json(dropDir)
-    // plant one corrupt record in the drop
-    val extra = new java.io.PrintWriter(
-      Files.newBufferedWriter(Paths.get(dropDir, "part-corrupt.json")))
-    extra.println("{not valid json")
-    extra.close()
+    val silverPath = s"$workDir/silver/orders"
+    val goldPath = s"$workDir/gold/order_rollup"
+    lazy val dropped: Unit = {
+      val staged0 = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(
+          col("o_orderkey").as("ORDER_ID"),
+          col("o_orderstatus").as("ORDER_STATUS"),
+          col("o_totalprice").as("TOTAL_PRICE"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ORDER_DATE"))
+      staged0.coalesce(1).write.mode("overwrite").json(dropDir)
+      // plant one corrupt record in the drop
+      val extra = new java.io.PrintWriter(
+        Files.newBufferedWriter(Paths.get(dropDir, "part-corrupt.json")))
+      extra.println("{not valid json")
+      extra.close()
+    }
 
-    // -- 1. land
-    val landed = RawZone.readJsonDrops(spark, dropDir).cache()
-    val corrupt = landed.filter(col(RawZone.CorruptCol).isNotNull).count()
-    log += "land" -> s"${landed.count()} records, $corrupt quarantined"
+    lazy val landed = { dropped; RawZone.readJsonDrops(spark, dropDir).cache() }
 
-    // -- 2. conform: UPPER_SNAKE API keys → silver schema, typed
-    val conformed = landed.filter(col(RawZone.CorruptCol).isNull)
+    // UPPER_SNAKE API keys → silver schema, typed
+    lazy val conformed = landed.filter(col(RawZone.CorruptCol).isNull)
       .select(
         col("ORDER_ID").cast("long").as("pk"),
         col("ORDER_STATUS").as("status"),
         col("TOTAL_PRICE").cast("double").as("price"),
         unix_timestamp(try_to_timestamp(col("ORDER_DATE"),
           lit("yyyy-MM-dd HH:mm:ss"))).as("updated_epoch"))
-    log += "conform" -> s"${conformed.count()} rows typed"
 
-    // -- 3. merge into the silver target (previous state: 3/4 of orders,
-    //       stale where key%7==0), classify ops, persist
-    val target = Tables(spark, sfDir, "orders")
-      .filter(col("o_orderkey") % 4 =!= 0)
-      .select(col("o_orderkey").as("pk"), col("o_orderstatus").as("status"),
-        col("o_totalprice").as("price"),
-        (unix_timestamp(col("o_orderdate")) -
-          when(col("o_orderkey") % 7 === 0, 86400L).otherwise(0L)).as("updated_epoch"))
-    val merged = MergeKernels.upsertClassify(target, conformed, Seq("pk")).cache()
-    val stats = merged.groupBy("op").count().collect()
-      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-    val silverPath = s"$workDir/silver/orders"
-    merged.drop("op").write.mode("overwrite").parquet(silverPath)
-    log += "merge" -> stats
+    Seq(
+      Orchestrator.Block("land", () => {
+        val corrupt = landed.filter(col(RawZone.CorruptCol).isNotNull).count()
+        log += "land" -> s"${landed.count()} records, $corrupt quarantined"
+      }),
 
-    // -- 4. gold rebuild: wide rollup joining silver to children
-    val silver = spark.read.parquet(silverPath)
-    val liAgg = Tables(spark, sfDir, "lineitem").groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("li_count"),
-        sum(col("l_quantity").cast("long")).as("qty_tot"))
-    val gold = silver
-      .join(liAgg, silver("pk") === liAgg("l_orderkey"), "left")
-      .select(col("pk"), col("status"), col("price"), col("updated_epoch"),
-        coalesce(col("li_count"), lit(0L)).as("li_count"),
-        coalesce(col("qty_tot"), lit(0L)).as("qty_tot"))
-    val goldPath = s"$workDir/gold/order_rollup"
-    gold.write.mode("overwrite").parquet(goldPath)
-    log += "gold" -> s"${spark.read.parquet(goldPath).count()} rollup rows"
+      Orchestrator.Block("conform", () => {
+        log += "conform" -> s"${conformed.count()} rows typed"
+      }),
 
-    // -- 5. serve: register + answer a guarded query over the gold table
-    spark.read.parquet(goldPath).createOrReplaceTempView("gold_orders")
-    val answer = QueryGuard.validate(
-      "SELECT status, COUNT(*) AS n, SUM(qty_tot) AS qty FROM gold_orders GROUP BY status")
-      .map(sql => spark.sql(sql).collect()
-        .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(" "))
-    log += "serve" -> answer.fold(d => s"DENIED ${d.reason}", identity)
+      // merge into the silver target (previous state: 3/4 of orders,
+      // stale where key%7==0), classify ops, persist
+      Orchestrator.Block("merge", () => {
+        val target = Tables(spark, sfDir, "orders")
+          .filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey").as("pk"), col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"),
+            (unix_timestamp(col("o_orderdate")) -
+              when(col("o_orderkey") % 7 === 0, 86400L).otherwise(0L)).as("updated_epoch"))
+        val merged = MergeKernels.upsertClassify(target, conformed, Seq("pk")).cache()
+        val stats = merged.groupBy("op").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        merged.drop("op").write.mode("overwrite").parquet(silverPath)
+        merged.unpersist()
+        log += "merge" -> stats
+      }),
 
-    log.result()
+      // gold rebuild: wide rollup joining silver to children (refreshKey:
+      // the reference's master lists view refreshes redundantly — a
+      // second occurrence in one run must dedupe, not rebuild)
+      Orchestrator.Block("gold", () => {
+        val silver = spark.read.parquet(silverPath)
+        val liAgg = Tables(spark, sfDir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("li_count"),
+            sum(col("l_quantity").cast("long")).as("qty_tot"))
+        val gold = silver
+          .join(liAgg, silver("pk") === liAgg("l_orderkey"), "left")
+          .select(col("pk"), col("status"), col("price"), col("updated_epoch"),
+            coalesce(col("li_count"), lit(0L)).as("li_count"),
+            coalesce(col("qty_tot"), lit(0L)).as("qty_tot"))
+        gold.write.mode("overwrite").parquet(goldPath)
+        log += "gold" -> s"${spark.read.parquet(goldPath).count()} rollup rows"
+      }, refreshKey = Some("gold_rollup_refresh")),
+
+      // serve: register + answer a guarded query over the gold table
+      Orchestrator.Block("serve", () => {
+        spark.read.parquet(goldPath).createOrReplaceTempView("gold_orders")
+        val answer = QueryGuard.validate(
+          "SELECT status, COUNT(*) AS n, SUM(qty_tot) AS qty FROM gold_orders GROUP BY status")
+          .map(sql => spark.sql(sql).collect()
+            .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(" "))
+        log += "serve" -> answer.fold(d => s"DENIED ${d.reason}", identity)
+      }))
   }
 }
