@@ -77,6 +77,165 @@ object GoldMvFull {
         k => concat(lit("\""), k, lit("\":"), size(filter(keys, x => x === k)))), ","),
       lit("}"))
 
+  /** Full-breadth firs_mv build over caller-supplied parent/fact frames:
+    * the QueryDef passes the raw tables; incremental refresh passes
+    * key-restricted (and possibly updated) frames, which prunes the
+    * parent scan and ALL FOUR child-role aggregates to the changed keys
+    * (the lineitem frame feeds every child role, so one semi-join
+    * restriction bounds them all).
+    */
+  def buildFirsFull(
+      s: SparkSession,
+      dir: String,
+      orders: DataFrame,
+      li: DataFrame): DataFrame = {
+      val part = broadcast(t(s, dir, "part"))
+      val supp = broadcast(t(s, dir, "supplier"))
+
+      // child role 1: accused_flat (firs_mv.sql:40-54) — one scan, one
+      // groupBy on the parent key; status normalization CASE chain.
+      val statusNorm = when(col("l_returnflag") === "R", "Returned")
+        .when(col("l_returnflag") === "A", "Adjusted")
+        .when(col("l_returnflag") === "N" && col("l_linestatus") === "O", "Open")
+        .otherwise("Unknown")
+      val accusedJs = concat(
+        lit("{\"personCode\":\"L-"), col("l_linenumber"),
+        lit("\",\"partId\":"), col("l_partkey"),
+        lit(",\"status\":\""), statusNorm, lit("\"}"))
+      // child role 4 rides the same groupBy (firs_mv.sql:132-166): the
+      // UNION-ALL document list is two per-row branch renderings collected
+      // as distinct sets and merged — same rows as the oracle's UNION ALL
+      // + DISTINCT agg, one fewer scan+shuffle than a separate explode.
+      val fileJsA = when(col("l_returnflag") === "R",
+        concat(lit("{\"filePath\":\"/files/"), col("l_partkey"),
+          lit(".pdf\",\"type\":\"FIR_COPY\",\"isDownloaded\":false}")))
+      val fileJsB = when(col("l_linestatus") === "O",
+        concat(lit("{\"filePath\":\"/generated/chargesheets/"), col("l_suppkey"),
+          lit("/"), col("l_partkey"),
+          lit("\",\"type\":\"CHARGESHEET_FILE\",\"isDownloaded\":true}")))
+      val liAgg = li.groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("n_accused"),
+        // disposal counters folded into the same pass (firs_mv.sql:78-89):
+        // three filtered counts + the k→count map share one scan.
+        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("conviction_count"),
+        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "A", 1L)
+          .otherwise(0L)).as("acquittal_count"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("total_disposals"),
+        sum(col("l_quantity").cast("long")).as("qty_tot"),
+        jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), accusedJs)
+          .as("accused_details"),
+        collect_list(when(col("l_linestatus") === "F", col("l_returnflag")))
+          .as("disp_flags"),
+        // the two branch sets cannot overlap (distinct type tags), so the
+        // sorted concat equals the oracle's DISTINCT-sorted UNION ALL
+        concat(lit("["),
+          array_join(array_sort(concat(collect_set(fileJsA), collect_set(fileJsB))), ","),
+          lit("]")).as("documents"))
+
+      // child role 2: drug_flat (firs_mv.sql:55-71) — two-level rollup:
+      // sum per (parent, drug, form), then JSON-agg per parent. The
+      // NO_DRUGS_DETECTED filter maps to one excluded brand. One scan +
+      // broadcast part sub-lookup; drugType and drugWithQuantity share it.
+      val drugL1 = li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#17")
+        .groupBy(col("l_orderkey").as("d_okey"), col("p_brand"),
+          col("l_returnflag").as("d_form"))
+        .agg(sum(col("l_quantity").cast("long")).as("qsum"))
+      val drugJs = concat(
+        lit("{\"name\":\""), col("p_brand"), lit("\",\"form\":\""), col("d_form"),
+        lit("\",\"quantity\":\""), qtyDisplay(col("qsum")), lit("\"}"))
+      val drugAgg = drugL1.groupBy(col("d_okey")).agg(
+        jsonArrDistinct(concat(lit("\""), upper(col("p_brand")), lit("\"")))
+          .as("drug_type"),
+        jsonArrOrdered(Seq(col("p_brand"), col("d_form")), drugJs)
+          .as("drug_with_quantity"))
+
+      // child role 3: chargesheets (firs_mv.sql:96-103) — nested two-level
+      // JSON: acts per (parent, chargesheet=supplier) with part-name
+      // sub-lookup, then chargesheet objects per parent with supplier-name
+      // sub-lookup. One scan + two broadcast dims. The associates list for
+      // the IR mega-doc rides the same level-2 groupBy (no extra scan).
+      val actJs = concat(
+        lit("{\"partkey\":"), col("l_partkey"), lit(",\"name\":\""), col("p_name"),
+        lit("\",\"qty\":"), col("l_quantity").cast("long"), lit("}"))
+      // second sub-array per chargesheet (firs_mv.sql:98-101): the DISTINCT
+      // accused roster, each with its own name sub-lookup + status CASE
+      val accJs = concat(
+        lit("{\"personId\":"), col("l_partkey"), lit(",\"value\":\""), col("p_name"),
+        lit("\",\"chargeStatus\":\""),
+        when(col("l_returnflag") === "R", "Charged")
+          .when(col("l_returnflag") === "A", "Dropped")
+          .otherwise("Pending"),
+        lit("\"}"))
+      val csL1 = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("c_okey"), col("l_suppkey"), col("s_name"))
+        .agg(jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), actJs).as("acts"),
+          jsonArrDistinct(accJs).as("accuseds"))
+      val csJs = concat(
+        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"),
+        lit("\",\"acts\":"), col("acts"),
+        lit(",\"accuseds\":"), col("accuseds"), lit("}"))
+      val assocJs = concat(
+        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"), lit("\"}"))
+      val csAgg = csL1.groupBy(col("c_okey")).agg(
+        jsonArrOrdered(Seq(col("l_suppkey")), csJs).as("chargesheets"),
+        jsonArrOrdered(Seq(col("l_suppkey")), assocJs).as("associates"))
+
+      // parent assembly: one orders scan, broadcast hierarchy dims, left
+      // joins on the parent key for every child aggregate.
+      val isComm = col("o_orderpriority") === "1-URGENT"
+      val days = datediff(lit(Anchor).cast("date"), col("o_orderdate"))
+      val stip = when(isComm,
+        when(days <= 180, "Within Limit (180 Days)")
+          .otherwise("Overdue (Beyond 180 Days)"))
+        .otherwise(when(days <= 60, "Within Limit (60 Days)")
+          .otherwise("Overdue (Beyond 60 Days)"))
+      val due = date_format(
+        date_add(to_date(col("o_orderdate")), when(isComm, 180).otherwise(60)),
+        "yyyy-MM-dd")
+      val irDoc = concat(
+        lit("{\"physical\":{\"id\":"), col("o_orderkey"),
+        lit(",\"status\":\""), col("o_orderstatus"),
+        lit("\",\"priority\":\""), col("o_orderpriority"),
+        lit("\"},\"socio\":{\"name\":\""), col("c_name"),
+        lit("\",\"segment\":\""), col("c_mktsegment"),
+        lit("\",\"nation\":\""), col("n_name"),
+        lit("\"},\"associateDetails\":"), coalesce(col("associates"), lit("[]")),
+        lit("}"))
+
+      orders
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(liAgg, col("o_orderkey") === liAgg("l_orderkey"), "left")
+        .join(drugAgg, col("o_orderkey") === col("d_okey"), "left")
+        .join(csAgg, col("o_orderkey") === col("c_okey"), "left")
+        .select(
+          col("o_orderkey").as("id"),
+          col("n_name").as("unit"),
+          col("c_name").as("ps"),
+          year(col("o_orderdate")).as("fir_year"),
+          col("o_orderpriority").as("section"),
+          col("o_orderstatus").as("case_status"),
+          isComm.as("is_commercial"),
+          stip.as("stipulated_period"),
+          due.as("due_date"),
+          coalesce(col("n_accused"), lit(0L)).as("n_accused"),
+          coalesce(col("accused_details"), lit("[]")).as("accused_details"),
+          coalesce(col("drug_type"), lit("[]")).as("drug_type"),
+          coalesce(col("drug_with_quantity"), lit("[]")).as("drug_with_quantity"),
+          qtyDisplay(coalesce(col("qty_tot"), lit(0L))).as("qty_display"),
+          coalesce(col("conviction_count"), lit(0L)).as("conviction_count"),
+          coalesce(col("acquittal_count"), lit(0L)).as("acquittal_count"),
+          coalesce(col("total_disposals"), lit(0L)).as("total_disposals"),
+          when(col("disp_flags").isNotNull, countsObj(col("disp_flags")))
+            .otherwise("{}").as("disposal_counts"),
+          coalesce(col("chargesheets"), lit("[]")).as("chargesheets"),
+          coalesce(col("documents"), lit("[]")).as("documents"),
+          irDoc.as("ir_doc"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- firs_mv at full breadth -----------------------------------------
@@ -210,153 +369,9 @@ object GoldMvFull {
         LEFT JOIN cs_agg cs ON o.o_orderkey = cs.c_okey
         LEFT JOIN docs_agg f ON o.o_orderkey = f.f_okey
       """)) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-      val part = broadcast(t(s, dir, "part"))
-      val supp = broadcast(t(s, dir, "supplier"))
-
-      // child role 1: accused_flat (firs_mv.sql:40-54) — one scan, one
-      // groupBy on the parent key; status normalization CASE chain.
-      val statusNorm = when(col("l_returnflag") === "R", "Returned")
-        .when(col("l_returnflag") === "A", "Adjusted")
-        .when(col("l_returnflag") === "N" && col("l_linestatus") === "O", "Open")
-        .otherwise("Unknown")
-      val accusedJs = concat(
-        lit("{\"personCode\":\"L-"), col("l_linenumber"),
-        lit("\",\"partId\":"), col("l_partkey"),
-        lit(",\"status\":\""), statusNorm, lit("\"}"))
-      // child role 4 rides the same groupBy (firs_mv.sql:132-166): the
-      // UNION-ALL document list is two per-row branch renderings collected
-      // as distinct sets and merged — same rows as the oracle's UNION ALL
-      // + DISTINCT agg, one fewer scan+shuffle than a separate explode.
-      val fileJsA = when(col("l_returnflag") === "R",
-        concat(lit("{\"filePath\":\"/files/"), col("l_partkey"),
-          lit(".pdf\",\"type\":\"FIR_COPY\",\"isDownloaded\":false}")))
-      val fileJsB = when(col("l_linestatus") === "O",
-        concat(lit("{\"filePath\":\"/generated/chargesheets/"), col("l_suppkey"),
-          lit("/"), col("l_partkey"),
-          lit("\",\"type\":\"CHARGESHEET_FILE\",\"isDownloaded\":true}")))
-      val liAgg = li.groupBy(col("l_orderkey")).agg(
-        count(lit(1)).as("n_accused"),
-        // disposal counters folded into the same pass (firs_mv.sql:78-89):
-        // three filtered counts + the k→count map share one scan.
-        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "R", 1L)
-          .otherwise(0L)).as("conviction_count"),
-        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "A", 1L)
-          .otherwise(0L)).as("acquittal_count"),
-        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("total_disposals"),
-        sum(col("l_quantity").cast("long")).as("qty_tot"),
-        jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), accusedJs)
-          .as("accused_details"),
-        collect_list(when(col("l_linestatus") === "F", col("l_returnflag")))
-          .as("disp_flags"),
-        // the two branch sets cannot overlap (distinct type tags), so the
-        // sorted concat equals the oracle's DISTINCT-sorted UNION ALL
-        concat(lit("["),
-          array_join(array_sort(concat(collect_set(fileJsA), collect_set(fileJsB))), ","),
-          lit("]")).as("documents"))
-
-      // child role 2: drug_flat (firs_mv.sql:55-71) — two-level rollup:
-      // sum per (parent, drug, form), then JSON-agg per parent. The
-      // NO_DRUGS_DETECTED filter maps to one excluded brand. One scan +
-      // broadcast part sub-lookup; drugType and drugWithQuantity share it.
-      val drugL1 = li.join(part, col("l_partkey") === col("p_partkey"))
-        .filter(col("p_brand") =!= "Brand#17")
-        .groupBy(col("l_orderkey").as("d_okey"), col("p_brand"),
-          col("l_returnflag").as("d_form"))
-        .agg(sum(col("l_quantity").cast("long")).as("qsum"))
-      val drugJs = concat(
-        lit("{\"name\":\""), col("p_brand"), lit("\",\"form\":\""), col("d_form"),
-        lit("\",\"quantity\":\""), qtyDisplay(col("qsum")), lit("\"}"))
-      val drugAgg = drugL1.groupBy(col("d_okey")).agg(
-        jsonArrDistinct(concat(lit("\""), upper(col("p_brand")), lit("\"")))
-          .as("drug_type"),
-        jsonArrOrdered(Seq(col("p_brand"), col("d_form")), drugJs)
-          .as("drug_with_quantity"))
-
-      // child role 3: chargesheets (firs_mv.sql:96-103) — nested two-level
-      // JSON: acts per (parent, chargesheet=supplier) with part-name
-      // sub-lookup, then chargesheet objects per parent with supplier-name
-      // sub-lookup. One scan + two broadcast dims. The associates list for
-      // the IR mega-doc rides the same level-2 groupBy (no extra scan).
-      val actJs = concat(
-        lit("{\"partkey\":"), col("l_partkey"), lit(",\"name\":\""), col("p_name"),
-        lit("\",\"qty\":"), col("l_quantity").cast("long"), lit("}"))
-      // second sub-array per chargesheet (firs_mv.sql:98-101): the DISTINCT
-      // accused roster, each with its own name sub-lookup + status CASE
-      val accJs = concat(
-        lit("{\"personId\":"), col("l_partkey"), lit(",\"value\":\""), col("p_name"),
-        lit("\",\"chargeStatus\":\""),
-        when(col("l_returnflag") === "R", "Charged")
-          .when(col("l_returnflag") === "A", "Dropped")
-          .otherwise("Pending"),
-        lit("\"}"))
-      val csL1 = li.join(supp, col("l_suppkey") === col("s_suppkey"))
-        .join(part, col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_orderkey").as("c_okey"), col("l_suppkey"), col("s_name"))
-        .agg(jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), actJs).as("acts"),
-          jsonArrDistinct(accJs).as("accuseds"))
-      val csJs = concat(
-        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"),
-        lit("\",\"acts\":"), col("acts"),
-        lit(",\"accuseds\":"), col("accuseds"), lit("}"))
-      val assocJs = concat(
-        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"), lit("\"}"))
-      val csAgg = csL1.groupBy(col("c_okey")).agg(
-        jsonArrOrdered(Seq(col("l_suppkey")), csJs).as("chargesheets"),
-        jsonArrOrdered(Seq(col("l_suppkey")), assocJs).as("associates"))
-
-      // parent assembly: one orders scan, broadcast hierarchy dims, left
-      // joins on the parent key for every child aggregate.
-      val isComm = col("o_orderpriority") === "1-URGENT"
-      val days = datediff(lit(Anchor).cast("date"), col("o_orderdate"))
-      val stip = when(isComm,
-        when(days <= 180, "Within Limit (180 Days)")
-          .otherwise("Overdue (Beyond 180 Days)"))
-        .otherwise(when(days <= 60, "Within Limit (60 Days)")
-          .otherwise("Overdue (Beyond 60 Days)"))
-      val due = date_format(
-        date_add(to_date(col("o_orderdate")), when(isComm, 180).otherwise(60)),
-        "yyyy-MM-dd")
-      val irDoc = concat(
-        lit("{\"physical\":{\"id\":"), col("o_orderkey"),
-        lit(",\"status\":\""), col("o_orderstatus"),
-        lit("\",\"priority\":\""), col("o_orderpriority"),
-        lit("\"},\"socio\":{\"name\":\""), col("c_name"),
-        lit("\",\"segment\":\""), col("c_mktsegment"),
-        lit("\",\"nation\":\""), col("n_name"),
-        lit("\"},\"associateDetails\":"), coalesce(col("associates"), lit("[]")),
-        lit("}"))
-
-      t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(liAgg, col("o_orderkey") === liAgg("l_orderkey"), "left")
-        .join(drugAgg, col("o_orderkey") === col("d_okey"), "left")
-        .join(csAgg, col("o_orderkey") === col("c_okey"), "left")
-        .select(
-          col("o_orderkey").as("id"),
-          col("n_name").as("unit"),
-          col("c_name").as("ps"),
-          year(col("o_orderdate")).as("fir_year"),
-          col("o_orderpriority").as("section"),
-          col("o_orderstatus").as("case_status"),
-          isComm.as("is_commercial"),
-          stip.as("stipulated_period"),
-          due.as("due_date"),
-          coalesce(col("n_accused"), lit(0L)).as("n_accused"),
-          coalesce(col("accused_details"), lit("[]")).as("accused_details"),
-          coalesce(col("drug_type"), lit("[]")).as("drug_type"),
-          coalesce(col("drug_with_quantity"), lit("[]")).as("drug_with_quantity"),
-          qtyDisplay(coalesce(col("qty_tot"), lit(0L))).as("qty_display"),
-          coalesce(col("conviction_count"), lit(0L)).as("conviction_count"),
-          coalesce(col("acquittal_count"), lit(0L)).as("acquittal_count"),
-          coalesce(col("total_disposals"), lit(0L)).as("total_disposals"),
-          when(col("disp_flags").isNotNull, countsObj(col("disp_flags")))
-            .otherwise("{}").as("disposal_counts"),
-          coalesce(col("chargesheets"), lit("[]")).as("chargesheets"),
-          coalesce(col("documents"), lit("[]")).as("documents"),
-          irDoc.as("ir_doc"))
+      buildFirsFull(s, dir, t(s, dir, "orders"), t(s, dir, "lineitem"))
     },
+
 
     // ---- accuseds_mv: per-child-row MV, INNER join on the AI table -------
     QueryDef(

@@ -75,4 +75,47 @@ class GoldIncrementalSpec extends SparkTestBase {
     }
     assert(sameRows(out, goldV1))
   }
+
+  test("incremental refresh of the FULL-breadth MV equals its full rebuild, incl. parent deletes") {
+    import graft.queries.GoldMvFull
+    val orders = Tables(spark, sf0001, "orders")
+    // keep the fixture small so three full-breadth builds stay fast
+    val scopeO = orders.filter(col("o_orderkey") % 3 === 0).cache()
+    val scopeLi = lineitem.join(scopeO.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi").cache()
+    val goldV1 = GoldMvFull.buildFirsFull(spark, sf0001, scopeO, scopeLi).cache()
+
+    // the delta touches all four child roles at once: quantities double
+    // for %50 parents (accused qty + drug rollup), and %40 parents are
+    // DELETED outright (orders AND children) — their recompute is empty
+    // and the stale gold rows must drop
+    val changed = scopeO.filter(col("o_orderkey") % 50 === 0 || col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey").as("id")).distinct().cache()
+    val oV2 = scopeO.filter(col("o_orderkey") % 40 =!= 0).cache()
+    val liV2 = scopeLi.filter(col("l_orderkey") % 40 =!= 0)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 50 === 0, col("l_quantity") * 2)
+          .otherwise(col("l_quantity"))).cache()
+
+    val incremental = GoldIncremental.refresh(goldV1, changed, "id") { keys =>
+      // ONE key restriction prunes the parent scan and all four child
+      // roles: the restricted lineitem frame feeds accused/drug/
+      // chargesheet/document aggregates alike
+      val ok = keys.select(col("id").as("o_orderkey"))
+      val lk = keys.select(col("id").as("l_orderkey"))
+      GoldMvFull.buildFirsFull(spark, sf0001,
+        oV2.join(ok, Seq("o_orderkey"), "left_semi"),
+        liV2.join(lk, Seq("l_orderkey"), "left_semi"))
+    }
+    val full = GoldMvFull.buildFirsFull(spark, sf0001, oV2, liV2)
+
+    assert(sameRows(incremental, full))
+    // deleted parents are gone from the incremental result
+    assert(incremental.filter(col("id") % 40 === 0).isEmpty)
+    // untouched parents were NOT recomputed: byte-identical to v1
+    val untouchedInc = incremental.join(changed, Seq("id"), "left_anti")
+    val untouchedV1 = goldV1.join(changed, Seq("id"), "left_anti")
+    assert(sameRows(untouchedInc, untouchedV1))
+    Seq(scopeO, scopeLi, goldV1, changed, oV2, liV2).foreach(_.unpersist())
+  }
 }
