@@ -263,18 +263,25 @@ object Cascades {
         .join(t3d,
           lower(split(col("code"), " ").getItem(0)) === col("t3_block") && contained3,
           "left")
-      // top-1 name candidate per code (ties by part key); codes with no
-      // t3 match keep their single null-extended copy
-      val wc = Window.partitionBy(col("code")).orderBy(col("t3_key").asc_nulls_last)
-      val mapping = joinedC.withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      // top-1 name candidate per code (min t3 part key; codes with no t3
+      // match keep their single null-extended copy). min_by over a hash
+      // aggregate instead of a row_number window: same pick — only the
+      // t3 fields vary within a code, t3_key cannot tie (one dim row per
+      // part key), and nulls sort last via the MaxValue sentinel — but
+      // no per-partition sort, which was the residual cost of this stage.
+      val pickKey = coalesce(col("t3_key"), lit(Long.MaxValue))
+      val mapping = joinedC
+        .groupBy(col("code"))
+        .agg(min_by(struct(col("t1_key"), col("t2_key"), col("t3_key"),
+          col("t1_name"), col("t2_name"), col("t3_name")), pickKey).as("r"))
         .select(col("code").as("m_code"),
-          when(col("t1_key").isNotNull, "exact")
-            .when(col("t2_key").isNotNull, "normalized")
-            .when(col("t3_key").isNotNull, "name")
+          when(col("r.t1_key").isNotNull, "exact")
+            .when(col("r.t2_key").isNotNull, "normalized")
+            .when(col("r.t3_key").isNotNull, "name")
             .otherwise("unmatched").as("tier"),
-          coalesce(col("t1_key"), col("t2_key"), col("t3_key"), lit(-1L))
+          coalesce(col("r.t1_key"), col("r.t2_key"), col("r.t3_key"), lit(-1L))
             .as("matched_key"),
-          coalesce(col("t1_name"), col("t2_name"), col("t3_name"), lit(""))
+          coalesce(col("r.t1_name"), col("r.t2_name"), col("r.t3_name"), lit(""))
             .as("matched_name"))
       ex.join(mapping, col("code") === col("m_code"))
         .select(col("ex_id"), col("code"), col("tier"),
