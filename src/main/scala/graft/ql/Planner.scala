@@ -129,9 +129,49 @@ object Planner {
   def detectIntent(q: String): String = {
     val s = q.toLowerCase
     if (s.contains("how many") || s.contains("count")) "count"
-    else if (Seq("sum", "total", "average", "avg per", "by ").exists(s.contains)) "aggregate"
+    else if (Seq("sum", "total", "average", "mean ", "maximum", "minimum",
+      "avg per", "by ").exists(s.contains)) "aggregate"
     else if (Seq("find", "search", "named", "called").exists(s.contains)) "search"
     else "list"
+  }
+
+  /** Aggregate-function selection: "average order value" must compute an
+    * AVG, not a SUM (metric, output alias). Default (SUM, total). */
+  def extractMetric(q: String): (String, String) = {
+    val s = q.toLowerCase
+    if (Seq("average", "mean ", "avg ").exists(s.contains)) ("AVG", "avg_value")
+    else if (Seq("maximum", "max ").exists(s.contains)) ("MAX", "max_value")
+    else if (Seq("minimum", "min ").exists(s.contains)) ("MIN", "min_value")
+    else ("SUM", "total")
+  }
+
+  /** Numeric threshold filter: "orders over 100000", "customers with
+    * balance below 0". */
+  def extractThreshold(q: String, table: String): Option[String] =
+    extractThresholdAmong(q, Seq(table))
+
+  /** When several joined tables are in play ("orders over 250000 with
+    * customer names"), the threshold binds to the table whose keyword
+    * occurs NEAREST BEFORE the threshold phrase — not to whichever table
+    * won the primary-table ranking. */
+  def extractThresholdAmong(q: String, tables: Seq[String]): Option[String] = {
+    val s = q.toLowerCase.replace(",", "")
+    val over = "(?:over|above|more than|greater than|exceeds?|exceeding|at least)\\s+\\$?(\\d+(?:\\.\\d+)?)".r
+    val under = "(?:under|below|less than|at most|cheaper than)\\s+\\$?(\\d+(?:\\.\\d+)?)".r
+    over.findFirstMatchIn(s).map((_, ">"))
+      .orElse(under.findFirstMatchIn(s).map((_, "<")))
+      .flatMap { case (m, op) =>
+        val byProximity = tables.distinct.flatMap { t =>
+          numericCols.get(t).flatMap { num =>
+            tableKeywords.getOrElse(t, Nil)
+              .map(kw => s.lastIndexOf(kw, m.start)).filter(_ >= 0)
+              .maxOption.map(i => (m.start - i, num))
+          }
+        }
+        byProximity.sortBy(_._1).headOption.map(_._2)
+          .orElse(tables.flatMap(numericCols.get).headOption)
+          .map(num => s"$num $op ${m.group(1)}")
+      }
   }
 
   /** Q2 — table matcher: first table whose keyword list hits; ties go to
@@ -304,7 +344,9 @@ object Planner {
         extractSearchTerm(q).flatMap(t0 =>
           searchCols.get(table).map(c => s"lower($c) LIKE '%$t0%'"))
       else None
-    val conds = dateCond.toSeq ++ statusN.map(_._1).toSeq ++ searchCond.toSeq
+    val thresholdCond = extractThresholdAmong(q, table +: joinedTables)
+    val conds = dateCond.toSeq ++ statusN.map(_._1).toSeq ++
+      searchCond.toSeq ++ thresholdCond.toSeq
     val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     (where, years, statusN.map(_._1), years.isEmpty || dateCond.isDefined,
       statusN.exists(_._2))
@@ -360,6 +402,8 @@ object Planner {
     val order = extractOrder(q, table)
 
     val sql = intent match {
+      case "count" if isDistinctCount(q) =>
+        distinctCountSql(q, table, from, where)
       case "count" =>
         dim match {
           case Some(d) =>
@@ -370,13 +414,14 @@ object Planner {
         }
       case "aggregate" =>
         val num = numericCols.getOrElse(table, "1")
+        val (fn, alias) = extractMetric(q)
         dim match {
           case Some(d) =>
             val g = if (d.kw == "year")
               s"year(${dateCols.getOrElse(table, "o_orderdate")})" else d.col
-            s"SELECT $g AS grp, COUNT(*) AS n, SUM($num) AS total FROM $from$where GROUP BY $g"
+            s"SELECT $g AS grp, COUNT(*) AS n, $fn($num) AS $alias FROM $from$where GROUP BY $g"
           case None =>
-            s"SELECT COUNT(*) AS n, SUM($num) AS total FROM $from$where"
+            s"SELECT COUNT(*) AS n, $fn($num) AS $alias FROM $from$where"
         }
       case _ =>
         val ob = order.map(o => s" ORDER BY $o").getOrElse("")
@@ -386,6 +431,28 @@ object Planner {
       yearRange = years, statusFilter = status,
       groupDim = dim.map(_.kw), joined = secondary.toSeq,
       yearApplied = yearApplied, negated = negated, orderBy = order)
+  }
+
+  private def isDistinctCount(q: String): Boolean = {
+    val s = q.toLowerCase
+    Seq("different", "unique", "distinct").exists(s.contains)
+  }
+
+  /** Distinct-entity counts: "how many different brands" → the dim
+    * column's cardinality over its owning table; without a dim keyword,
+    * the matched table's key cardinality. The WHERE built for the
+    * matched table only carries over when the FROM stays that table. */
+  private def distinctCountSql(
+      q: String, table: String, from: String, where: String): String = {
+    val s = q.toLowerCase
+    dims.filter(_.kw != "year").find(d => s.contains(d.kw)) match {
+      case Some(d) if d.table != table =>
+        s"SELECT COUNT(DISTINCT ${d.col}) AS n FROM ${d.table}"
+      case Some(d) =>
+        s"SELECT COUNT(DISTINCT ${d.col}) AS n FROM $from$where"
+      case None =>
+        s"SELECT COUNT(DISTINCT ${keyCols.getOrElse(table, "1")}) AS n FROM $from$where"
+    }
   }
 
   // ---- Q7: schema fetch + cache ------------------------------------------

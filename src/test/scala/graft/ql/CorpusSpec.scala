@@ -305,14 +305,177 @@ class CorpusSpec extends SparkTestBase {
     "count pending orders in 1996",
     "total value by status since 1997")
 
+  /** AVG/MIN/MAX metric selection, global and grouped, with filters. */
+  private val metricAggs = Seq(
+    "average order value by nation",
+    "average customer balance by segment",
+    "average line item value by brand",
+    "average event value by event type",
+    "average document size by language",
+    "maximum order value by status",
+    "maximum order value by year",
+    "max event value by event type",
+    "minimum order value by priority",
+    "minimum customer balance by segment",
+    "max line item value by supplier",
+    "average order value since 1997",
+    "maximum order value in 1996",
+    "minimum order value before 2000",
+    "average value of open orders",
+    "maximum value of finished orders",
+    "maximum supplier balance",
+    "minimum part price",
+    "average part price",
+    "maximum document size",
+    "average event value in 2024",
+    "minimum line item value",
+    "mean order value",
+    "average order value for urgent orders",
+    "maximum order value by nation",
+    "average spend by customer",
+    "maximum order value by priority for open orders",
+    "average order value by nation since 1996")
+
+  /** Numeric threshold filters over the table's numeric column. */
+  private val thresholds = Seq(
+    "list orders over 100000",
+    "show orders above 400000",
+    "count orders under 50000",
+    "orders worth more than 250000",
+    "how many orders exceed 300000",
+    "list orders below 10000",
+    "customers with balance above 5000",
+    "show customers with balance below 0",
+    "count customers with balance above 9000",
+    "suppliers with balance above 3000",
+    "list suppliers with balance under 2000",
+    "line items over 50000",
+    "show line items under 10000",
+    "count line items above 90000",
+    "parts over 910",
+    "list parts under 910",
+    "events with value over 100",
+    "show events with value under 50",
+    "count events with value above 200",
+    "documents over 300",
+    "list documents under 200",
+    "count documents above 400",
+    "list open orders over 200000",
+    "count finished orders above 100000",
+    "show urgent orders over 300000",
+    "orders over 100000 in 1996",
+    "list orders above 200000 since 1997",
+    "count orders under 100000 before 2000",
+    "show orders over 250000 with customer names",
+    "top 5 orders over 300000",
+    "count returned items over 50000",
+    "list click events with value over 100")
+
+  /** Distinct-entity cardinality counts. */
+  private val distinctCounts = Seq(
+    "how many different brands are there",
+    "how many unique segments",
+    "count distinct priorities",
+    "how many different statuses",
+    "how many unique languages",
+    "how many different sources",
+    "how many unique event types",
+    "how many different customers placed orders",
+    "how many unique suppliers",
+    "how many different nations do customers come from",
+    "count the distinct customers",
+    "how many unique parts were ordered",
+    "count unique documents",
+    "how many distinct events")
+
+  /** Extra phrasings across the established categories. */
+  private val morePhrasings = Seq(
+    // counts
+    "how many events occurred in 2024",
+    "count orders from 1996 to 1998",
+    "how many line items in 1999",
+    "how many customers do we have",
+    "count parts",
+    "how many documents are there",
+    "count nations",
+    "how many suppliers are there",
+    // global aggs
+    "total line item value",
+    "sum of event values",
+    "total value of orders in 1997",
+    "sum of part prices",
+    "total document size",
+    // grouped aggs
+    "revenue by supplier",
+    "total spend by brand",
+    "order value by status",
+    "event totals by event type",
+    "document sizes by source",
+    "total balance by segment",
+    // lists
+    "show recent events",
+    "list all suppliers",
+    "display customer records",
+    "show me the orders",
+    "list parts please",
+    "display the documents",
+    // top-N
+    "top 4 customers",
+    "first 8 orders",
+    "top 12 parts",
+    "first 2 nations",
+    "top 6 events",
+    "top 15 documents",
+    // searches
+    "find documents about table",
+    "find documents containing stream",
+    "find documents about query",
+    "find documents containing batch",
+    "find the supplier called supplier",
+    "find documents about sort",
+    "find documents containing scan",
+    "find parts called widget please",
+    // date ranges
+    "orders from 1996 to 2000",
+    "line items in 1995",
+    "show orders before 1997",
+    "events since 2023",
+    "orders between 1995 and 1999",
+    "line items between 1996 and 1997",
+    // status filters
+    "show purchase events",
+    "display open orders",
+    "all finished orders",
+    "show pending orders today",
+    "list urgent orders now",
+    // joins
+    "orders and customers",
+    "parts with line items",
+    "suppliers with line items",
+    "nations with customers",
+    "orders with their customers",
+    // negations
+    "count orders not urgent",
+    "list documents not german",
+    "show line items that were not returned",
+    "list orders that are not high priority",
+    "show documents excluding chinese documents",
+    // multi-constraint
+    "top 2 orders per status since 1997",
+    "which segment has the most customers with balance above 0",
+    "count open orders over 100000 since 1996",
+    "average value of finished orders by nation")
+
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
       topKPerGroup ++ whichGroup ++ superlatives ++ searches ++ dateRanges ++
       statusFilters ++ negations ++ combos ++ joins ++ joinCombos ++
-      multiConstraint
+      multiConstraint ++ metricAggs ++ thresholds ++ distinctCounts ++
+      morePhrasings
 
-  test("corpus has at least 250 questions") {
-    assert(corpus.size >= 250, s"corpus has ${corpus.size} questions")
+  test("corpus has at least 371 questions (the reference contract size) with no duplicates") {
+    assert(corpus.size >= 371, s"corpus has ${corpus.size} questions")
+    assert(corpus.distinct.size == corpus.size, "duplicate questions in the corpus")
   }
 
   test("every corpus question plans, validates, executes, and returns rows") {
@@ -426,6 +589,40 @@ class CorpusSpec extends SparkTestBase {
     val prices = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 20).toOption.get
       .select("p_retailprice").collect().map(_.getDouble(0))
     assert(prices.nonEmpty && prices.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("metric questions select the right aggregate: average is an AVG, not a SUM") {
+    val p = Planner.plan("average order value")
+    assert(p.sql.contains("AVG(o_totalprice) AS avg_value"), p.sql)
+    val avg = QueryGuard.execute(spark, sf0001, p.sql).toOption.get
+      .collect().head.getDouble(1)
+    val expected = QueryGuard.execute(spark, sf0001,
+      "SELECT AVG(o_totalprice) AS a FROM orders").toOption.get.collect().head.getDouble(0)
+    assert(avg == expected)
+    assert(Planner.plan("maximum order value by status").sql.contains("MAX(o_totalprice) AS max_value"))
+    assert(Planner.plan("minimum part price").sql.contains("MIN(p_retailprice) AS min_value"))
+  }
+
+  test("threshold questions actually filter on the numeric column") {
+    val p = Planner.plan("list orders over 100000")
+    assert(p.sql.contains("o_totalprice > 100000"), p.sql)
+    val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 1000).toOption.get
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(rows.nonEmpty && rows.forall(_ > 100000))
+    val pu = Planner.plan("show customers with balance below 0")
+    assert(pu.sql.contains("c_acctbal < 0"), pu.sql)
+    val bal = QueryGuard.execute(spark, sf0001, pu.sql, maxRows = 1000).toOption.get
+      .select("c_acctbal").collect().map(_.getDouble(0))
+    assert(bal.nonEmpty && bal.forall(_ < 0))
+  }
+
+  test("distinct-count questions return the true cardinality") {
+    val p = Planner.plan("how many different brands are there")
+    assert(p.sql.contains("COUNT(DISTINCT p_brand)"), p.sql)
+    val n = QueryGuard.execute(spark, sf0001, p.sql).toOption.get.collect().head.getLong(0)
+    val expected = QueryGuard.execute(spark, sf0001,
+      "SELECT COUNT(DISTINCT p_brand) AS n FROM part").toOption.get.collect().head.getLong(0)
+    assert(n == expected && n > 1)
   }
 
   test("a recognized year range that cannot resolve a date column is surfaced, not dropped") {

@@ -34,10 +34,15 @@ class PlannerFuzzSpec extends SparkTestBase {
     "from 1995 to 1997", "by nation", "per status", "by year",
     "per customer", "in each segment", "with customer names",
     "with their nations", "named widget", "about data",
-    "with the highest balance", "per supplier", "by priority")
+    "with the highest balance", "per supplier", "by priority",
+    "over 100000", "under 500", "above 9000", "worth more than 250000")
+
+  private val metricPrefixes = Gen.oneOf(
+    "average", "maximum", "minimum", "mean", "how many different",
+    "count distinct", "how many unique")
 
   private val questions: Gen[String] = for {
-    p <- prefixes
+    p <- Gen.frequency(3 -> prefixes, 1 -> metricPrefixes)
     st <- statusWords
     e <- entities
     s1 <- suffixes
