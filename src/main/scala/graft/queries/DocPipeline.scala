@@ -556,5 +556,71 @@ object DocPipeline {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           md5(array_join(array_sort(collect_list(col("h"))), ",")).as("fingerprint"))
+    },
+
+    // ---- DD15: benchmark decontamination (8-gram overlap) ----------------
+    // The training-data op that keeps eval sets out of the corpus: flag
+    // any training document sharing >=1 word-8-gram with the benchmark
+    // set (the n-gram-overlap decontamination used for LLM corpora).
+    // Planted contamination: a 12-word excerpt of each benchmark doc is
+    // appended as a synthetic training doc (ids offset past max), so the
+    // expected flags are exact; organic word-8-gram collisions between
+    // independent random documents don't occur. The gram equi-join keeps
+    // this far from all-pairs: cost is |shared gram| pairs only, and the
+    // distinct (doc, gram) explode shuffles on the gram key — the same
+    // blocked-join scale shape as the MinHash/Jaccard family.
+    QueryDef(
+      "dd15_decontaminate",
+      "Benchmark decontamination: flag training docs sharing any word-8-gram with the benchmark slice (planted 12-word excerpts; distinct-gram equi-join, never all-pairs)",
+      Some("""
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        bench AS (
+          SELECT doc_id AS b_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 97 = 0
+        ),
+        train AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+          UNION ALL
+          SELECT b_id + (SELECT m + 1 FROM mx) AS doc_id,
+                 array_to_string(w[3:14], ' ') AS text
+          FROM bench
+        ),
+        bg AS (
+          SELECT DISTINCT b_id,
+                 unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS gram
+          FROM bench
+        ),
+        tg AS (
+          SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w2[i:i+7], ' ') for i in range(1, len(w2) - 6)]) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS w2 FROM train)
+        )
+        SELECT tg.doc_id, COUNT(DISTINCT tg.gram) AS hits, MIN(bg.b_id) AS first_bench
+        FROM tg JOIN bg ON tg.gram = bg.gram
+        GROUP BY tg.doc_id
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def grams(words: Column): Column =
+        when(size(words) >= 8,
+          transform(sequence(lit(0), size(words) - 8),
+            i => array_join(slice(words, i + 1, lit(8)), " ")))
+          .otherwise(array().cast("array<string>"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("b_id"), split(col("text"), " ").as("w"))
+      val planted = bench
+        .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("m"))))
+        .select((col("b_id") + col("m") + 1).as("doc_id"),
+          array_join(slice(col("w"), 3, 12), " ").as("text"))
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val bg = bench.select(col("b_id"), explode(grams(col("w"))).as("gram")).distinct()
+      val tg = train
+        .select(col("doc_id"), explode(grams(split(col("text"), " "))).as("gram"))
+        .distinct()
+      tg.join(bg, "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("hits"),
+          min(col("b_id")).as("first_bench"))
     })
 }
