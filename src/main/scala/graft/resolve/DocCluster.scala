@@ -26,15 +26,22 @@ object DocCluster {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node")).cache()
     val sc = edges.sparkSession.sparkContext
-    var changed = 1L
+    var converged = false
     var i = 0
+    // Convergence check without a per-round join: min-label propagation
+    // only ever LOWERS a node's cluster id, so sum(cluster) strictly
+    // decreases on any change and is stable exactly at the fixpoint. One
+    // cheap aggregate over the freshly-checkpointed round replaces the
+    // next-vs-previous anti-join the loop used to pay each iteration.
+    // DECIMAL(38,0) so a 100 TB node-id space cannot overflow the sum.
+    var prevSum: Option[String] = None
     // RDD ids of the previous round's localCheckpoint: Dataset.unpersist
     // is a CacheManager no-op for checkpointed datasets, so their pinned
     // blocks must be dropped through the SparkContext registry — leaking
     // one persisted RDD per round keeps O(iterations) copies of the label
     // table in executor memory for the rest of the application.
     var prevRoundIds: scala.collection.Set[Int] = Set.empty[Int]
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val propagated = sym.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("cluster"))
       // localCheckpoint (not cache): truncates the lineage each round —
@@ -45,9 +52,10 @@ object DocCluster {
         .groupBy("node").agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
       val thisRoundIds = sc.getPersistentRDDs.keySet.diff(before)
-      changed = next.as("n")
-        .join(labels.select(col("node"), col("cluster").as("old")).as("o"), "node")
-        .filter(col("cluster") =!= col("old")).count()
+      val s = next.agg(sum(col("cluster").cast("decimal(38,0)")).cast("string"))
+        .first().getString(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       // `next` no longer depends on the previous round — drop its blocks
       labels.unpersist() // frees the initial .cache() on round 0
       prevRoundIds.foreach(id =>
