@@ -5,14 +5,25 @@ import org.apache.spark.sql.SparkSession
 import graft.functions.Udfs
 
 /** CLI face of the query surface: validate + execute one SQL statement
-  * over the registered testdata views.
+  * over the registered testdata views — or, with --ask, the full NL
+  * path (planner → guard → executor), the engine-side shape of the
+  * reference's chatbot loop.
   * Usage: runMain graft.ql.QlShell <sfDir> <sql> [maxRows]
+  *        runMain graft.ql.QlShell <sfDir> --ask '<question>' [maxRows]
   */
 object QlShell {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val sql = args(1)
-    val maxRows = args.lift(2).map(_.toInt).getOrElse(100)
+    val (sql, maxRowsArg) =
+      if (args(1) == "--ask") {
+        val plan = Planner.plan(args(2))
+        println(s"-- intent=${plan.intent} table=${plan.table}" +
+          plan.groupDim.map(d => s" group=$d").getOrElse("") +
+          (if (plan.yearRange.isDefined && !plan.yearApplied) " (year range NOT applied)" else ""))
+        println(s"-- ${plan.sql}")
+        (plan.sql, args.lift(3).map(_.toInt).getOrElse(plan.limit))
+      } else (args(1), args.lift(2).map(_.toInt).getOrElse(100))
+    val maxRows = maxRowsArg
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

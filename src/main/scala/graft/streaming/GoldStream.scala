@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.gold.GoldIncremental
+
+/** Streaming incremental MV maintenance (SURVEY.md §3.2 + §4): the
+  * reference rebuilds its gold MVs wholesale on a schedule; here a
+  * Structured Streaming `foreachBatch` sink applies each micro-batch of
+  * fact deltas as a changed-key splice — O(touched parents) per batch,
+  * never a full rebuild.
+  *
+  * Batch contract: a micro-batch carries the FULL new child set for
+  * every parent it touches (the child-replace S8 semantics — the
+  * reference's ingestion emits whole parents, not row diffs).
+  *
+  * State lives in versioned parquet directories and is read back after
+  * every write: no pinned executor memory, lineage truncated at each
+  * batch boundary, and the same pattern drops onto a transactional
+  * table format (Delta/Iceberg MERGE) unchanged at cluster scale.
+  */
+final class GoldMaintainer(
+    spark: SparkSession,
+    parentKey: String,
+    workDir: String,
+    buildGold: DataFrame => DataFrame) {
+
+  private var version = 0
+
+  private def factPath(v: Int) = s"$workDir/fact_v$v"
+  private def goldPath(v: Int) = s"$workDir/gold_v$v"
+
+  /** Seed v0 from the initial fact state; builds the initial gold. */
+  def init(fact0: DataFrame): Unit = synchronized {
+    fact0.write.mode("overwrite").parquet(factPath(0))
+    buildGold(spark.read.parquet(factPath(0)))
+      .write.mode("overwrite").parquet(goldPath(0))
+    version = 0
+  }
+
+  def fact: DataFrame = spark.read.parquet(factPath(version))
+  def gold: DataFrame = spark.read.parquet(goldPath(version))
+
+  /** One micro-batch: child-replace the touched parents in the fact
+    * state, then splice ONLY those parents' recomputed gold rows. */
+  def applyBatch(batch: DataFrame): Unit = synchronized {
+    if (batch.isEmpty) return
+    val prevFact = fact
+    val prevGold = gold
+    val keys = batch.select(col(parentKey)).distinct()
+    val next = version + 1
+    prevFact.join(keys, Seq(parentKey), "left_anti")
+      .unionByName(batch.select(prevFact.columns.map(col): _*))
+      .write.mode("overwrite").parquet(factPath(next))
+    val newFact = spark.read.parquet(factPath(next))
+    GoldIncremental.refresh(prevGold, keys, parentKey) { ks =>
+      buildGold(newFact.join(ks, Seq(parentKey), "left_semi"))
+    }.write.mode("overwrite").parquet(goldPath(next))
+    version = next
+  }
+
+  /** Attach to a streaming delta source; each micro-batch maintains the
+    * gold table incrementally. */
+  def start(deltas: DataFrame, queryName: String): StreamingQuery =
+    deltas.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
+      .start()
+}
