@@ -622,5 +622,48 @@ object DocPipeline {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("gram")).as("hits"),
           min(col("b_id")).as("first_bench"))
+    },
+
+    // ---- repetition signals (Gopher-style quality filter) ------------------
+    // Fraction of bigrams taken by the single most frequent bigram, and the
+    // fraction covered by any repeated bigram — the classic "repetitive
+    // document" pre-training filters. Per-doc groupBy keys: scale-linear,
+    // no pairwise work.
+    QueryDef(
+      "dd16_repetition",
+      "Gopher-style repetition: top-bigram fraction + duplicate-bigram fraction per doc, repetitive flag",
+      Some("""
+        WITH grams AS (
+          SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 2
+        ),
+        counts AS (
+          SELECT doc_id, bg, COUNT(*) AS c FROM grams GROUP BY doc_id, bg
+        )
+        SELECT doc_id,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+               CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c)
+                 AS dup_bigram_frac,
+               (CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2
+                 OR CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c) > 0.6)
+                 AS repetitive
+        FROM counts GROUP BY doc_id
+      """)) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val grams = words.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => array_join(slice(col("w"), i + 1, lit(2)), " "))).as("bg"))
+      val counts = grams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      val topFrac = max(col("c")).cast("double") / sum(col("c"))
+      val dupFrac =
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("double") / sum(col("c"))
+      counts.groupBy(col("doc_id")).agg(
+        topFrac.as("top_bigram_frac"),
+        dupFrac.as("dup_bigram_frac"),
+        (topFrac > 0.2 || dupFrac > 0.6).as("repetitive"))
     })
 }
