@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Tables, WriteOptimizer}
 import graft.ingest.RawZone
 import graft.merge.MergeKernels
 import graft.ql.QueryGuard
@@ -136,7 +136,9 @@ object Pipeline {
         val merged = MergeKernels.upsertClassify(target, conformed, Seq("pk")).cache()
         val stats = merged.groupBy("op").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-        merged.drop("op").write.mode("overwrite").parquet(silverPath)
+        // size-aware write: files land near the target size instead of
+        // one per shuffle task (the 100-TB small-files guard)
+        WriteOptimizer.sizedWrite(merged.drop("op"), silverPath, sortCols = Seq("pk"))
         merged.unpersist()
         log += "merge" -> stats
       }),
@@ -154,7 +156,7 @@ object Pipeline {
           .select(col("pk"), col("status"), col("price"), col("updated_epoch"),
             coalesce(col("li_count"), lit(0L)).as("li_count"),
             coalesce(col("qty_tot"), lit(0L)).as("qty_tot"))
-        gold.write.mode("overwrite").parquet(goldPath)
+        WriteOptimizer.sizedWrite(gold, goldPath, sortCols = Seq("pk"))
         log += "gold" -> s"${spark.read.parquet(goldPath).count()} rollup rows"
       }, refreshKey = Some("gold_rollup_refresh")),
 
