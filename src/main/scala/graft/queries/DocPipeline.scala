@@ -646,8 +646,8 @@ object DocPipeline {
                CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
                CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c)
                  AS dup_bigram_frac,
-               (CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2
-                 OR CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c) > 0.6)
+               (CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1
+                 OR CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c) > 0.15)
                  AS repetitive
         FROM counts GROUP BY doc_id
       """)) { (s, dir) =>
@@ -664,6 +664,143 @@ object DocPipeline {
       counts.groupBy(col("doc_id")).agg(
         topFrac.as("top_bigram_frac"),
         dupFrac.as("dup_bigram_frac"),
-        (topFrac > 0.2 || dupFrac > 0.6).as("repetitive"))
+        (topFrac > 0.1 || dupFrac > 0.15).as("repetitive"))
+    },
+
+    // ---- end-to-end curation funnel ----------------------------------------
+    // The whole training-data pipeline as ONE composition: quality filter →
+    // exact dedup → repetition filter → benchmark holdout → n-gram
+    // decontamination → hash split, reporting survivor counts + an id
+    // checksum per stage. Every stage stays a distributed relational op
+    // (filters, per-key windows, distinct-gram equi-joins) — nothing
+    // collects to the driver, so the funnel itself is the 100 TB shape.
+    QueryDef(
+      "dd17_corpus_funnel",
+      "Corpus curation funnel: quality -> exact-dedup -> repetition -> holdout -> decontaminate -> split, counts per stage",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, w,
+                 0.5 * least(CAST(n_chars AS DOUBLE) / 500, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / len(w))
+               + 0.2 * least((CAST(n_chars AS DOUBLE) / len(w)) / 6, 1.0) AS quality
+          FROM toks
+        ),
+        q AS (SELECT doc_id, w FROM scored WHERE quality >= 0.55),
+        ded AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, w,
+                   MIN(doc_id) OVER (PARTITION BY
+                     md5(array_to_string(list_sort(list_distinct(w)), ' '))) AS mn
+            FROM q
+          ) WHERE doc_id = mn
+        ),
+        bg AS (
+          SELECT doc_id, bgm, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bgm
+            FROM ded WHERE len(w) >= 2
+          ) GROUP BY doc_id, bgm
+        ),
+        rep AS (
+          SELECT doc_id,
+                 (CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1 OR
+                  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c) > 0.15)
+                   AS repetitive
+          FROM bg GROUP BY doc_id
+        ),
+        norep AS (
+          SELECT d.doc_id, d.w FROM ded d LEFT JOIN rep r ON d.doc_id = r.doc_id
+          WHERE NOT COALESCE(r.repetitive, FALSE)
+        ),
+        hold AS (SELECT doc_id, w FROM norep WHERE doc_id % 97 <> 0),
+        bench4 AS (
+          SELECT DISTINCT
+            unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]) AS gram
+          FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 4
+        ),
+        cont AS (
+          SELECT DISTINCT h.doc_id
+          FROM (SELECT doc_id,
+                       unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]) AS gram
+                FROM hold WHERE len(w) >= 4) h
+          JOIN bench4 b ON h.gram = b.gram
+        ),
+        clean AS (
+          SELECT doc_id FROM hold WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        ),
+        spl AS (
+          SELECT doc_id,
+                 CASE WHEN b < 204 THEN 'split_train'
+                      WHEN b < 230 THEN 'split_val'
+                      ELSE 'split_test' END AS stage
+          FROM (SELECT doc_id,
+                       ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS b
+                FROM clean)
+        )
+        SELECT 1 AS ord, 'all' AS stage, COUNT(*) AS docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM documents
+        UNION ALL SELECT 2, 'quality', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM q
+        UNION ALL SELECT 3, 'dedup', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM ded
+        UNION ALL SELECT 4, 'repetition', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM norep
+        UNION ALL SELECT 5, 'bench_holdout', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM hold
+        UNION ALL SELECT 6, 'decontam', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM clean
+        UNION ALL SELECT 7, stage, COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM spl GROUP BY stage
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("n_chars"),
+        split(col("text"), " ").as("w"))
+      val quality = lit(0.5) * least(col("n_chars").cast("double") / 500, lit(1.0)) +
+        lit(0.3) * (lit(1.0) -
+          size(filter(col("w"), x => x.isin("a", "the"))).cast("double") / size(col("w"))) +
+        lit(0.2) * least((col("n_chars").cast("double") / size(col("w"))) / 6, lit(1.0))
+      val q = toks.filter(quality >= 0.55).select(col("doc_id"), col("w"))
+      val ded = q
+        .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(
+          md5(array_join(array_sort(array_distinct(col("w"))), " ")))))
+        .filter(col("doc_id") === col("mn")).drop("mn")
+      val bgCounts = ded.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("w")) - 2),
+            i => array_join(slice(col("w"), i + 1, lit(2)), " "))).as("bgm"))
+        .groupBy(col("doc_id"), col("bgm")).agg(count(lit(1)).as("c"))
+      val rep = bgCounts.groupBy(col("doc_id")).agg(
+        (max(col("c")).cast("double") / sum(col("c")) > 0.1 ||
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("double") /
+            sum(col("c")) > 0.15).as("repetitive"))
+      val norep = ded.join(rep, Seq("doc_id"), "left")
+        .filter(!coalesce(col("repetitive"), lit(false))).drop("repetitive")
+      val hold = norep.filter(col("doc_id") % 97 =!= 0)
+      // 4-grams (vs dd15's 8 + planted excerpts): short enough that natural
+      // overlap with the holdout occurs, so the stage provably fires
+      def grams4(df: DataFrame): DataFrame =
+        df.filter(size(col("w")) >= 4)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(0), size(col("w")) - 4),
+              i => array_join(slice(col("w"), i + 1, lit(4)), " "))).as("gram"))
+          .distinct()
+      val bench4 = grams4(toks.filter(col("doc_id") % 97 === 0)).select(col("gram")).distinct()
+      val cont = grams4(hold).join(bench4, "gram").select(col("doc_id")).distinct()
+      val clean = hold.join(cont, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      val spl = clean.select(col("doc_id"),
+        when(conv(substring(md5(concat(lit("split#"), col("doc_id").cast("string"))),
+          1, 2), 16, 10).cast("long") < 204, "split_train")
+          .when(conv(substring(md5(concat(lit("split#"), col("doc_id").cast("string"))),
+            1, 2), 16, 10).cast("long") < 230, "split_val")
+          .otherwise("split_test").as("stage"))
+      def stageCount(ord: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("docs"), sum(col("doc_id")).as("id_checksum"))
+          .select(lit(ord).as("ord"), lit(name).as("stage"),
+            col("docs"), col("id_checksum"))
+      stageCount(1, "all", docs)
+        .unionByName(stageCount(2, "quality", q))
+        .unionByName(stageCount(3, "dedup", ded))
+        .unionByName(stageCount(4, "repetition", norep))
+        .unionByName(stageCount(5, "bench_holdout", hold))
+        .unionByName(stageCount(6, "decontam", clean))
+        .unionByName(spl.groupBy(col("stage"))
+          .agg(count(lit(1)).as("docs"), sum(col("doc_id")).as("id_checksum"))
+          .select(lit(7).as("ord"), col("stage"), col("docs"), col("id_checksum")))
     })
 }
