@@ -51,6 +51,22 @@ object Multimodal {
     out
   }
 
+  /** Video-style frame sampling, fully declarative: the blob is treated
+    * as fixed-size frames and every `every`-th frame is kept —
+    * `sequence(0, n-1, step)` + `substring` on the binary column, no UDF,
+    * whole-stage codegen. The blob never crosses a shuffle: explode and
+    * slice are narrow, so at 100 TB each executor samples only its own
+    * partitions' bytes. */
+  def frameSample(packed: DataFrame, frameSize: Int, every: Int): DataFrame =
+    packed
+      .withColumn("n_frames",
+        ceil(col("meta.n_bytes").cast("double") / frameSize).cast("int"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(blob, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false)),

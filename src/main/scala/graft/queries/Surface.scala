@@ -45,6 +45,27 @@ object Surface {
           round(element_at(col("features"), 8), 3).as("f7"))
     },
 
+    // ---- multimodal: declarative frame sampling (oracle-checked via the
+    //      ASCII-backed fixture blobs: byte slices == char slices) ---------
+    QueryDef(
+      "mm_frame_sample",
+      "Video-style frame sampling: blob -> fixed 64-byte frames, every 4th kept; sequence+substring, no UDF",
+      Some("""
+        SELECT doc_id, frame_idx,
+               substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame_str,
+               length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_len
+        FROM (
+          SELECT doc_id, text,
+                 unnest([i for i in range(0, CAST(ceil(n_chars / 64.0) AS BIGINT), 4)]) AS frame_idx
+          FROM documents WHERE n_chars > 0
+        )
+      """)) { (s, dir) =>
+      Multimodal.frameSample(Multimodal.pack(Tables(s, dir, "documents")), 64, 4)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame").cast("string").as("frame_str"),
+          length(col("frame")).cast("long").as("frame_len"))
+    },
+
     // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
     //      exact vectors pinned in UdfsSpec) -------------------------------
     QueryDef(
