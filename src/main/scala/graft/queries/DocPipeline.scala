@@ -756,10 +756,13 @@ object DocPipeline {
           size(filter(col("w"), x => x.isin("a", "the"))).cast("double") / size(col("w"))) +
         lit(0.2) * least((col("n_chars").cast("double") / size(col("w"))) / 6, lit(1.0))
       val q = toks.filter(quality >= 0.55).select(col("doc_id"), col("w"))
+      // survivors are re-used by several stage counts below: cache the
+      // three branch points so the funnel reads the corpus once, not once
+      // per stage (the bench releases blocks between queries)
       val ded = q
         .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(
           md5(array_join(array_sort(array_distinct(col("w"))), " ")))))
-        .filter(col("doc_id") === col("mn")).drop("mn")
+        .filter(col("doc_id") === col("mn")).drop("mn").cache()
       val bgCounts = ded.filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(
           transform(sequence(lit(0), size(col("w")) - 2),
@@ -771,7 +774,7 @@ object DocPipeline {
             sum(col("c")) > 0.15).as("repetitive"))
       val norep = ded.join(rep, Seq("doc_id"), "left")
         .filter(!coalesce(col("repetitive"), lit(false))).drop("repetitive")
-      val hold = norep.filter(col("doc_id") % 97 =!= 0)
+      val hold = norep.filter(col("doc_id") % 97 =!= 0).cache()
       // 4-grams (vs dd15's 8 + planted excerpts): short enough that natural
       // overlap with the holdout occurs, so the stage provably fires
       def grams4(df: DataFrame): DataFrame =
@@ -782,7 +785,8 @@ object DocPipeline {
           .distinct()
       val bench4 = grams4(toks.filter(col("doc_id") % 97 === 0)).select(col("gram")).distinct()
       val cont = grams4(hold).join(bench4, "gram").select(col("doc_id")).distinct()
-      val clean = hold.join(cont, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      val clean = hold.join(cont, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).cache()
       val spl = clean.select(col("doc_id"),
         when(conv(substring(md5(concat(lit("split#"), col("doc_id").cast("string"))),
           1, 2), 16, 10).cast("long") < 204, "split_train")
