@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
 object Planner {
 
   final case class Plan(
-      intent: String,            // count | list | aggregate | search | topk_group | which_group
+      intent: String,            // count | list | aggregate | search | topk_group | topk_by | which_group
       table: String,
       needsAggregation: Boolean,
       limit: Int,
@@ -294,6 +294,59 @@ object Planner {
     } yield (entity, d, m.group(1).toInt)
   }
 
+  /** Global top-k by an aggregate metric: "top 3 customers by total
+    * order value" → join the fact table, SUM its numeric column per
+    * entity, rank, LIMIT k. When the metric phrase names no other table
+    * ("top 5 suppliers by account balance") the entity's own numeric
+    * column orders directly — no aggregation needed. */
+  private def extractTopKBy(q: String): Option[(String, Option[String], Int)] = {
+    val s = q.toLowerCase
+    for {
+      m <- "top\\s+(\\d+)\\s+([a-z ]+?)\\s+by\\s+(.+)$".r.findFirstMatchIn(s)
+      if !"\\b(?:per|in each|for each)\\b".r.findFirstIn(s).isDefined
+    } yield {
+      val entity = matchTable(m.group(2))
+      val metricPhrase = m.group(3)
+      val factHits = for {
+        (table, kws) <- tableKeywords.toSeq
+        kw <- kws if metricPhrase.contains(kw)
+      } yield (table, kw.length)
+      val fact = if (factHits.isEmpty) None
+        else Some(factHits.maxBy { case (t, len) => (len, t) }._1)
+      (entity, fact.filter(f => f != entity && joinPaths.contains((entity, f))),
+        m.group(1).toInt)
+    }
+  }
+
+  private def planTopKBy(
+      q: String, entity: String, fact: Option[String], k: Int): Plan = {
+    val key = keyCols.getOrElse(entity, "1")
+    fact match {
+      case Some(f) =>
+        val from = joinPaths((entity, f))
+        val (where, years, status, yearApplied, negated) =
+          buildWhere(q, "topk", entity, Seq(f))
+        val name = searchCols.getOrElse(entity, key)
+        val num = numericCols.getOrElse(f, "1")
+        val sql = s"SELECT $key, $name, SUM($num) AS total FROM $from$where " +
+          s"GROUP BY $key, $name ORDER BY total DESC, $key LIMIT $k"
+        Plan("topk_by", entity, needsAggregation = true, limit = k, sql,
+          yearRange = years, statusFilter = status, joined = Seq(f),
+          yearApplied = yearApplied, negated = negated,
+          orderBy = Some(s"total DESC, $key"))
+      case None =>
+        val (where, years, status, yearApplied, negated) =
+          buildWhere(q, "topk", entity, Nil)
+        val num = numericCols.getOrElse(entity, "1")
+        val sql = s"SELECT * FROM $entity$where " +
+          s"ORDER BY $num DESC, $key LIMIT $k"
+        Plan("topk_by", entity, needsAggregation = false, limit = k, sql,
+          yearRange = years, statusFilter = status,
+          yearApplied = yearApplied, negated = negated,
+          orderBy = Some(s"$num DESC, $key"))
+    }
+  }
+
   /** "which <dim> has the most <entity>" → grouped count (or sum for
     * highest/lowest) ordered, LIMIT 1. */
   private def extractWhichGroup(q: String)
@@ -316,6 +369,9 @@ object Planner {
   /** Q4 — deterministic SQL generation for the supported intents. */
   def plan(q: String): Plan = {
     extractTopKGroup(q).map { case (entity, d, k) => planTopKGroup(q, entity, d, k) }
+      .orElse(extractTopKBy(q).map { case (entity, fact, k) =>
+        planTopKBy(q, entity, fact, k)
+      })
       .orElse(extractWhichGroup(q).map { case (d, entity, metric, dir) =>
         planWhichGroup(q, d, entity, metric, dir)
       })

@@ -10,9 +10,13 @@ import graft.functions.Udfs
   * reference's chatbot loop.
   * Usage: runMain graft.ql.QlShell <sfDir> <sql> [maxRows]
   *        runMain graft.ql.QlShell <sfDir> --ask '<question>' [maxRows]
+  * Add --present anywhere to render record cards + statistics
+  * (Presenter) instead of pipe-separated rows.
   */
 object QlShell {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val presentMode = rawArgs.contains("--present")
+    val args = rawArgs.filterNot(_ == "--present")
     val dir = args(0)
     val (sql, maxRowsArg) =
       if (args(1) == "--ask") {
@@ -35,8 +39,13 @@ object QlShell {
     Udfs.register(spark)
     QueryGuard.run(spark, dir, sql, maxRows) match {
       case Right(res) =>
-        println(res.columns.mkString(" | "))
-        res.rows.foreach(r => println(r.mkString(" | ")))
+        if (presentMode) {
+          print(Presenter.present(res.columns.toSeq,
+            res.rows.toSeq.map(_.toSeq)))
+        } else {
+          println(res.columns.mkString(" | "))
+          res.rows.foreach(r => println(r.mkString(" | ")))
+        }
       case Left(denied) =>
         println(s"DENIED [${denied.threat}]: ${denied.reason}")
         sys.exit(2)

@@ -114,6 +114,18 @@ class CorpusSpec extends SparkTestBase {
     "first 3 events",
     "top 10 line items")
 
+  private val topKByMetric = Seq(
+    "top 3 customers by total order value",
+    "top 5 customers by order value",
+    "top 10 customers by purchase history value",
+    "top 3 nations by order value",
+    "top 5 suppliers by shipment value",
+    "top 3 parts by shipment value",
+    "top 5 suppliers by account balance",
+    "top 10 parts by retail price",
+    "top 5 customers by balance",
+    "top 3 documents by length")
+
   private val topKPerGroup = Seq(
     "top 3 customers per nation",
     "top 2 orders per customer",
@@ -468,7 +480,8 @@ class CorpusSpec extends SparkTestBase {
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
-      topKPerGroup ++ whichGroup ++ superlatives ++ searches ++ dateRanges ++
+      topKByMetric ++ topKPerGroup ++ whichGroup ++ superlatives ++
+      searches ++ dateRanges ++
       statusFilters ++ negations ++ combos ++ joins ++ joinCombos ++
       multiConstraint ++ metricAggs ++ thresholds ++ distinctCounts ++
       morePhrasings
@@ -568,6 +581,28 @@ class CorpusSpec extends SparkTestBase {
     val one = df.filter(df("n_name") === perGroup.head.getString(0))
       .selectExpr("c_acctbal", "rnk").collect().sortBy(_.getInt(1))
     assert(one.map(_.getDouble(0)).sliding(2).forall(p2 => p2.length < 2 || p2(0) >= p2(1)))
+  }
+
+  test("top-k-by-metric ranks entities by the summed fact value") {
+    val p = Planner.plan("top 3 customers by total order value")
+    assert(p.intent == "topk_by" && p.needsAggregation && p.joined == Seq("orders"))
+    val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 10).toOption.get.collect()
+    assert(rows.length == 3)
+    val expected = QueryGuard.execute(spark, sf0001,
+      "SELECT c_custkey, SUM(o_totalprice) AS total FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey ORDER BY total DESC, c_custkey LIMIT 3",
+      maxRows = 10).toOption.get.collect()
+    assert(rows.map(_.get(0)).sameElements(expected.map(_.get(0))))
+  }
+
+  test("top-k-by with an own-column metric orders directly, no aggregation") {
+    val p = Planner.plan("top 5 suppliers by account balance")
+    assert(p.intent == "topk_by" && !p.needsAggregation)
+    val rows = QueryGuard.execute(spark, sf0001, p.sql, maxRows = 10).toOption.get.collect()
+    assert(rows.length == 5)
+    val bals = rows.map(_.getAs[Double]("s_acctbal"))
+    assert(bals.sliding(2).forall(p2 => p2.length < 2 || p2(0) >= p2(1)))
   }
 
   test("'which X has the most Y' returns exactly the top group") {
