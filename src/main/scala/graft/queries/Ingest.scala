@@ -93,5 +93,25 @@ object Ingest {
         FROM sessions GROUP BY user_id, session_id
       """)) { (s, dir) =>
       EventsStream.sessionized(t(s, dir, "events"))
+    },
+
+    // ---- stream-stream interval join (batch face) -------------------------
+    QueryDef(
+      "st_interval_join",
+      "Click->purchase attribution within 1h per user (EventsStream.attributedPurchases; bounded join state via watermarks)",
+      Some("""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+               p.value AS amount
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      """)) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      EventsStream.attributedPurchases(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
     })
 }

@@ -53,6 +53,30 @@ object EventsStream {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each purchase attributed to every
+    * click by the same user in the preceding hour. Both sides carry
+    * watermarks, so the join state is BOUNDED — Spark co-partitions both
+    * streams on user_id and evicts click state once the purchase-side
+    * watermark passes click_ts + 1h; at 100 TB/day the state per
+    * executor is one hour of clicks for its key range, not the stream's
+    * history. Works identically on batch frames (oracle-gated as
+    * `st_interval_join`). */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_timestamp(col("click_ts")).as("click_epoch"),
+        unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+        col("amount"))
+  }
+
   /** Custom per-key state via flatMapGroupsWithState: running per-user
     * totals with an alert emitted each time the cumulative value crosses
     * another multiple of `threshold` — state the built-in windows can't

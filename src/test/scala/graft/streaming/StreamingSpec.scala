@@ -108,4 +108,26 @@ class StreamingSpec extends SparkTestBase {
     assert(out(1).getString(1) == "keep")    // kept
     assert(out(2).getString(1) == "ins")     // inserted
   }
+
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+    purchases.addData(
+      Ev(10, ts("2024-01-01 10:45:00"), 1, "purchase", 99.0),  // joins clicks 1+2
+      Ev(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.0))   // >1h after click 3
+    val q = EventsStream.attributedPurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("attrib").orderBy("click_id").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("click_id")).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.getAs[Long]("purchase_id") == 10L))
+    assert(rows.forall(_.getAs[Double]("amount") == 99.0))
+  }
 }
