@@ -30,9 +30,13 @@ object AnnSearch {
     Tables(s, dir, n)
 
   /** Sequential-fold dot product of two double arrays (matches the
-    * C-loop order of DuckDB's list_dot_product). */
+    * C-loop order of DuckDB's list_dot_product). Native codegen
+    * expression — bit-exact with the `aggregate(zip_with(...))`
+    * formulation (NativeExpressionsSpec pins it) but a single fused JVM
+    * loop instead of an intermediate product array + interpreted
+    * lambdas. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.NativeExpressions.dot_native(a, b)
 
   private def withVec(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),

@@ -56,4 +56,27 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(r.getString(0) == "cfbff0d1-9375-5685-968c-48ce8b15ae17")
     assert(math.abs(r.getDouble(1) - 4.0 / 7.0) < 1e-9)
   }
+
+  test("dot_native is bit-exact with the aggregate/zip_with fold") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(200)
+    val both = vecs.select(
+      NativeExpressions.dot_native(col("v"), col("v")).as("native"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+    // null array propagates to null, never throws
+    val n = vecs.select(NativeExpressions.dot_native(
+      lit(null).cast("array<double>"), col("v")).as("d")).collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
 }
