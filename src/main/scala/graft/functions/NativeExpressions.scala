@@ -72,6 +72,51 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Space-joined word n-grams in one generated-code loop — replaces the
+    * `transform(sequence(0, size-n), i -> array_join(slice(w, i+1, n)))`
+    * builders behind every shingle/gram operator (dd2/dd3/dd8 3-gram
+    * shingles, dd15 8-gram decontamination, dd16/dd17 bigrams + 4-grams).
+    * The higher-order version allocates a sequence array, a slice array,
+    * and an interpreted lambda frame per gram; this builds the gram
+    * strings directly. Fewer than n words → empty array (the upstream
+    * size guards become redundant but stay for plan readability). */
+  def ngramsEval(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val total = words.numElements()
+    val out: Array[Any] =
+      if (total < n) new Array[Any](0)
+      else {
+        val res = new Array[Any](total - n + 1)
+        val parts = new Array[UTF8String](n)
+        var i = 0
+        while (i <= total - n) {
+          var j = 0
+          while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+          res(i) = UTF8String.concatWs(Space, parts: _*)
+          i += 1
+        }
+        res
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class NGrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, s"n must be positive: $n")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "ngrams_native"
+    override protected def nullSafeEval(input: Any): Any =
+      ngramsEval(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeExpressions.ngramsEval($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): NGrams =
+      copy(child = newChild)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
@@ -95,6 +140,8 @@ object NativeExpressions {
     column(TrigramSimilarity(expression(a), expression(b)))
   def dot_native(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def ngrams_native(words: Column, n: Int): Column =
+    column(NGrams(expression(words), n))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

@@ -53,9 +53,7 @@ object DocPipeline {
     docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
       .filter(size(col("arr")) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("arr")) - 3), i =>
-          concat_ws(" ", element_at(col("arr"), i + 1),
-            element_at(col("arr"), i + 2), element_at(col("arr"), i + 3))))
+        explode(graft.functions.NativeExpressions.ngrams_native(col("arr"), 3))
           .as("sh"))
       .distinct()
 
@@ -601,10 +599,7 @@ object DocPipeline {
       """)) { (s, dir) =>
       val docs = t(s, dir, "documents")
       def grams(words: Column): Column =
-        when(size(words) >= 8,
-          transform(sequence(lit(0), size(words) - 8),
-            i => array_join(slice(words, i + 1, lit(8)), " ")))
-          .otherwise(array().cast("array<string>"))
+        graft.functions.NativeExpressions.ngrams_native(words, 8)
       val bench = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("b_id"), split(col("text"), " ").as("w"))
       val planted = bench
@@ -655,8 +650,8 @@ object DocPipeline {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 2)
       val grams = words.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - 2),
-          i => array_join(slice(col("w"), i + 1, lit(2)), " "))).as("bg"))
+        explode(graft.functions.NativeExpressions.ngrams_native(col("w"), 2))
+          .as("bg"))
       val counts = grams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       val topFrac = max(col("c")).cast("double") / sum(col("c"))
       val dupFrac =
@@ -765,8 +760,7 @@ object DocPipeline {
         .filter(col("doc_id") === col("mn")).drop("mn").cache()
       val bgCounts = ded.filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(
-          transform(sequence(lit(0), size(col("w")) - 2),
-            i => array_join(slice(col("w"), i + 1, lit(2)), " "))).as("bgm"))
+          graft.functions.NativeExpressions.ngrams_native(col("w"), 2)).as("bgm"))
         .groupBy(col("doc_id"), col("bgm")).agg(count(lit(1)).as("c"))
       val rep = bgCounts.groupBy(col("doc_id")).agg(
         (max(col("c")).cast("double") / sum(col("c")) > 0.1 ||
@@ -780,8 +774,7 @@ object DocPipeline {
       def grams4(df: DataFrame): DataFrame =
         df.filter(size(col("w")) >= 4)
           .select(col("doc_id"), explode(
-            transform(sequence(lit(0), size(col("w")) - 4),
-              i => array_join(slice(col("w"), i + 1, lit(4)), " "))).as("gram"))
+            graft.functions.NativeExpressions.ngrams_native(col("w"), 4)).as("gram"))
           .distinct()
       val bench4 = grams4(toks.filter(col("doc_id") % 97 === 0)).select(col("gram")).distinct()
       val cont = grams4(hold).join(bench4, "gram").select(col("doc_id")).distinct()

@@ -79,4 +79,29 @@ class NativeExpressionsSpec extends SparkTestBase {
       lit(null).cast("array<double>"), col("v")).as("d")).collect()
     assert(n.forall(_.isNullAt(0)))
   }
+
+  test("ngrams_native matches the transform/sequence/slice formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(split(col("text"), " ").as("w")).limit(100)
+    Seq(2, 3, 8).foreach { k =>
+      val both = docs.select(
+        NativeExpressions.ngrams_native(col("w"), k).as("native"),
+        when(size(col("w")) >= k,
+          transform(sequence(lit(0), size(col("w")) - k),
+            i => array_join(slice(col("w"), i + 1, lit(k)), " ")))
+          .otherwise(array().cast("array<string>")).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k mismatch")
+      }
+    }
+    // short arrays yield empty, null yields null
+    val edge = spark.sql(
+      "SELECT 1").select(
+      NativeExpressions.ngrams_native(typedLit(Seq("a", "b")), 3).as("short"),
+      NativeExpressions.ngrams_native(
+        lit(null).cast("array<string>"), 2).as("nul")).collect().head
+    assert(edge.getSeq[String](0).isEmpty && edge.isNullAt(1))
+  }
 }
