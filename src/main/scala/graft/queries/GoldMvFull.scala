@@ -572,5 +572,184 @@ object GoldMvFull {
           stip.as("stipulated_period"),
           due.as("due_date"),
           coalesce(col("drug_details"), lit("[]")).as("drug_details"))
+    },
+
+    // ---- advanced_search_accuseds_mv at full breadth ----------------------
+    // The per-accused search surface (advanced_search_accuseds_mv.sql:1-146):
+    // child-row grain with a 5-way join - crime INNER, hierarchy INNER
+    // (broadcast), persons LEFT with gaps, AI-flat LEFT with gaps - plus
+    // COALESCE role/status with the bucket CASE over BOTH domains, both
+    // address assemblies, the DISTINCT-upper-trim FILTER drugType array,
+    // the ordered drugDetails JSON, and the stipulated-period/due-date
+    // pair. One lineitem scan for the child rows, one for the two
+    // per-crime drug aggregates (shared groupBy), all dims broadcast.
+    QueryDef(
+      "mv_advanced_search_full",
+      "Per-accused search MV at full breadth: 5-way join w/ gapped LEFTs, coalesced role/status buckets, addresses, drugType + drugDetails, stipulated period (advanced_search_accuseds_mv.sql:1-146)",
+      Some(s"""
+        WITH acc AS (
+          SELECT * FROM lineitem WHERE l_orderkey % 8 = 0
+        ),
+        drug0 AS (
+          SELECT a.l_orderkey, a.l_shipdate, a.l_linenumber, a.l_partkey,
+                 upper(trim(p.p_name)) AS drug_name,
+                 (p.p_name NOT LIKE '%green%') AS keep,
+                 '{"name":"' || p.p_brand || '","quantity":"' ||
+                 CASE WHEN CAST(a.l_quantity AS BIGINT) >= 10 THEN CAST(CAST(a.l_quantity AS BIGINT) AS VARCHAR) || ' Units'
+                      WHEN CAST(a.l_quantity AS BIGINT) > 0 THEN CAST(CAST(a.l_quantity AS BIGINT) * 1000 AS VARCHAR) || ' mg'
+                      ELSE 'N/A' END ||
+                 '","worth":' || CAST(floor(a.l_extendedprice) AS BIGINT) || '}' AS js
+          FROM acc a JOIN part p ON a.l_partkey = p.p_partkey
+        ),
+        drug_agg AS (
+          SELECT l_orderkey AS da_key,
+                 '[' || string_agg(js, ',' ORDER BY l_shipdate, l_linenumber, l_partkey, js) || ']' AS drug_details,
+                 list_sort(array_agg(DISTINCT drug_name) FILTER (WHERE keep)) AS dt
+          FROM drug0 GROUP BY l_orderkey
+        )
+        SELECT a.l_orderkey AS crime_id, a.l_linenumber AS seq_num,
+               a.l_orderkey * 10 + a.l_linenumber AS accused_code,
+               a.l_quantity, a.l_discount, a.l_tax,
+               a.l_returnflag, a.l_linestatus,
+               COALESCE(bfa.p_brand, 'ROLE-' || a.l_returnflag) AS accused_role,
+               CASE WHEN COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) LIKE 'SMALL%'
+                      OR COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) LIKE 'MEDIUM%' THEN 'Contained'
+                    WHEN COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) LIKE 'LARGE%'
+                      OR COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) LIKE 'STANDARD%' THEN 'Bulk'
+                    WHEN COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) LIKE 'ECONOMY%' THEN 'Deferred'
+                    WHEN COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) LIKE 'PROMO%' THEN 'Direct'
+                    WHEN COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) LIKE 'R-%' THEN 'Returned'
+                    WHEN COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) = 'N-O' THEN 'Open'
+                    ELSE 'Unknown' END AS accused_status,
+               COALESCE(bfa.p_type, a.l_returnflag || '-' || a.l_linestatus) AS accused_status_raw,
+               o.o_orderstatus AS case_status, o.o_orderpriority AS case_classification,
+               o.o_totalprice AS case_worth,
+               CAST(year(o.o_orderdate) AS INTEGER) AS fir_year,
+               strftime(o.o_orderdate, '%Y-%m') AS fir_month,
+               c.c_mktsegment AS ps_name, lower(c.c_name) AS search_ps,
+               n.n_name AS dist_name, n.n_nationkey AS dist_code,
+               r.r_name AS zone_name,
+               p2.s_name AS person_name, lower(COALESCE(p2.s_name, 'unknown')) AS search_person,
+               p2.s_acctbal AS person_balance, p2.s_nationkey AS person_nation,
+               '+' || CAST(p2.s_nationkey AS VARCHAR) || '-' || CAST(p2.s_suppkey AS VARCHAR) AS person_phone,
+               CASE WHEN p2.s_suppkey IS NULL THEN NULL
+                    WHEN p2.s_suppkey % 13 = 0 THEN 'yes' ELSE 'no' END AS is_died,
+               concat_ws(', ', NULLIF(p2.s_name, ''), NULLIF(n.n_name, ''),
+                         NULLIF(c.c_mktsegment, '')) AS present_address,
+               concat_ws(', ', NULLIF(upper(p2.s_name), ''), NULLIF(r.r_name, '')) AS permanent_address,
+               CASE WHEN d.dt IS NULL OR len(d.dt) = 0 THEN '[]'
+                    ELSE '["' || array_to_string(d.dt, '","') || '"]' END AS drug_type,
+               COALESCE(d.drug_details, '[]') AS drug_details,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN
+                      CASE WHEN date_diff('day', o.o_orderdate::DATE, DATE '$Anchor') <= 180
+                           THEN 'Within Limit (180 Days)' ELSE 'Overdue (Beyond 180 Days)' END
+                    ELSE
+                      CASE WHEN date_diff('day', o.o_orderdate::DATE, DATE '$Anchor') <= 60
+                           THEN 'Within Limit (60 Days)' ELSE 'Overdue (Beyond 60 Days)' END
+               END AS stipulated_period,
+               strftime(o.o_orderdate::DATE +
+                 CASE WHEN o.o_orderpriority = '1-URGENT' THEN 180 ELSE 60 END,
+                 '%Y-%m-%d') AS due_date
+        FROM acc a
+        JOIN orders o ON a.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0) p2
+               ON a.l_suppkey = p2.s_suppkey
+        LEFT JOIN (SELECT p_partkey, p_brand, p_type FROM part
+                   WHERE p_partkey % 3 = 0) bfa
+               ON a.l_partkey = bfa.p_partkey
+        LEFT JOIN drug_agg d ON a.l_orderkey = d.da_key
+      """)) { (s, dir) =>
+      val acc = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
+      val part = broadcast(t(s, dir, "part"))
+
+      // per-crime drug aggregates: ONE groupBy carries both the ordered
+      // details JSON and the DISTINCT-upper-trim FILTER type array
+      val perRowQty = when(col("l_quantity").cast("long") >= 10,
+        concat(col("l_quantity").cast("long").cast("string"), lit(" Units")))
+        .when(col("l_quantity").cast("long") > 0,
+          concat((col("l_quantity").cast("long") * 1000).cast("string"), lit(" mg")))
+        .otherwise("N/A")
+      val drugJs = concat(lit("{\"name\":\""), col("p_brand"),
+        lit("\",\"quantity\":\""), perRowQty,
+        lit("\",\"worth\":"), floor(col("l_extendedprice")).cast("long"), lit("}"))
+      val drugAgg = acc.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("da_key"))
+        .agg(
+          jsonArrOrdered(Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey")),
+            drugJs).as("drug_details"),
+          array_sort(collect_set(when(!col("p_name").like("%green%"),
+            upper(trim(col("p_name")))))).as("dt"))
+
+      val statusBase = coalesce(col("bfa_type"),
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus")))
+      val statusBucket =
+        when(statusBase.like("SMALL%") || statusBase.like("MEDIUM%"), "Contained")
+          .when(statusBase.like("LARGE%") || statusBase.like("STANDARD%"), "Bulk")
+          .when(statusBase.like("ECONOMY%"), "Deferred")
+          .when(statusBase.like("PROMO%"), "Direct")
+          .when(statusBase.like("R-%"), "Returned")
+          .when(statusBase === "N-O", "Open")
+          .otherwise("Unknown")
+      val isComm = col("o_orderpriority") === "1-URGENT"
+      val days = datediff(lit(Anchor).cast("date"), col("o_orderdate"))
+      val stip = when(isComm,
+        when(days <= 180, "Within Limit (180 Days)")
+          .otherwise("Overdue (Beyond 180 Days)"))
+        .otherwise(when(days <= 60, "Within Limit (60 Days)")
+          .otherwise("Overdue (Beyond 60 Days)"))
+      val due = date_format(
+        date_add(to_date(col("o_orderdate")), when(isComm, 180).otherwise(60)),
+        "yyyy-MM-dd")
+
+      acc
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier").filter(col("s_suppkey") % 7 =!= 0)),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .join(broadcast(t(s, dir, "part").filter(col("p_partkey") % 3 === 0)
+          .select(col("p_partkey").as("bfa_key"), col("p_brand").as("bfa_brand"),
+            col("p_type").as("bfa_type"))),
+          col("l_partkey") === col("bfa_key"), "left")
+        .join(drugAgg, col("l_orderkey") === col("da_key"), "left")
+        .select(
+          col("l_orderkey").as("crime_id"), col("l_linenumber").as("seq_num"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("accused_code"),
+          col("l_quantity"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          coalesce(col("bfa_brand"), concat(lit("ROLE-"), col("l_returnflag")))
+            .as("accused_role"),
+          statusBucket.as("accused_status"),
+          statusBase.as("accused_status_raw"),
+          col("o_orderstatus").as("case_status"),
+          col("o_orderpriority").as("case_classification"),
+          col("o_totalprice").as("case_worth"),
+          year(col("o_orderdate")).as("fir_year"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("fir_month"),
+          col("c_mktsegment").as("ps_name"), lower(col("c_name")).as("search_ps"),
+          col("n_name").as("dist_name"), col("n_nationkey").as("dist_code"),
+          col("r_name").as("zone_name"),
+          col("s_name").as("person_name"),
+          lower(coalesce(col("s_name"), lit("unknown"))).as("search_person"),
+          col("s_acctbal").as("person_balance"), col("s_nationkey").as("person_nation"),
+          concat(lit("+"), col("s_nationkey").cast("string"), lit("-"),
+            col("s_suppkey").cast("string")).as("person_phone"),
+          when(col("s_suppkey").isNull, lit(null).cast("string"))
+            .when(col("s_suppkey") % 13 === 0, "yes").otherwise("no").as("is_died"),
+          concat_ws(", ", nullif(col("s_name"), lit("")),
+            nullif(col("n_name"), lit("")), nullif(col("c_mktsegment"), lit("")))
+            .as("present_address"),
+          concat_ws(", ", nullif(upper(col("s_name")), lit("")),
+            nullif(col("r_name"), lit(""))).as("permanent_address"),
+          when(col("dt").isNull || size(col("dt")) === 0, "[]")
+            .otherwise(concat(lit("[\""), array_join(col("dt"), "\",\""), lit("\"]")))
+            .as("drug_type"),
+          coalesce(col("drug_details"), lit("[]")).as("drug_details"),
+          stip.as("stipulated_period"),
+          due.as("due_date"))
     })
 }
