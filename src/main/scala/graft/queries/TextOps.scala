@@ -291,7 +291,36 @@ object TextOps {
     QueryDef(
       "t13_soundex_blocking",
       "Soundex phonetic codes as blocking keys; group sizes per code (brief_facts_ai/main.py:156-180)",
-      None) { (s, dir) =>
+      // DuckDB 1.0 has no soundex builtin — the oracle re-implements it
+      // with list comprehensions (letter→code map, adjacent-dup drop,
+      // zero strip, pad). Verified equal to Spark's soundex over the
+      // fixture vocabulary (pure-alpha first words; the H/W edge cases
+      // that could diverge need non-alpha or H/W-separated codes).
+      Some("""
+        WITH w0 AS (
+          SELECT p_name, upper(string_split(p_name, ' ')[1]) AS w FROM part
+        ),
+        codes AS (
+          SELECT p_name, w,
+                 [CASE WHEN w[i] IN ('B','F','P','V') THEN '1'
+                       WHEN w[i] IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                       WHEN w[i] IN ('D','T') THEN '3'
+                       WHEN w[i] = 'L' THEN '4'
+                       WHEN w[i] IN ('M','N') THEN '5'
+                       WHEN w[i] = 'R' THEN '6'
+                       ELSE '0' END for i in range(1, len(w)+1)] AS cd
+          FROM w0
+        ),
+        sdx AS (
+          SELECT p_name,
+                 w[1] || substr(replace(array_to_string(
+                   [cd[i] for i in range(2, len(cd)+1) if cd[i] <> cd[i-1]], ''), '0', '')
+                   || '000', 1, 3) AS sdx
+          FROM codes
+        )
+        SELECT sdx, COUNT(*) AS n, COUNT(DISTINCT p_name) AS distinct_names
+        FROM sdx GROUP BY sdx
+      """)) { (s, dir) =>
       t(s, dir, "part")
         .select(col("p_name"), soundex(split(col("p_name"), " ").getItem(0)).as("sdx"))
         .groupBy(col("sdx")).agg(count(lit(1)).as("n"),
