@@ -29,8 +29,7 @@ class ValidationSpec extends SparkTestBase {
 
   test("oracle SQL exists for every query except the documented rows-only set") {
     val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(rowsOnly == Set("t13_soundex_blocking", "f_custom_functions",
-      "mm_feature_extract"),
+    assert(rowsOnly == Set("f_custom_functions", "mm_feature_extract"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
