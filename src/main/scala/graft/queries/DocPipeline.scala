@@ -799,5 +799,173 @@ object DocPipeline {
         .unionByName(spl.groupBy(col("stage"))
           .agg(count(lit(1)).as("docs"), sum(col("doc_id")).as("id_checksum"))
           .select(lit(7).as("ord"), col("stage"), col("docs"), col("id_checksum")))
+    },
+
+    // ---- DD18: PII detection + redaction -----------------------------------
+    // Pre-training corpora scrub emails/phones before release. The corpus
+    // text is synthetic word-soup, so deterministic PII is planted on
+    // every 7th doc (same expression in both engines); detection counts
+    // occurrences per pattern and redaction rewrites them to typed tags.
+    // All codegen'd regexp functions — narrow, no shuffle, no UDF: the
+    // 100 TB shape is a pure map stage.
+    QueryDef(
+      "dd18_pii_redact",
+      "PII scrub: email/phone regex detection counts + typed-tag redaction (planted PII on every 7th doc; pure narrow map stage)",
+      Some("""
+        WITH pii AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+               (regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+                 OR regexp_matches(text, '\b555-[0-9]{4}\b')) AS has_pii,
+               md5(regexp_replace(regexp_replace(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '\b555-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5
+        FROM pii
+      """)) { (s, dir) =>
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\b555-[0-9]{4}\\b"
+      val pii = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      pii.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        (regexp_like(col("text"), lit(emailPat)) ||
+          regexp_like(col("text"), lit(phonePat))).as("has_pii"),
+        md5(regexp_replace(regexp_replace(col("text"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]")).as("redacted_md5"))
+    },
+
+    // ---- DD19: paragraph-level dedup / boilerplate removal -----------------
+    // Near-dup detection at document granularity misses shared boilerplate
+    // (headers, footers, nav text) repeated across otherwise-distinct
+    // pages. Paragraphs here are consecutive 10-word chunks (the corpus
+    // has no natural breaks) plus a planted boilerplate paragraph on
+    // every 3rd doc. Document frequency per paragraph comes from a
+    // groupBy on the paragraph *hash* — the shuffle key is a fixed-width
+    // md5, never the paragraph text, so the 100 TB exchange stays narrow.
+    QueryDef(
+      "dd19_paragraph_dedup",
+      "Paragraph dedup: 10-word-chunk paragraphs + planted boilerplate, doc-frequency via md5-keyed groupBy, per-doc retained fraction",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunked AS (
+          SELECT doc_id,
+                 [array_to_string(w[10*i+1 : 10*i+10], ' ')
+                  for i in range(0, ((len(w) - 1) // 10) + 1)] AS chunks
+          FROM toks
+        ),
+        withbp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN list_append(chunks,
+                   'subscribe to our newsletter for daily updates and exclusive offers')
+                 ELSE chunks END AS ps
+          FROM chunked
+        ),
+        paras AS (SELECT doc_id, md5(unnest(ps)) AS ph FROM withbp),
+        pf AS (SELECT ph, COUNT(DISTINCT doc_id) AS df FROM paras GROUP BY ph)
+        SELECT p.doc_id,
+               COUNT(*) AS n_paras,
+               COUNT(*) FILTER (WHERE pf.df > 1) AS n_shared,
+               COUNT(*) FILTER (WHERE pf.df >= 3) AS n_boiler,
+               round(CAST(COUNT(*) - COUNT(*) FILTER (WHERE pf.df > 1) AS DOUBLE)
+                     / COUNT(*), 9) AS retained_frac
+        FROM paras p JOIN pf ON p.ph = pf.ph
+        GROUP BY p.doc_id
+      """)) { (s, dir) =>
+      val bp = "subscribe to our newsletter for daily updates and exclusive offers"
+      val arr = split(col("text"), " ")
+      val chunks = transform(
+        sequence(lit(0), ((size(arr) - lit(1)) / lit(10)).cast("int")),
+        i => array_join(slice(arr, i * 10 + 1, lit(10)), " "))
+      val ps = when(col("doc_id") % 3 === 0, concat(chunks, array(lit(bp))))
+        .otherwise(chunks)
+      val paras = t(s, dir, "documents")
+        .select(col("doc_id"), explode(ps).as("para"))
+        .select(col("doc_id"), md5(col("para")).as("ph"))
+      val pf = paras.groupBy(col("ph"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      paras.join(pf, "ph")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"),
+          round((count(lit(1)) - sum(when(col("df") > 1, 1L).otherwise(0L)))
+            .cast("double") / count(lit(1)), 9).as("retained_frac"))
+    },
+
+    // ---- DD20: URL extraction + per-domain stats ---------------------------
+    // Web-corpus curation tracks provenance per domain (allowlists,
+    // per-domain caps, license buckets). URLs are planted on every 4th
+    // doc (two shapes; every 8th doc carries both) and extracted with
+    // one codegen'd regexp pass; the only shuffle is the final per-domain
+    // aggregation whose key cardinality is tiny.
+    QueryDef(
+      "dd20_url_stats",
+      "URL/domain provenance: regex URL extraction (planted on every 4th doc), per-domain url + distinct-doc counts",
+      Some("""
+        WITH urled AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 4 = 0 THEN
+                      ' see https://site' || CAST(doc_id % 10 AS VARCHAR)
+                      || '.example.com/page' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END
+                 || CASE WHEN doc_id % 8 = 0 THEN
+                      ' and http://cdn.example.org/asset' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents
+        ),
+        urls AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, 'https?://[a-z0-9./-]+')) AS url
+          FROM urled
+        )
+        SELECT regexp_extract(url, '^https?://([a-z0-9.-]+)', 1) AS domain,
+               COUNT(*) AS n_urls,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(url) AS first_url
+        FROM urls
+        GROUP BY 1
+      """)) { (s, dir) =>
+      val urlPat = "https?://[a-z0-9./-]+"
+      val urled = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" see https://site"), (col("doc_id") % 10).cast("string"),
+              lit(".example.com/page"), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 8 === 0,
+            concat(lit(" and http://cdn.example.org/asset"),
+              col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      urled
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit(urlPat), lit(0))).as("url"))
+        .groupBy(regexp_extract(col("url"), "^https?://([a-z0-9.-]+)", 1)
+          .as("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("url")).as("first_url"))
     })
 }
