@@ -89,102 +89,144 @@ object GoldMvFull {
       dir: String,
       orders: DataFrame,
       li: DataFrame): DataFrame = {
-      val part = broadcast(t(s, dir, "part"))
-      val supp = broadcast(t(s, dir, "supplier"))
+      val part = broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_name"))
+      val supp = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name"))
 
-      // child role 1: accused_flat (firs_mv.sql:40-54) — one scan, one
-      // groupBy on the parent key; status normalization CASE chain.
-      val statusNorm = when(col("l_returnflag") === "R", "Returned")
-        .when(col("l_returnflag") === "A", "Adjusted")
-        .when(col("l_returnflag") === "N" && col("l_linestatus") === "O", "Open")
-        .otherwise("Unknown")
-      val accusedJs = concat(
-        lit("{\"personCode\":\"L-"), col("l_linenumber"),
-        lit("\",\"partId\":"), col("l_partkey"),
-        lit(",\"status\":\""), statusNorm, lit("\"}"))
-      // child role 4 rides the same groupBy (firs_mv.sql:132-166): the
-      // UNION-ALL document list is two per-row branch renderings collected
-      // as distinct sets and merged — same rows as the oracle's UNION ALL
-      // + DISTINCT agg, one fewer scan+shuffle than a separate explode.
-      val fileJsA = when(col("l_returnflag") === "R",
-        concat(lit("{\"filePath\":\"/files/"), col("l_partkey"),
+      // ONE lineitem scan feeds all four child roles. The dims come in as
+      // broadcast LEFT joins (null-guarded below), so per-role membership
+      // exactly mirrors the reference's per-role scans — accused/documents
+      // see every row, drug_flat only part-joined rows, chargesheets only
+      // supplier⋈part-joined rows — even on FK-orphaned data. One shuffle
+      // (the parent-key collect_list) replaces the three per-role
+      // shuffles: per-parent fan-in is bounded (the MV row materializes
+      // every child anyway), so the per-order rollups run in array-land
+      // on ~|children| elements with no further exchange.
+      val enriched = li
+        .join(part, col("l_partkey") === col("p_partkey"), "left")
+        .join(supp, col("l_suppkey") === col("s_suppkey"), "left")
+        .select(col("l_orderkey"), struct(
+          col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"),
+          col("l_returnflag").as("rf"),
+          col("l_linestatus").as("ls"),
+          col("l_quantity").cast("long").as("qty"),
+          col("p_brand").as("brand"),
+          col("p_name").as("pname"),
+          col("s_name").as("sname")).as("it"))
+      val grouped = enriched.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("it")).as("items"))
+
+      // -- child role 1: accused_flat (firs_mv.sql:40-54) -------------------
+      val statusNorm: Column => Column = x =>
+        when(x.getField("rf") === "R", "Returned")
+          .when(x.getField("rf") === "A", "Adjusted")
+          .when(x.getField("rf") === "N" && x.getField("ls") === "O", "Open")
+          .otherwise("Unknown")
+      val accusedJs: Column => Column = x => concat(
+        lit("{\"personCode\":\"L-"), x.getField("ln"),
+        lit("\",\"partId\":"), x.getField("pk"),
+        lit(",\"status\":\""), statusNorm(x), lit("\"}"))
+      // ordered JSON rollup in array-land: sort (k0, k1, js) structs so
+      // ties on the declared keys stay deterministic (same contract as
+      // jsonArrOrdered), then project the rendered object.
+      def arrOrdered(items: Column, k0: Column => Column, k1: Column => Column,
+          js: Column => Column): Column =
+        concat(lit("["), array_join(transform(
+          array_sort(transform(items,
+            x => struct(k0(x).as("k0"), k1(x).as("k1"), js(x).as("js")))),
+          kx => kx.getField("js")), ","), lit("]"))
+      def arrDistinct(rendered: Column): Column =
+        concat(lit("["), array_join(array_sort(array_distinct(rendered)), ","),
+          lit("]"))
+      def cnt(items: Column, p: Column => Column): Column =
+        size(filter(items, p)).cast("long")
+
+      val items = col("items")
+      val isDisp: Column => Column = x => x.getField("ls") === "F"
+      // child role 4 (firs_mv.sql:132-166): the UNION-ALL document list is
+      // two per-row branch renderings; the branches cannot overlap
+      // (distinct type tags), so the distinct-sorted concat equals the
+      // oracle's UNION ALL + DISTINCT agg.
+      val fileJsA = transform(filter(items, x => x.getField("rf") === "R"),
+        x => concat(lit("{\"filePath\":\"/files/"), x.getField("pk"),
           lit(".pdf\",\"type\":\"FIR_COPY\",\"isDownloaded\":false}")))
-      val fileJsB = when(col("l_linestatus") === "O",
-        concat(lit("{\"filePath\":\"/generated/chargesheets/"), col("l_suppkey"),
-          lit("/"), col("l_partkey"),
+      val fileJsB = transform(filter(items, x => x.getField("ls") === "O"),
+        x => concat(lit("{\"filePath\":\"/generated/chargesheets/"), x.getField("sk"),
+          lit("/"), x.getField("pk"),
           lit("\",\"type\":\"CHARGESHEET_FILE\",\"isDownloaded\":true}")))
-      val liAgg = li.groupBy(col("l_orderkey")).agg(
-        count(lit(1)).as("n_accused"),
-        // disposal counters folded into the same pass (firs_mv.sql:78-89):
-        // three filtered counts + the k→count map share one scan.
-        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "R", 1L)
-          .otherwise(0L)).as("conviction_count"),
-        sum(when(col("l_linestatus") === "F" && col("l_returnflag") === "A", 1L)
-          .otherwise(0L)).as("acquittal_count"),
-        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("total_disposals"),
-        sum(col("l_quantity").cast("long")).as("qty_tot"),
-        jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), accusedJs)
-          .as("accused_details"),
-        collect_list(when(col("l_linestatus") === "F", col("l_returnflag")))
-          .as("disp_flags"),
-        // the two branch sets cannot overlap (distinct type tags), so the
-        // sorted concat equals the oracle's DISTINCT-sorted UNION ALL
-        concat(lit("["),
-          array_join(array_sort(concat(collect_set(fileJsA), collect_set(fileJsB))), ","),
-          lit("]")).as("documents"))
 
-      // child role 2: drug_flat (firs_mv.sql:55-71) — two-level rollup:
-      // sum per (parent, drug, form), then JSON-agg per parent. The
-      // NO_DRUGS_DETECTED filter maps to one excluded brand. One scan +
-      // broadcast part sub-lookup; drugType and drugWithQuantity share it.
-      val drugL1 = li.join(part, col("l_partkey") === col("p_partkey"))
-        .filter(col("p_brand") =!= "Brand#17")
-        .groupBy(col("l_orderkey").as("d_okey"), col("p_brand"),
-          col("l_returnflag").as("d_form"))
-        .agg(sum(col("l_quantity").cast("long")).as("qsum"))
-      val drugJs = concat(
-        lit("{\"name\":\""), col("p_brand"), lit("\",\"form\":\""), col("d_form"),
-        lit("\",\"quantity\":\""), qtyDisplay(col("qsum")), lit("\"}"))
-      val drugAgg = drugL1.groupBy(col("d_okey")).agg(
-        jsonArrDistinct(concat(lit("\""), upper(col("p_brand")), lit("\"")))
-          .as("drug_type"),
-        jsonArrOrdered(Seq(col("p_brand"), col("d_form")), drugJs)
-          .as("drug_with_quantity"))
+      // -- child role 2: drug_flat (firs_mv.sql:55-71) — two-level rollup:
+      // distinct (brand, form) pairs, each summing its subset. The
+      // NO_DRUGS_DETECTED filter maps to one excluded brand; null brand =
+      // row whose part lookup missed (reference inner join drops it).
+      val dItems = filter(items, x =>
+        x.getField("brand").isNotNull && x.getField("brand") =!= "Brand#17")
+      val dPairs = array_sort(array_distinct(transform(dItems,
+        x => struct(x.getField("brand").as("b"), x.getField("rf").as("f")))))
+      val drugWithQty = transform(dPairs, p => {
+        val qsum = aggregate(
+          filter(dItems, x => x.getField("brand") === p.getField("b") &&
+            x.getField("rf") === p.getField("f")),
+          lit(0L), (acc, x) => acc + x.getField("qty"))
+        concat(lit("{\"name\":\""), p.getField("b"),
+          lit("\",\"form\":\""), p.getField("f"),
+          lit("\",\"quantity\":\""), qtyDisplay(qsum), lit("\"}"))
+      })
 
-      // child role 3: chargesheets (firs_mv.sql:96-103) — nested two-level
-      // JSON: acts per (parent, chargesheet=supplier) with part-name
-      // sub-lookup, then chargesheet objects per parent with supplier-name
-      // sub-lookup. One scan + two broadcast dims. The associates list for
-      // the IR mega-doc rides the same level-2 groupBy (no extra scan).
-      val actJs = concat(
-        lit("{\"partkey\":"), col("l_partkey"), lit(",\"name\":\""), col("p_name"),
-        lit("\",\"qty\":"), col("l_quantity").cast("long"), lit("}"))
-      // second sub-array per chargesheet (firs_mv.sql:98-101): the DISTINCT
-      // accused roster, each with its own name sub-lookup + status CASE
-      val accJs = concat(
-        lit("{\"personId\":"), col("l_partkey"), lit(",\"value\":\""), col("p_name"),
+      // -- child role 3: chargesheets (firs_mv.sql:96-103) — nested
+      // two-level JSON: distinct suppliers, each nesting its acts +
+      // DISTINCT accused roster; the associates list for the IR mega-doc
+      // shares the distinct-supplier pass.
+      val cItems = filter(items, x =>
+        x.getField("sname").isNotNull && x.getField("pname").isNotNull)
+      val cSups = array_sort(array_distinct(transform(cItems,
+        x => struct(x.getField("sk").as("sk"), x.getField("sname").as("sn")))))
+      val accJs: Column => Column = x => concat(
+        lit("{\"personId\":"), x.getField("pk"),
+        lit(",\"value\":\""), x.getField("pname"),
         lit("\",\"chargeStatus\":\""),
-        when(col("l_returnflag") === "R", "Charged")
-          .when(col("l_returnflag") === "A", "Dropped")
+        when(x.getField("rf") === "R", "Charged")
+          .when(x.getField("rf") === "A", "Dropped")
           .otherwise("Pending"),
         lit("\"}"))
-      val csL1 = li.join(supp, col("l_suppkey") === col("s_suppkey"))
-        .join(part, col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_orderkey").as("c_okey"), col("l_suppkey"), col("s_name"))
-        .agg(jsonArrOrdered(Seq(col("l_linenumber"), col("l_partkey")), actJs).as("acts"),
-          jsonArrDistinct(accJs).as("accuseds"))
-      val csJs = concat(
-        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"),
-        lit("\",\"acts\":"), col("acts"),
-        lit(",\"accuseds\":"), col("accuseds"), lit("}"))
-      val assocJs = concat(
-        lit("{\"id\":"), col("l_suppkey"), lit(",\"value\":\""), col("s_name"), lit("\"}"))
-      val csAgg = csL1.groupBy(col("c_okey")).agg(
-        jsonArrOrdered(Seq(col("l_suppkey")), csJs).as("chargesheets"),
-        jsonArrOrdered(Seq(col("l_suppkey")), assocJs).as("associates"))
+      val actJs: Column => Column = x => concat(
+        lit("{\"partkey\":"), x.getField("pk"),
+        lit(",\"name\":\""), x.getField("pname"),
+        lit("\",\"qty\":"), x.getField("qty"), lit("}"))
+      val csArr = transform(cSups, sup => {
+        val sub = filter(cItems, x => x.getField("sk") === sup.getField("sk"))
+        concat(lit("{\"id\":"), sup.getField("sk"),
+          lit(",\"value\":\""), sup.getField("sn"),
+          lit("\",\"acts\":"), arrOrdered(sub, _.getField("ln"), _.getField("pk"), actJs),
+          lit(",\"accuseds\":"), arrDistinct(transform(sub, accJs)), lit("}"))
+      })
+      val assocArr = transform(cSups, sup => concat(
+        lit("{\"id\":"), sup.getField("sk"),
+        lit(",\"value\":\""), sup.getField("sn"), lit("\"}")))
 
-      // parent assembly: one orders scan, broadcast hierarchy dims, left
-      // joins on the parent key for every child aggregate.
+      val liAgg = grouped.select(
+        col("l_orderkey"),
+        size(items).cast("long").as("n_accused"),
+        // disposal counters (firs_mv.sql:78-89) ride the same array
+        cnt(items, x => isDisp(x) && x.getField("rf") === "R").as("conviction_count"),
+        cnt(items, x => isDisp(x) && x.getField("rf") === "A").as("acquittal_count"),
+        cnt(items, isDisp).as("total_disposals"),
+        aggregate(items, lit(0L), (acc, x) => acc + x.getField("qty")).as("qty_tot"),
+        arrOrdered(items, _.getField("ln"), _.getField("pk"), accusedJs)
+          .as("accused_details"),
+        transform(filter(items, isDisp), x => x.getField("rf")).as("disp_flags"),
+        arrDistinct(concat(fileJsA, fileJsB)).as("documents"),
+        arrDistinct(transform(dItems,
+          x => concat(lit("\""), upper(x.getField("brand")), lit("\""))))
+          .as("drug_type"),
+        concat(lit("["), array_join(drugWithQty, ","), lit("]"))
+          .as("drug_with_quantity"),
+        concat(lit("["), array_join(csArr, ","), lit("]")).as("chargesheets"),
+        concat(lit("["), array_join(assocArr, ","), lit("]")).as("associates"))
+
+      // parent assembly: one orders scan, broadcast hierarchy dims, ONE
+      // left join on the parent key for the fused child aggregate.
       val isComm = col("o_orderpriority") === "1-URGENT"
       val days = datediff(lit(Anchor).cast("date"), col("o_orderdate"))
       val stip = when(isComm,
@@ -209,8 +251,6 @@ object GoldMvFull {
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(liAgg, col("o_orderkey") === liAgg("l_orderkey"), "left")
-        .join(drugAgg, col("o_orderkey") === col("d_okey"), "left")
-        .join(csAgg, col("o_orderkey") === col("c_okey"), "left")
         .select(
           col("o_orderkey").as("id"),
           col("n_name").as("unit"),

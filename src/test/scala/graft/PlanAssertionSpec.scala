@@ -56,13 +56,14 @@ class PlanAssertionSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    // one scan per child ROLE (the reference's one-scan-per-child-table):
-    // accused_flat + document list share a pass, drug_flat, chargesheets.
-    // FormattedMode prints exactly one Location line per scan node.
+    // ALL FOUR child roles are fused onto ONE lineitem scan + one
+    // parent-key shuffle (per-order rollups run in array-land on the
+    // collected children). FormattedMode prints exactly one Location
+    // line per scan node.
     val formatted = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     val liScans = "Location: [^\\n]*lineitem\\.parquet".r.findAllIn(formatted).length
-    assert(liScans == 3, s"expected 3 lineitem child-role scans, got $liScans")
+    assert(liScans == 1, s"expected 1 fused lineitem scan, got $liScans")
   }
 
   test("n4_spec_fanout at 24-child breadth still reads the parent exactly once") {
