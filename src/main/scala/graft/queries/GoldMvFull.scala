@@ -490,7 +490,12 @@ object GoldMvFull {
         lit("\",\"worth\":"), floor(col("l_extendedprice")).cast("long"), lit("}"))
       val dispJs = when(col("l_linestatus") === "F",
         concat(lit("{\"disposalType\":\""), col("l_returnflag"), lit("\"}")))
-      val crimeAgg = li.join(part, col("l_partkey") === col("p_partkey"))
+      // restricted to the kept parent slice BEFORE aggregating: the final
+      // LEFT join only probes %8=1 keys, so rolling up the other 7/8 of
+      // the orders is pure waste (the oracle's unrestricted CTE reads the
+      // same because unmatched ca_keys drop out of its left join too).
+      val crimeAgg = li.filter(col("l_orderkey") % 8 === 1)
+        .join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_orderkey").as("ca_key"))
         .agg(
           jsonArrOrdered(Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey")),
@@ -501,13 +506,18 @@ object GoldMvFull {
       // rows exist only where the AI table has them); persons is the LEFT
       // sub-lookup with deterministic gaps (every 7th person missing).
       val persons = t(s, dir, "supplier").filter(col("s_suppkey") % 7 =!= 0)
+      // join order minimizes child-row exchanges: the suppkey-keyed join
+      // (personAgg) runs FIRST, then both orderkey-keyed joins (orders,
+      // crimeAgg) ride one orderkey exchange — suppkey→orderkey is 2
+      // shuffles of the child rows where orders-first costs 3
+      // (orderkey→suppkey→orderkey).
       li.filter(col("l_orderkey") % 8 === 1)
+        .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(crimeAgg, col("l_orderkey") === col("ca_key"), "left")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(persons), col("l_suppkey") === col("s_suppkey"), "left")
-        .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
-        .join(crimeAgg, col("l_orderkey") === col("ca_key"), "left")
         .select(
           concat(lit("A-"), col("l_orderkey"), lit("-"), col("l_linenumber"),
             lit("-"), col("l_partkey")).as("accused_code"),
