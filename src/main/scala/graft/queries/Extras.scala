@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -266,5 +266,54 @@ object Extras {
         .groupBy(col("parsed.k").isNotNull.as("is_valid"))
         .agg(count(lit(1)).as("n"),
           sum(coalesce(col("parsed.k"), lit(0L))).as("k_sum"))
+    },
+
+    // ---- J13: as-of (point-in-time) join ----------------------------------
+    // For every click, the latest purchase by the same user at-or-before
+    // the click's timestamp — the point-in-time lookup feature pipelines
+    // need (and the backward complement of the forward interval-join
+    // attribution in EventsStream). The scalable formulation is NOT an
+    // inequality join (quadratic per user): union both sides with a
+    // marker, ONE shuffle on the user key, one sort by (ts, marker), and
+    // a running last-non-null window carries each purchase forward to the
+    // clicks after it. Purchases sort before clicks at equal ts, making
+    // the bound inclusive exactly like the oracle's c.ts >= p.ts.
+    QueryDef(
+      "j13_asof_join",
+      "As-of join: latest same-user purchase at-or-before each click via union + running last-non-null window (one shuffle, no inequality join)",
+      Some("""
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+               COALESCE(p.event_id, -1) AS purchase_id,
+               CAST(COALESCE(p.value, -1) AS DOUBLE) AS purchase_value,
+               COALESCE(CAST(floor(epoch(c.ts)) AS BIGINT)
+                        - CAST(floor(epoch(p.ts)) AS BIGINT), -1) AS gap_sec
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+      """)) { (s, dir) =>
+      val tagged = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("m"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("m"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def carried(c: Column) = last(when(col("m") === 0, c), ignoreNulls = true).over(w)
+      tagged
+        .withColumn("p_id", carried(col("event_id")))
+        .withColumn("p_value", carried(col("value")))
+        .withColumn("p_ts", carried(col("ts")))
+        .filter(col("m") === 1)
+        .select(
+          col("event_id").as("click_id"),
+          col("user_id"),
+          unix_timestamp(col("ts")).as("click_epoch"),
+          coalesce(col("p_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("p_value"), lit(-1.0)).cast("double").as("purchase_value"),
+          coalesce(unix_timestamp(col("ts")) - unix_timestamp(col("p_ts")), lit(-1L))
+            .as("gap_sec"))
     })
 }

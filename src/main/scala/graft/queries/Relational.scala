@@ -330,5 +330,38 @@ object Relational {
             nullif(col("c_mktsegment"), lit("MACHINERY")),
             nullif(col("c_name"), lit("")),
             col("c_nationkey").cast("string")).as("assembled"))
+    },
+
+    // ---- A15: skew-salted two-phase aggregation ----------------------------
+    // The hot-key mitigation for 100 TB groupBys: phase 1 aggregates on
+    // (key, salt) — a deterministic per-row salt spreads any mega-key over
+    // 16 reducers — phase 2 merges the partials on the key alone. Result
+    // identical to a direct groupBy (counts and DECIMAL sums are
+    // associative); what changes is the worst reducer's share, bounded at
+    // 1/16 of the hottest key instead of all of it. The oracle is the
+    // direct GROUP BY, proving the rewrite is semantics-preserving. (AQE
+    // skew-join handles the join case at runtime; this is the explicit
+    // agg-side pattern for engines/pipelines that pin their plans.)
+    QueryDef(
+      "a15_salted_agg",
+      "Skew-salted two-phase aggregation: groupBy(key, salt16) partials merged on key — identical to direct groupBy, hot key bounded to 1/16 per reducer",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY 1, 2
+      """)) { (s, dir) =>
+      val partials = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(graft.core.Parity.dec(col("l_quantity"))).as("pq"),
+          sum(graft.core.Parity.dec(col("l_extendedprice"))).as("pp"))
+      partials
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pq")).cast("double").as("sum_qty"),
+          sum(col("pp")).cast("double").as("sum_price"))
     })
 }

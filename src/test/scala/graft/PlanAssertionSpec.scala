@@ -46,6 +46,18 @@ class PlanAssertionSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("j13_asof_join compiles to a window pass, not a join") {
+    // the point of the union+running-window formulation: the executed
+    // plan must contain NO join operator of any kind — an inequality
+    // as-of join would be quadratic per user key at scale.
+    val df = SparkEntry.all.find(_.name == "j13_asof_join").get.run(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("mv_firs_full child aggregates shuffle on the parent key, dims broadcast") {
     val df = SparkEntry.all.find(_.name == "mv_firs_full").get.run(spark, sf0001)
     df.collect()
