@@ -29,7 +29,11 @@ object GoldIncremental {
     // Anti-join on the CHANGED keys, not on the recomputed rows: a changed
     // parent whose recompute yields zero rows (all child facts deleted / no
     // longer qualifies) must drop its stale gold row, or incremental
-    // diverges from a full rebuild.
+    // diverges from a full rebuild. The using-column join hoists the key
+    // to position 0, so re-project goldPrev's column order — the refreshed
+    // frame must be schema-identical to a full rebuild, not just
+    // name-equivalent.
     goldPrev.join(keys, Seq(parentKey), "left_anti").unionByName(recomputed)
+      .select(goldPrev.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -276,6 +276,97 @@ object GoldMvFull {
           irDoc.as("ir_doc"))
   }
 
+  /** Per-accused (child-grain) gold build over caller-supplied frames.
+    *
+    * `liChild` feeds the child rows and the per-crime rollups; `liHistory`
+    * feeds the per-person history aggregate (noOfCrimes +
+    * previouslyInvolvedCases). They are separate because the history is
+    * NOT parent-local: a person's history spans every crime they appear
+    * in, so an incremental refresh must pass the FULL v2 fact table as
+    * `liHistory` while restricting `liChild` to the changed-parent slice —
+    * and must expand the changed-key set through the person graph
+    * (crimes of any person seen in a directly-changed crime), or rows in
+    * untouched crimes keep stale history (GoldIncrementalSpec proves the
+    * divergence and the fix).
+    */
+  def buildAccuseds(
+      s: SparkSession,
+      dir: String,
+      liChild: DataFrame,
+      liHistory: DataFrame): DataFrame = {
+      val part = broadcast(t(s, dir, "part"))
+
+      // decorrelated per-person history (accuseds_mv noOfCrimes +
+      // previouslyInvolvedCases): one scan of the AI table grouped by the
+      // person key; both subqueries share it.
+      val crimeJs = concat(lit("{\"crimeId\":"), col("l_orderkey"),
+        lit(",\"firNumber\":\"FIR-"), col("l_orderkey"), lit("\"}"))
+      val personAgg = liHistory.groupBy(col("l_suppkey").as("pa_key")).agg(
+        countDistinct(col("l_orderkey")).as("no_of_crimes"),
+        jsonArrDistinct(crimeJs).as("previously_involved"))
+
+      // decorrelated per-crime rollups (drugWithQuantity is PER-ROW
+      // formatted and created_at-ordered in accuseds_mv — no sum — unlike
+      // firs_mv's two-level rollup; disposalDetails is DISTINCT).
+      val perRowQty = when(col("l_quantity").cast("long") >= 10,
+        concat(col("l_quantity").cast("long").cast("string"), lit(" Units")))
+        .when(col("l_quantity").cast("long") > 0,
+          concat((col("l_quantity").cast("long") * 1000).cast("string"), lit(" mg")))
+        .otherwise("N/A")
+      val drugJs = concat(lit("{\"name\":\""), col("p_brand"),
+        lit("\",\"quantity\":\""), perRowQty,
+        lit("\",\"worth\":"), floor(col("l_extendedprice")).cast("long"), lit("}"))
+      val dispJs = when(col("l_linestatus") === "F",
+        concat(lit("{\"disposalType\":\""), col("l_returnflag"), lit("\"}")))
+      // restricted to the kept parent slice BEFORE aggregating: the final
+      // LEFT join only probes %8=1 keys, so rolling up the other 7/8 of
+      // the orders is pure waste (the oracle's unrestricted CTE reads the
+      // same because unmatched ca_keys drop out of its left join too).
+      val crimeAgg = liChild.filter(col("l_orderkey") % 8 === 1)
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("ca_key"))
+        .agg(
+          jsonArrOrdered(Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey")),
+            drugJs).as("drug_with_quantity"),
+          jsonArrDistinct(dispJs).as("disposal_details"))
+
+      // INNER chain: AI row ⋈ crime ⋈ hierarchy (the accuseds_mv contrast:
+      // rows exist only where the AI table has them); persons is the LEFT
+      // sub-lookup with deterministic gaps (every 7th person missing).
+      val persons = t(s, dir, "supplier").filter(col("s_suppkey") % 7 =!= 0)
+      // join order minimizes child-row exchanges: the suppkey-keyed join
+      // (personAgg) runs FIRST, then both orderkey-keyed joins (orders,
+      // crimeAgg) ride one orderkey exchange — suppkey→orderkey is 2
+      // shuffles of the child rows where orders-first costs 3
+      // (orderkey→suppkey→orderkey).
+      liChild.filter(col("l_orderkey") % 8 === 1)
+        .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(crimeAgg, col("l_orderkey") === col("ca_key"), "left")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(persons), col("l_suppkey") === col("s_suppkey"), "left")
+        .select(
+          concat(lit("A-"), col("l_orderkey"), lit("-"), col("l_linenumber"),
+            lit("-"), col("l_partkey")).as("accused_code"),
+          col("l_orderkey").as("crime_id"),
+          concat(lit("FIR-"), col("l_orderkey")).as("fir_number"),
+          col("n_name").as("unit"),
+          col("c_name").as("ps"),
+          col("o_orderstatus").as("case_status"),
+          col("o_orderpriority").as("case_classification"),
+          // rendered as non-null strings: a nullable numeric column would
+          // hash differently across engines (pandas NaN repr)
+          coalesce(col("s_suppkey").cast("string"), lit("")).as("person_id"),
+          coalesce(col("s_name"), lit("")).as("person_name"),
+          concat_ws(", ", col("s_name"), col("s_nationkey").cast("string"))
+            .as("present_address"),
+          coalesce(col("no_of_crimes"), lit(0L)).as("no_of_crimes"),
+          coalesce(col("previously_involved"), lit("[]")).as("previously_involved"),
+          col("drug_with_quantity"),
+          col("disposal_details"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- firs_mv at full breadth -----------------------------------------
@@ -466,77 +557,7 @@ object GoldMvFull {
         WHERE l.l_orderkey % 8 = 1
       """)) { (s, dir) =>
       val li = t(s, dir, "lineitem")
-      val part = broadcast(t(s, dir, "part"))
-
-      // decorrelated per-person history (accuseds_mv noOfCrimes +
-      // previouslyInvolvedCases): one scan of the AI table grouped by the
-      // person key; both subqueries share it.
-      val crimeJs = concat(lit("{\"crimeId\":"), col("l_orderkey"),
-        lit(",\"firNumber\":\"FIR-"), col("l_orderkey"), lit("\"}"))
-      val personAgg = li.groupBy(col("l_suppkey").as("pa_key")).agg(
-        countDistinct(col("l_orderkey")).as("no_of_crimes"),
-        jsonArrDistinct(crimeJs).as("previously_involved"))
-
-      // decorrelated per-crime rollups (drugWithQuantity is PER-ROW
-      // formatted and created_at-ordered in accuseds_mv — no sum — unlike
-      // firs_mv's two-level rollup; disposalDetails is DISTINCT).
-      val perRowQty = when(col("l_quantity").cast("long") >= 10,
-        concat(col("l_quantity").cast("long").cast("string"), lit(" Units")))
-        .when(col("l_quantity").cast("long") > 0,
-          concat((col("l_quantity").cast("long") * 1000).cast("string"), lit(" mg")))
-        .otherwise("N/A")
-      val drugJs = concat(lit("{\"name\":\""), col("p_brand"),
-        lit("\",\"quantity\":\""), perRowQty,
-        lit("\",\"worth\":"), floor(col("l_extendedprice")).cast("long"), lit("}"))
-      val dispJs = when(col("l_linestatus") === "F",
-        concat(lit("{\"disposalType\":\""), col("l_returnflag"), lit("\"}")))
-      // restricted to the kept parent slice BEFORE aggregating: the final
-      // LEFT join only probes %8=1 keys, so rolling up the other 7/8 of
-      // the orders is pure waste (the oracle's unrestricted CTE reads the
-      // same because unmatched ca_keys drop out of its left join too).
-      val crimeAgg = li.filter(col("l_orderkey") % 8 === 1)
-        .join(part, col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_orderkey").as("ca_key"))
-        .agg(
-          jsonArrOrdered(Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey")),
-            drugJs).as("drug_with_quantity"),
-          jsonArrDistinct(dispJs).as("disposal_details"))
-
-      // INNER chain: AI row ⋈ crime ⋈ hierarchy (the accuseds_mv contrast:
-      // rows exist only where the AI table has them); persons is the LEFT
-      // sub-lookup with deterministic gaps (every 7th person missing).
-      val persons = t(s, dir, "supplier").filter(col("s_suppkey") % 7 =!= 0)
-      // join order minimizes child-row exchanges: the suppkey-keyed join
-      // (personAgg) runs FIRST, then both orderkey-keyed joins (orders,
-      // crimeAgg) ride one orderkey exchange — suppkey→orderkey is 2
-      // shuffles of the child rows where orders-first costs 3
-      // (orderkey→suppkey→orderkey).
-      li.filter(col("l_orderkey") % 8 === 1)
-        .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(crimeAgg, col("l_orderkey") === col("ca_key"), "left")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(persons), col("l_suppkey") === col("s_suppkey"), "left")
-        .select(
-          concat(lit("A-"), col("l_orderkey"), lit("-"), col("l_linenumber"),
-            lit("-"), col("l_partkey")).as("accused_code"),
-          col("l_orderkey").as("crime_id"),
-          concat(lit("FIR-"), col("l_orderkey")).as("fir_number"),
-          col("n_name").as("unit"),
-          col("c_name").as("ps"),
-          col("o_orderstatus").as("case_status"),
-          col("o_orderpriority").as("case_classification"),
-          // rendered as non-null strings: a nullable numeric column would
-          // hash differently across engines (pandas NaN repr)
-          coalesce(col("s_suppkey").cast("string"), lit("")).as("person_id"),
-          coalesce(col("s_name"), lit("")).as("person_name"),
-          concat_ws(", ", col("s_name"), col("s_nationkey").cast("string"))
-            .as("present_address"),
-          coalesce(col("no_of_crimes"), lit(0L)).as("no_of_crimes"),
-          coalesce(col("previously_involved"), lit("[]")).as("previously_involved"),
-          col("drug_with_quantity"),
-          col("disposal_details"))
+      buildAccuseds(s, dir, li, li)
     },
 
     // ---- advanced_search_firs_mv: flat per-parent search surface ---------

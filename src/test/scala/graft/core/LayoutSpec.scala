@@ -38,6 +38,30 @@ class LayoutSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("dynamic partition pruning fires when a partitioned fact joins a filtered dim") {
+    // the 100 TB access path for partitioned gold tables: a selective dim
+    // predicate prunes fact partitions AT RUNTIME via the join key — the
+    // fact scan must carry a dynamicpruning expression, not read all
+    // partitions. (Static pruning is the month-partition test above; this
+    // is the join-driven variant that covers star queries.)
+    val out = Files.createTempDirectory("dpp_fact").toString
+    Tables(spark, sf0001, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim: a filtered lookup producing a strict subset of years — the
+    // fact side must filter by the JOIN result, not by a literal
+    val dim = Tables(spark, sf0001, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") % 2 + 1995).cast("int").as("o_year"))
+      .distinct()
+    val joined = fact.join(broadcast(dim), Seq("o_year"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      plan.take(1500))
+    assert(joined.count() > 0)
+  }
+
   test("salted join equals the unsalted join on a skewed key") {
     val fact = Tables(spark, sf0001, "lineitem")
       .select(col("l_orderkey").cast("string").as("k"), col("l_quantity"))

@@ -76,6 +76,48 @@ class GoldIncrementalSpec extends SparkTestBase {
     assert(sameRows(out, goldV1))
   }
 
+  test("child-grain MV with person history: naive parent-local refresh diverges, person-graph key expansion converges") {
+    import graft.queries.GoldMvFull
+    val li = lineitem.cache()
+    val goldV1 = GoldMvFull.buildAccuseds(spark, sf0001, li, li).cache()
+
+    // delta: every 40th crime is deleted outright. 40 ≡ 0 (mod 8), so the
+    // deleted crimes hold NO child-grain gold rows themselves — their only
+    // footprint is the person-history columns of rows in OTHER crimes.
+    val liV2 = li.filter(col("l_orderkey") % 40 =!= 0).cache()
+    val directly = li.filter(col("l_orderkey") % 40 === 0)
+      .select(col("l_orderkey")).distinct().cache()
+    val full = GoldMvFull.buildAccuseds(spark, sf0001, liV2, liV2).cache()
+
+    def refreshWith(keys: org.apache.spark.sql.DataFrame) =
+      GoldIncremental.refresh(goldV1,
+        keys.select(col("l_orderkey").as("crime_id")), "crime_id") { ks =>
+        GoldMvFull.buildAccuseds(spark, sf0001,
+          liV2.join(ks.select(col("crime_id").as("l_orderkey")),
+            Seq("l_orderkey"), "left_semi"),
+          liV2) // history ALWAYS reads the full v2 fact table
+      }
+
+    // NAIVE: refresh only the directly-changed crimes. Untouched crimes
+    // keep rows whose previously_involved still lists deleted crimes —
+    // provably stale.
+    val naive = refreshWith(directly)
+    assert(!sameRows(naive, full),
+      "naive refresh should diverge: person history is not parent-local")
+
+    // EXPANDED: directly-changed crimes ∪ every crime of any person seen
+    // in one — the closure of the history dependency (one hop suffices:
+    // history depends only on person→crime membership).
+    val affectedPersons = li.join(directly, Seq("l_orderkey"), "left_semi")
+      .select(col("l_suppkey")).distinct()
+    val expanded = directly.unionByName(
+      li.join(affectedPersons, Seq("l_suppkey"), "left_semi")
+        .select(col("l_orderkey")).distinct()).distinct()
+    val inc = refreshWith(expanded)
+    assert(sameRows(inc, full))
+    Seq(li, goldV1, liV2, directly, full).foreach(_.unpersist())
+  }
+
   test("incremental refresh of the FULL-breadth MV equals its full rebuild, incl. parent deletes") {
     import graft.queries.GoldMvFull
     val orders = Tables(spark, sf0001, "orders")
