@@ -44,18 +44,23 @@ object DocPipeline {
       FROM documents WHERE doc_id % 5 = 0
     )"""
 
-  /** Distinct word-3-gram shingles per doc. Built by array-index
-    * transform rather than a lead() window: the window version shuffles
-    * and sorts every token by (doc_id, pos); this stays narrow — no
-    * exchange at all before the distinct. (The DuckDB oracle keeps its
-    * window formulation; the shingle *sets* are identical either way.) */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Per-doc DISTINCT word-3-gram shingle ARRAY. Built by array-index
+    * transform rather than a lead() window, and deduped with
+    * array_distinct rather than a global .distinct(): both stay narrow —
+    * zero exchanges — where the window/distinct formulations each shuffle
+    * every (doc, shingle) row. (The DuckDB oracle keeps its
+    * window+DISTINCT formulation; the shingle *sets* are identical.) */
+  private def shingleArr(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
       .filter(size(col("arr")) >= 3)
       .select(col("doc_id"),
-        explode(graft.functions.NativeExpressions.ngrams_native(col("arr"), 3))
-          .as("sh"))
-      .distinct()
+        array_distinct(graft.functions.NativeExpressions.ngrams_native(col("arr"), 3))
+          .as("shArr"))
+
+  /** Exploded (doc_id, shingle) rows — within-doc distinct, so identical
+    * to a global distinct (doc_id is part of the key). */
+  private def shingles(docs: DataFrame): DataFrame =
+    shingleArr(docs).select(col("doc_id"), explode(col("shArr")).as("sh"))
 
   private val shinglesSql = """
     tok AS (
@@ -138,10 +143,16 @@ object DocPipeline {
         JOIN n nb ON nb.doc_id = m.b_id
         WHERE CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common) >= 0.4
       """)) { (s, dir) =>
-      val sh = shingles(corpus(s, dir)).cache()
-      val mhExprs = (0 until 8).map(i =>
-        min(md5(concat(lit(s"$i#"), col("sh")))).as(s"mh$i"))
-      val mh = sh.groupBy(col("doc_id")).agg(mhExprs.head, mhExprs.tail: _*)
+      // signature computation is fully NARROW: per-doc distinct shingles
+      // (array_distinct), 8 minhashes (array_min over a transform), and
+      // the shingle count all happen without a single exchange — the only
+      // shuffles left are the band self-join and the verify join, which
+      // are the operator's real work.
+      val docsArr = shingleArr(corpus(s, dir)).cache()
+      val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
+      val mh = docsArr.select(col("doc_id") +: (0 until 8).map(i =>
+        array_min(transform(col("shArr"),
+          x => md5(concat(lit(s"$i#"), x)))).as(s"mh$i")): _*)
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band_idx"),
           md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))): _*))
@@ -154,7 +165,7 @@ object DocPipeline {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val n = docsArr.select(col("doc_id"), size(col("shArr")).cast("long").as("n"))
       val common = cand
         .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
         .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
