@@ -37,12 +37,34 @@ object Surface {
     //      pinned in MultimodalSpec) ---------------------------------------
     QueryDef(
       "mm_feature_extract",
-      "mapPartitions batched decode → fixed-dim feature vector per blob (decoder stubbed deterministically)",
-      None) { (s, dir) =>
+      "mapPartitions batched decode → fixed-dim feature vector per blob (decoder stubbed deterministically; oracle mirrors the stride-average over ascii() since the fixture blobs are ASCII)",
+      // Float parity: the decoder divides an exact integer byte-sum by an
+      // exact count IN FLOAT; the oracle does the same division in REAL
+      // (same IEEE binary32 op on identical operands → identical bits),
+      // then both sides widen to double (exact) before round(…, 3).
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text, length(text) AS len,
+                 greatest(1, length(text) // 8) AS stride
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, len,
+                 [coalesce(list_sum([ascii(text[j]) for j in range(i*stride+1, least(len, (i+1)*stride)+1)]), 0) for i in range(0, 8)] AS sums,
+                 [least(len, (i+1)*stride) - i*stride for i in range(0, 8)] AS ns
+          FROM base
+        )
+        SELECT doc_id, CAST(len AS INTEGER) AS n_bytes,
+               round(CAST(CASE WHEN ns[1] <= 0 THEN CAST(0 AS REAL)
+                          ELSE CAST(sums[1] AS REAL) / CAST(ns[1] AS REAL) END AS DOUBLE), 3) AS f0,
+               round(CAST(CASE WHEN ns[8] <= 0 THEN CAST(0 AS REAL)
+                          ELSE CAST(sums[8] AS REAL) / CAST(ns[8] AS REAL) END AS DOUBLE), 3) AS f7
+        FROM f
+      """)) { (s, dir) =>
       Multimodal.extractFeatures(Multimodal.pack(Tables(s, dir, "documents")))
         .select(col("doc_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 3).as("f0"),
-          round(element_at(col("features"), 8), 3).as("f7"))
+          round(element_at(col("features"), 1).cast("double"), 3).as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 3).as("f7"))
     },
 
     // ---- multimodal: declarative frame sampling (oracle-checked via the

@@ -29,7 +29,10 @@ class ValidationSpec extends SparkTestBase {
 
   test("oracle SQL exists for every query except the documented rows-only set") {
     val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(rowsOnly == Set("f_custom_functions", "mm_feature_extract"),
+    // f_custom_functions is the single justified rows-only entry: uuid_v5
+    // is SHA-1-based and DuckDB 1.0 has no sha1(); the UDFs are instead
+    // pinned to reference vectors in UdfsSpec.
+    assert(rowsOnly == Set("f_custom_functions"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
