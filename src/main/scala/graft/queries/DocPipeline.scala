@@ -143,16 +143,17 @@ object DocPipeline {
         JOIN n nb ON nb.doc_id = m.b_id
         WHERE CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common) >= 0.4
       """)) { (s, dir) =>
-      // signature computation is fully NARROW: per-doc distinct shingles
-      // (array_distinct), 8 minhashes (array_min over a transform), and
-      // the shingle count all happen without a single exchange — the only
-      // shuffles left are the band self-join and the verify join, which
-      // are the operator's real work.
+      // shingle dedup is NARROW (array_distinct per doc — no global
+      // distinct exchange); the 8-way minhash stays an exploded groupBy
+      // because Spark's hash aggregate is whole-stage-codegen'd where a
+      // transform+array_min lambda is interpreted — measured 2.5s vs
+      // 1.8s at sf0.1. The shingle count rides the array (size, narrow).
       val docsArr = shingleArr(corpus(s, dir)).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
-      val mh = docsArr.select(col("doc_id") +: (0 until 8).map(i =>
-        array_min(transform(col("shArr"),
-          x => md5(concat(lit(s"$i#"), x)))).as(s"mh$i")): _*)
+      val mh = sh.groupBy(col("doc_id")).agg(
+        min(md5(concat(lit("0#"), col("sh")))).as("mh0"),
+        (1 until 8).map(i =>
+          min(md5(concat(lit(s"$i#"), col("sh")))).as(s"mh$i")): _*)
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band_idx"),
           md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))): _*))
