@@ -979,5 +979,47 @@ object DocPipeline {
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("url")).as("first_url"))
+    },
+
+    // ---- DD21: overlapping-window chunking ---------------------------------
+    // The chunk table an embedding/RAG pipeline builds: 32-word windows
+    // with stride 24 (8 words of overlap), one row per chunk with a
+    // stable ordinal and content hash. Entirely narrow — sequence +
+    // slice + explode, no shuffle — so at 100 TB it is a pure map stage
+    // feeding the embedding step, and the (doc_id, chunk_idx) key is
+    // reproducible across runs.
+    QueryDef(
+      "dd21_chunk_overlap",
+      "Overlapping chunker: 32-word windows, stride 24, per-chunk ordinal + md5 — narrow map stage, no shuffle",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 unnest([{idx: i, words: w[24*i+1 : 24*i+32]}
+                         for i in range(0, ((len(w) - 1) // 24) + 1)],
+                        recursive := true)
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(idx AS BIGINT) AS chunk_idx,
+               CAST(24 * idx AS BIGINT) AS start_word,
+               CAST(len(words) AS BIGINT) AS n_words,
+               md5(array_to_string(words, ' ')) AS chunk_md5
+        FROM chunks
+      """)) { (s, dir) =>
+      val arr = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), ((size(arr) - lit(1)) / lit(24)).cast("int")),
+            i => struct(i.as("idx"), slice(arr, i * 24 + 1, lit(32)).as("words"))))
+            .as("c"))
+        .select(col("doc_id"),
+          col("c.idx").cast("long").as("chunk_idx"),
+          (col("c.idx") * 24).cast("long").as("start_word"),
+          size(col("c.words")).cast("long").as("n_words"),
+          md5(array_join(col("c.words"), " ")).as("chunk_md5"))
     })
 }
