@@ -212,6 +212,55 @@ object Planner {
         .map(m => (m.group(1).toInt, m.group(1).toInt)))
   }
 
+  /** Deterministic "today" for relative phrasings ("last 30 days") — the
+    * reference resolves them against now(); a reproducible engine pins
+    * the anchor to the testdata's end-of-data date so plans are stable
+    * across runs (same rationale as GoldMvFull.Anchor). */
+  private val AnchorDate = java.time.LocalDate.of(2001, 8, 1)
+
+  private val monthNames = Seq("january", "february", "march", "april",
+    "may", "june", "july", "august", "september", "october", "november",
+    "december")
+
+  /** Day-precision date-range extraction — the reference corpus's
+    * date-based category (`questions.txt` 6-10): "between 01-01-1995 and
+    * 31-01-1995", "on 27-02-1995", "from 11-05-1995 onwards", "in
+    * february 1995", "last 30 days". Accepts DD-MM-YYYY and YYYY-MM-DD
+    * literals. Returns inclusive ISO bounds; takes precedence over the
+    * year-only range when both could match. */
+  def extractDateRange(q: String): Option[(String, String)] = {
+    val s = q.toLowerCase
+    def iso(d: String): Option[String] = {
+      val dmy = "(\\d{2})-(\\d{2})-(\\d{4})".r
+      val ymd = "(\\d{4})-(\\d{2})-(\\d{2})".r
+      d match {
+        case dmy(dd, mm, yyyy) => Some(s"$yyyy-$mm-$dd")
+        case ymd(yyyy, mm, dd) => Some(s"$yyyy-$mm-$dd")
+        case _ => None
+      }
+    }
+    val dateLit = "(\\d{2}-\\d{2}-\\d{4}|\\d{4}-\\d{2}-\\d{2})"
+    val between = s"between\\s+$dateLit\\s+and\\s+$dateLit".r
+    val onwards = s"(?:from|since)\\s+$dateLit(?:\\s+onwards?)?".r
+    val on = s"\\bon\\s+$dateLit".r
+    val lastN = "last\\s+(\\d+)\\s+days".r
+    val inMonth = s"\\bin\\s+(${monthNames.mkString("|")})\\s+(\\d{4})".r
+    between.findFirstMatchIn(s)
+      .flatMap(m => for (a <- iso(m.group(1)); b <- iso(m.group(2))) yield (a, b))
+      .orElse(onwards.findFirstMatchIn(s)
+        .flatMap(m => iso(m.group(1)).map(a => (a, "9999-12-31"))))
+      .orElse(on.findFirstMatchIn(s)
+        .flatMap(m => iso(m.group(1)).map(a => (a, a))))
+      .orElse(lastN.findFirstMatchIn(s).map { m =>
+        (AnchorDate.minusDays(m.group(1).toLong).toString, AnchorDate.toString)
+      })
+      .orElse(inMonth.findFirstMatchIn(s).map { m =>
+        val ym = java.time.YearMonth.of(m.group(2).toInt,
+          monthNames.indexOf(m.group(1)) + 1)
+        (ym.atDay(1).toString, ym.atEndOfMonth().toString)
+      })
+  }
+
   /** A negator token (optionally with one intervening word) directly
     * before position `idx`: "not finished", "non-urgent", "excluding
     * returned", "not yet finished". */
@@ -388,13 +437,19 @@ object Planner {
       intent: String,
       table: String,
       joinedTables: Seq[String]): (String, Option[(Int, Int)], Option[String], Boolean, Boolean) = {
-    val years = extractYearRange(q)
+    // day-precision phrasing wins over the year-only range (a question
+    // like "between 01-02-1995 and 15-02-1995" also contains years the
+    // year extractor would grab — and would widen the filter wrongly)
+    val days = extractDateRange(q)
+    val years = if (days.isDefined) None else extractYearRange(q)
     val statusN = extractStatusFilterN(q, table)
       .orElse(joinedTables.flatMap(t2 => extractStatusFilterN(q, t2)).headOption)
-    val dateCond = years.flatMap { case (a, b) =>
-      (table +: joinedTables).flatMap(dateCols.get).headOption
-        .map(dc => s"year($dc) BETWEEN $a AND $b")
-    }
+    val dateCol = (table +: joinedTables).flatMap(dateCols.get).headOption
+    val dateCond = days.flatMap { case (a, b) =>
+      dateCol.map(dc => s"CAST($dc AS DATE) BETWEEN DATE '$a' AND DATE '$b'")
+    }.orElse(years.flatMap { case (a, b) =>
+      dateCol.map(dc => s"year($dc) BETWEEN $a AND $b")
+    })
     val searchCond =
       if (intent == "search")
         extractSearchTerm(q).flatMap(t0 =>
@@ -404,7 +459,8 @@ object Planner {
     val conds = dateCond.toSeq ++ statusN.map(_._1).toSeq ++
       searchCond.toSeq ++ thresholdCond.toSeq
     val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
-    (where, years, statusN.map(_._1), years.isEmpty || dateCond.isDefined,
+    (where, years, statusN.map(_._1),
+      (years.isEmpty && days.isEmpty) || dateCond.isDefined,
       statusN.exists(_._2))
   }
 

@@ -215,6 +215,26 @@ class CorpusSpec extends SparkTestBase {
     "orders after 1995",
     "show line items from 1997 to 1999")
 
+  /** Day-precision phrasings — the reference corpus's date-based
+    * category verbatim shapes (questions.txt 6-10): dd-mm-yyyy BETWEEN,
+    * single day, onwards, month name, last-N-days (pinned anchor). */
+  private val dayRanges = Seq(
+    "find all orders registered between 01-02-1995 and 28-02-1995",
+    "show orders registered in february 1995",
+    "list orders from the last 30 days",
+    "show orders from the last 90 days",
+    "find orders registered on 19-06-1995",
+    "show orders from 11-05-2000 onwards",
+    "list line items shipped between 01-01-1997 and 31-03-1997",
+    "line items shipped on 06-11-1997",
+    "show line items shipped in september 1996",
+    "count orders between 01-06-1996 and 30-06-1996",
+    "how many orders were placed in march 1997",
+    "count line items shipped in the last 90 days",
+    "count open orders in june 1995",
+    "total value of orders in december 1996",
+    "count urgent orders from 01-01-1998 onwards")
+
   private val statusFilters = Seq(
     "list open orders",
     "show finished orders",
@@ -481,7 +501,7 @@ class CorpusSpec extends SparkTestBase {
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
       topKByMetric ++ topKPerGroup ++ whichGroup ++ superlatives ++
-      searches ++ dateRanges ++
+      searches ++ dateRanges ++ dayRanges ++
       statusFilters ++ negations ++ combos ++ joins ++ joinCombos ++
       multiConstraint ++ metricAggs ++ thresholds ++ distinctCounts ++
       morePhrasings

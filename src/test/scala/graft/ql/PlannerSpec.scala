@@ -25,6 +25,36 @@ class PlannerSpec extends SparkTestBase {
     assert(Planner.extractLimit("all events") == 100)
   }
 
+  test("day-precision date ranges: between/on/onwards/month-name/last-N-days") {
+    assert(Planner.extractDateRange("orders between 01-02-1995 and 15-02-1995")
+      .contains(("1995-02-01", "1995-02-15")))
+    assert(Planner.extractDateRange("orders registered on 27-03-1996")
+      .contains(("1996-03-27", "1996-03-27")))
+    assert(Planner.extractDateRange("orders from 11-05-1997 onwards")
+      .contains(("1997-05-11", "9999-12-31")))
+    assert(Planner.extractDateRange("orders in february 1996")
+      .contains(("1996-02-01", "1996-02-29"))) // leap year end-of-month
+    assert(Planner.extractDateRange("orders from the last 30 days")
+      .contains(("2001-07-02", "2001-08-01"))) // pinned end-of-data anchor
+    // ISO literals accepted too
+    assert(Planner.extractDateRange("orders between 1995-02-01 and 1995-02-15")
+      .contains(("1995-02-01", "1995-02-15")))
+    // no day-level phrasing → None (year extraction handles these)
+    assert(Planner.extractDateRange("orders since 1997").isEmpty)
+    assert(Planner.extractDateRange("orders from 1995 to 1997").isEmpty)
+  }
+
+  test("day-precision range wins over the year extractor and lands in the SQL") {
+    val p = Planner.plan("count orders between 01-02-1995 and 15-02-1995")
+    assert(p.sql.contains("CAST(o_orderdate AS DATE) BETWEEN DATE '1995-02-01' AND DATE '1995-02-15'"),
+      p.sql)
+    assert(p.yearRange.isEmpty) // the years inside the literals must NOT widen the filter
+    assert(p.yearApplied)
+    // a day range on a dateless table surfaces as applied=false, not silence
+    val q = Planner.plan("count customers registered on 27-03-1996")
+    assert(!q.yearApplied, q.sql)
+  }
+
   test("generated SQL for a count intent runs through the guard end-to-end") {
     val p = Planner.plan("how many nations are there")
     assert(p.intent == "count" && p.table == "nation")
