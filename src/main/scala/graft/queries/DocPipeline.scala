@@ -209,10 +209,15 @@ object DocPipeline {
           JOIN n nc ON nc.doc_id = m.c_id
         ) WHERE rn <= 3
       """)) { (s, dir) =>
-      val tokd = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
-      val n = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // per-doc distinct token ARRAY first (narrow) — the global distinct
+      // and the count-per-doc groupBy were two shuffles for what
+      // array_distinct + size compute map-side (same rewrite as dd2)
+      val docsTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val tokd = docsTok.select(col("doc_id"), col("lang"),
+        explode(col("toks")).as("w"))
+      val n = docsTok.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
       val q = tokd.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("q_id"), col("lang"), col("w"))
       val c = tokd.select(col("doc_id").as("c_id"), col("lang"), col("w"))
