@@ -374,9 +374,11 @@ object DocPipeline {
         ) h JOIN documents d ON d.doc_id = h.doc_id
         WHERE h.rn = 1
       """)) { (s, dir) =>
+      // within-doc distinct via array_distinct (narrow), not a global
+      // distinct shuffle — same rewrite as dd2/dd3
       val tokd = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
       val freq = tokd.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
       val wProfile = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
       val profile = freq.withColumn("rn", row_number().over(wProfile))
