@@ -467,11 +467,18 @@ object DocPipeline {
           )
         ) WHERE rn <= 3
       """)) { (s, dir) =>
-      val tok = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val docsF = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val tok = docsF.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-      val n = tok.agg(countDistinct(col("doc_id")).as("n"))
+      // df: COUNT(DISTINCT doc_id) per term ≡ plain count over the
+      // per-doc-deduped explode — array_distinct is narrow, so the
+      // distinct-expansion shuffle inside countDistinct disappears.
+      // n likewise: every doc splits to ≥1 token, so the oracle's
+      // COUNT(DISTINCT doc_id) over tokens is just the doc count.
+      val df = docsF
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docsF.agg(count(lit(1)).as("n"))
       val scored = tf.join(df, Seq("w")).crossJoin(broadcast(n))
         .select(col("doc_id"), col("w"),
           // round(9): java Math.log and DuckDB's libm ln differ by 1 ulp
