@@ -635,10 +635,13 @@ object DocPipeline {
       val train = docs.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("text"))
         .unionByName(planted)
-      val bg = bench.select(col("b_id"), explode(grams(col("w"))).as("gram")).distinct()
-      val tg = train
-        .select(col("doc_id"), explode(grams(split(col("text"), " "))).as("gram"))
-        .distinct()
+      // within-doc distinct via array_distinct (narrow) — the id is part
+      // of both downstream join keys, so the global distincts were wasted
+      // exchanges (same rewrite as dd2/dd3/dd7)
+      val bg = bench.select(col("b_id"),
+        explode(array_distinct(grams(col("w")))).as("gram"))
+      val tg = train.select(col("doc_id"),
+        explode(array_distinct(grams(split(col("text"), " ")))).as("gram"))
       tg.join(bg, "gram")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("gram")).as("hits"),
@@ -799,9 +802,8 @@ object DocPipeline {
       // overlap with the holdout occurs, so the stage provably fires
       def grams4(df: DataFrame): DataFrame =
         df.filter(size(col("w")) >= 4)
-          .select(col("doc_id"), explode(
-            graft.functions.NativeExpressions.ngrams_native(col("w"), 4)).as("gram"))
-          .distinct()
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.NativeExpressions.ngrams_native(col("w"), 4))).as("gram"))
       val bench4 = grams4(toks.filter(col("doc_id") % 97 === 0)).select(col("gram")).distinct()
       val cont = grams4(hold).join(bench4, "gram").select(col("doc_id")).distinct()
       val clean = hold.join(cont, Seq("doc_id"), "left_anti")
