@@ -35,7 +35,11 @@ class PlannerFuzzSpec extends SparkTestBase {
     "per customer", "in each segment", "with customer names",
     "with their nations", "named widget", "about data",
     "with the highest balance", "per supplier", "by priority",
-    "over 100000", "under 500", "above 9000", "worth more than 250000")
+    "over 100000", "under 500", "above 9000", "worth more than 250000",
+    // day-precision date phrasings (extractDateRange)
+    "between 01-02-1995 and 28-02-1995", "on 19-06-1995",
+    "from 11-05-1997 onwards", "in february 1996", "in the last 30 days",
+    "between 1995-03-01 and 1995-04-15", "from the last 90 days")
 
   private val metricPrefixes = Gen.oneOf(
     "average", "maximum", "minimum", "mean", "how many different",
