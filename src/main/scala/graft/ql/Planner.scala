@@ -125,9 +125,11 @@ object Planner {
     ("spanish", "documents", "lang = 'es'"),
     ("chinese", "documents", "lang = 'zh'"))
 
-  /** Q1 — intent detection by keyword rules, priority-ordered. */
+  /** Q1 — intent detection by keyword rules, priority-ordered. The
+    * "by <dim>" aggregate cue must not fire on ordering phrases
+    * ("ordered by date" is a list, not a group-by). */
   def detectIntent(q: String): String = {
-    val s = q.toLowerCase
+    val s = q.toLowerCase.replaceAll("(?:ordered|sorted|order)\\s+by\\s+", " ")
     if (s.contains("how many") || s.contains("count")) "count"
     else if (Seq("sum", "total", "average", "mean ", "maximum", "minimum",
       "avg per", "by ").exists(s.contains)) "aggregate"
@@ -308,8 +310,10 @@ object Planner {
       .exists(sep => s.contains(sep + d.kw)))
   }
 
-  /** Superlative phrasing → deterministic ORDER BY on the table's numeric
-    * or date column, with the key column as tie-break. */
+  /** Superlative or explicit "ordered/sorted by" phrasing → deterministic
+    * ORDER BY on the table's numeric, date, or name column, with the key
+    * column as tie-break (reference corpus: "first 10 crimes ordered by
+    * FIR date", questions.txt #3). */
   private def extractOrder(q: String, table: String): Option[String] = {
     val s = q.toLowerCase
     val key = keyCols.getOrElse(table, "1")
@@ -320,11 +324,24 @@ object Planner {
     val dateAsc = Seq("oldest", "earliest")
     def num = numericCols.get(table)
     def dt = dateCols.get(table)
-    if (numDesc.exists(s.contains)) num.map(c => s"$c DESC, $key")
-    else if (numAsc.exists(s.contains)) num.map(c => s"$c ASC, $key")
-    else if (dateDesc.exists(s.contains)) dt.map(c => s"$c DESC, $key")
-    else if (dateAsc.exists(s.contains)) dt.map(c => s"$c ASC, $key")
-    else None
+    def nameCol = searchCols.get(table)
+    val explicit = "(?:ordered|sorted|order)\\s+by\\s+(\\w+(?:\\s+date)?)".r
+      .findFirstMatchIn(s).map(_.group(1))
+    val desc = s.contains("descending") || s.contains(" desc")
+    def dir(c: String) = if (desc) s"$c DESC, $key" else s"$c ASC, $key"
+    explicit match {
+      case Some(target) if target.endsWith("date") || target == "time" =>
+        dt.map(dir)
+      case Some(target) if Seq("value", "price", "amount", "worth", "total",
+        "balance").exists(target.startsWith) => num.map(dir)
+      case Some(target) if target.startsWith("name") => nameCol.map(dir)
+      case _ =>
+        if (numDesc.exists(s.contains)) num.map(c => s"$c DESC, $key")
+        else if (numAsc.exists(s.contains)) num.map(c => s"$c ASC, $key")
+        else if (dateDesc.exists(s.contains)) dt.map(c => s"$c DESC, $key")
+        else if (dateAsc.exists(s.contains)) dt.map(c => s"$c ASC, $key")
+        else None
+    }
   }
 
   /** Top-k-per-group: "top 3 customers per nation" → rank entities inside

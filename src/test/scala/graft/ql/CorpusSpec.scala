@@ -235,6 +235,18 @@ class CorpusSpec extends SparkTestBase {
     "total value of orders in december 1996",
     "count urgent orders from 01-01-1998 onwards")
 
+  /** Explicit ordering phrasings (questions.txt #3 "first 10 crimes
+    * ordered by FIR date"). */
+  private val orderedLists = Seq(
+    "show the first 10 orders ordered by date",
+    "list the first 20 line items ordered by ship date",
+    "show line items sorted by value descending",
+    "list orders sorted by value",
+    "show the first 15 customers ordered by name",
+    "list suppliers ordered by name",
+    "show events ordered by time",
+    "first 5 orders ordered by date descending")
+
   private val statusFilters = Seq(
     "list open orders",
     "show finished orders",
@@ -501,7 +513,7 @@ class CorpusSpec extends SparkTestBase {
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
       topKByMetric ++ topKPerGroup ++ whichGroup ++ superlatives ++
-      searches ++ dateRanges ++ dayRanges ++
+      searches ++ dateRanges ++ dayRanges ++ orderedLists ++
       statusFilters ++ negations ++ combos ++ joins ++ joinCombos ++
       multiConstraint ++ metricAggs ++ thresholds ++ distinctCounts ++
       morePhrasings

@@ -55,6 +55,19 @@ class PlannerSpec extends SparkTestBase {
     assert(!q.yearApplied, q.sql)
   }
 
+  test("explicit ordered-by phrasing lands a deterministic ORDER BY") {
+    val p = Planner.plan("show the first 10 orders ordered by date")
+    assert(p.sql.contains("ORDER BY o_orderdate ASC, o_orderkey"), p.sql)
+    assert(p.limit == 10)
+    val q = Planner.plan("list line items sorted by value descending")
+    assert(q.sql.contains("ORDER BY l_extendedprice DESC, l_orderkey"), q.sql)
+    val r = Planner.plan("list customers ordered by name")
+    assert(r.sql.contains("ORDER BY c_name ASC, c_custkey"), r.sql)
+    // unknown target falls through to the superlative rules, not an error
+    val t0 = Planner.plan("list orders ordered by priority")
+    assert(!t0.sql.contains("ORDER BY"), t0.sql)
+  }
+
   test("generated SQL for a count intent runs through the guard end-to-end") {
     val p = Planner.plan("how many nations are there")
     assert(p.intent == "count" && p.table == "nation")
