@@ -18,6 +18,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry generated-class cache thrashes across a
+      // 117-query inventory: the warmup pass evicts every earlier plan,
+      // so big plans re-janino-compile on every timed run and their
+      // medians measure compiler time, not plan cost (observed 2× on
+      // mv_firs_full: ~7s in-inventory vs 3.3s isolated)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
