@@ -297,13 +297,17 @@ object GoldMvFull {
       val part = broadcast(t(s, dir, "part"))
 
       // decorrelated per-person history (accuseds_mv noOfCrimes +
-      // previouslyInvolvedCases): one scan of the AI table grouped by the
-      // person key; both subqueries share it.
+      // previouslyInvolvedCases): dedup (person, crime) PAIRS first, so
+      // the group aggregate is a plain count + sorted collect_list — no
+      // countDistinct expansion, no per-group set dedup, and the first
+      // shuffle carries two longs instead of rendered JSON.
+      val pairs = liHistory.select(col("l_suppkey"), col("l_orderkey")).distinct()
       val crimeJs = concat(lit("{\"crimeId\":"), col("l_orderkey"),
         lit(",\"firNumber\":\"FIR-"), col("l_orderkey"), lit("\"}"))
-      val personAgg = liHistory.groupBy(col("l_suppkey").as("pa_key")).agg(
-        countDistinct(col("l_orderkey")).as("no_of_crimes"),
-        jsonArrDistinct(crimeJs).as("previously_involved"))
+      val personAgg = pairs.groupBy(col("l_suppkey").as("pa_key")).agg(
+        count(lit(1)).as("no_of_crimes"),
+        concat(lit("["), array_join(array_sort(collect_list(crimeJs)), ","),
+          lit("]")).as("previously_involved"))
 
       // decorrelated per-crime rollups (drugWithQuantity is PER-ROW
       // formatted and created_at-ordered in accuseds_mv — no sum — unlike
