@@ -174,7 +174,8 @@ object Cascades {
           FROM part
         ),
         ex AS (
-          SELECT 'X-' || l.l_orderkey || '-' || l.l_linenumber || '-' || l.l_partkey AS ex_id,
+          SELECT DISTINCT
+                 'X-' || l.l_orderkey || '-' || l.l_linenumber || '-' || l.l_partkey AS ex_id,
                  CASE l.l_linenumber % 4
                    WHEN 0 THEN 'P-' || l.l_partkey
                    WHEN 1 THEN 'p.' || l.l_partkey
@@ -219,6 +220,10 @@ object Cascades {
 
       // fixture: extracted codes in the four shapes the LLM emits —
       // exact, decorated (normalizable), bare name, and garbage.
+      // DISTINCT: ex_id is an identity, and lineitem's key triple is not
+      // unique in the fixture — without the dedup, duplicate extraction
+      // rows multiply through the mapping join while the oracle's tier-3
+      // row_number collapses them (1-row divergence observed at sf0.1).
       val ex = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 2)
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .select(
@@ -228,6 +233,7 @@ object Cascades {
             .when(col("l_linenumber") % 4 === 1, concat(lit("p."), col("l_partkey")))
             .when(col("l_linenumber") % 4 === 2, split(col("p_name"), " ").getItem(0))
             .otherwise(concat(lit("Z-"), col("l_partkey"))).as("code"))
+        .distinct()
 
       // Single-pass cascade: three LEFT joins against broadcast dim slices
       // with CASE precedence — result-identical to the anti-join chain in
