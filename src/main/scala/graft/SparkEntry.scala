@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.LlmOps.defs ++
       graft.queries.Ingest.defs ++
       graft.queries.Surface.defs ++
-      graft.queries.Extras.defs
+      graft.queries.Extras.defs ++
+      graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

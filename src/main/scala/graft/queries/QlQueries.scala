@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.ql.{Planner, QueryGuard}
+
+/** Oracle-gated query-surface checks (SURVEY.md §2.10 Q1–Q7).
+  *
+  * Each entry drives the WHOLE reference chatbot path deterministically —
+  * NL question → intent/feature extraction → SQL generation
+  * (`chatbot/agents/intelligent_query_planner.py:102-345`) → static
+  * validation + guarded execution
+  * (`chatbot/security/query_validator.py:49-299`,
+  * `postgres_executor.py:22-99`) — and the DuckDB oracle is an
+  * independently hand-written statement of what the question MEANS, so a
+  * wrong plan (wrong filter, wrong join, wrong grouping, dropped
+  * negation) fails the differential gate rather than just a unit spec.
+  *
+  * Determinism rules for the gated set: every LIMIT rides a total ORDER
+  * BY with a unique key tie-break (the planner emits those), or the
+  * result is provably under the cap at both audited scales; double SUMs
+  * that cross the engine boundary are stabilized with round(2) on BOTH
+  * sides (error bound for these sums is ~1e-9 relative — far inside the
+  * rounding step), while MAX/COUNT/passthrough doubles compare bit-exact.
+  */
+object QlQueries {
+
+  /** Run a question through plan → guard → execute. maxRows is lifted
+    * above every gated result size so the guard's defensive row cap
+    * never truncates a deterministic answer. */
+  private def ask(s: SparkSession, dir: String, question: String): DataFrame =
+    QueryGuard.execute(s, dir, Planner.plan(question).sql, maxRows = 1000000)
+      .fold(d => throw new IllegalStateException(
+        s"planner SQL denied for '$question': ${d.reason}"), identity)
+
+  private def planned(
+      name: String,
+      doc: String,
+      question: String,
+      oracle: String)(post: DataFrame => DataFrame = identity): QueryDef =
+    QueryDef(name, s"$doc [NL: “$question”]", Some(oracle)) {
+      (s, dir) => post(ask(s, dir, question))
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Q1/Q3: count intent with a year-range filter --------------------
+    planned(
+      "ql_count_year",
+      "NL count + in-YYYY range (questions.txt count category)",
+      "how many orders were placed in 1996",
+      "SELECT COUNT(*) AS n FROM orders WHERE year(o_orderdate) = 1996")(),
+
+    // ---- Q3: day-precision date range ------------------------------------
+    planned(
+      "ql_count_day_range",
+      "NL count + DD-MM-YYYY day range (questions.txt date category)",
+      "how many orders between 01-02-1995 and 15-02-1995",
+      """SELECT COUNT(*) AS n FROM orders
+         WHERE CAST(o_orderdate AS DATE)
+           BETWEEN DATE '1995-02-01' AND DATE '1995-02-15'""")(),
+
+    // ---- Q3: status negation ---------------------------------------------
+    planned(
+      "ql_negation_count",
+      "NL negated status filter ('not finished' must NOT count F rows)",
+      "how many orders are not finished",
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus <> 'F'")(),
+
+    // ---- Q1: grouped count -----------------------------------------------
+    planned(
+      "ql_grouped_count",
+      "NL grouped count by a dimension keyword",
+      "count of orders by priority",
+      "SELECT o_orderpriority AS grp, COUNT(*) AS n FROM orders GROUP BY 1")(),
+
+    // ---- Q1: distinct-entity count ---------------------------------------
+    planned(
+      "ql_distinct_count",
+      "NL distinct-cardinality count resolved onto the dim's owning table",
+      "how many different segments are there",
+      "SELECT COUNT(DISTINCT c_mktsegment) AS n FROM customer")(),
+
+    // ---- Q2/Q3: FK-join aggregate with metric selection -------------------
+    planned(
+      "ql_join_agg_max",
+      "NL aggregate with MAX metric over a 3-table FK join",
+      "maximum order value by nation",
+      """SELECT n_name AS grp, COUNT(*) AS n, MAX(o_totalprice) AS max_value
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""")(),
+
+    // ---- top-k by aggregate metric (join + SUM + rank) ---------------------
+    planned(
+      "ql_topk_by_join",
+      "NL global top-k entities by a joined fact-table SUM",
+      "top 5 customers by order total",
+      """SELECT c_custkey, c_name, round(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY SUM(o_totalprice) DESC, c_custkey LIMIT 5""")(
+      // double SUM crosses the engine boundary: stabilize to cents on
+      // both sides (ordering uses the raw sum in both engines)
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- which-group superlative -------------------------------------------
+    planned(
+      "ql_which_group",
+      "NL 'which <dim> has the most <entity>' superlative, tie-broken",
+      "which nation has the most customers",
+      """SELECT n_name AS grp, COUNT(*) AS n, round(SUM(c_acctbal), 2) AS total
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY COUNT(*) DESC, grp LIMIT 1""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- top-k-per-group window ---------------------------------------------
+    planned(
+      "ql_topk_per_group",
+      "NL top-k rows inside each dimension group via ROW_NUMBER",
+      "top 2 orders per priority",
+      """SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) ranked
+         WHERE rnk <= 2""")(
+      // Spark's row_number is INT, DuckDB's BIGINT — align the rank type
+      _.withColumn("rnk", col("rnk").cast("long"))),
+
+    // ---- search intent -------------------------------------------------------
+    planned(
+      "ql_search_like",
+      "NL search with sanitized LIKE term (result under the row cap)",
+      "find nations called nation",
+      "SELECT * FROM nation WHERE lower(n_name) LIKE '%nation%'")(),
+
+    // ---- ordered list with explicit sort + exclusive 'after' ------------------
+    planned(
+      "ql_list_ordered",
+      "NL ordered list: explicit sort column, exclusive 'after YYYY', LIMIT",
+      "first 20 orders placed after 1997 ordered by order date",
+      """SELECT * FROM orders WHERE year(o_orderdate) >= 1998
+         ORDER BY o_orderdate ASC, o_orderkey LIMIT 20""")())
+}
