@@ -113,5 +113,37 @@ object Ingest {
       EventsStream.attributedPurchases(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
+    },
+
+    // ---- S11: multi-statement SQL-script runner ---------------------------
+    QueryDef(
+      "s11_script_runner",
+      "Quote/comment-aware script splitter + guarded sequential execution; result = last statement (views_refresh_sql.py shape)",
+      Some("""
+        SELECT o_orderstatus AS grp, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS urgent_n
+        FROM orders
+        WHERE o_orderstatus <> 'X;Y'
+        GROUP BY o_orderstatus
+      """)) { (s, dir) =>
+      // the script deliberately contains every splitter trap: an
+      // apostrophe inside a line comment, semicolons inside a block
+      // comment, and a quoted literal holding a ';' — a naive split
+      // would merge or truncate statements and change the result
+      val script =
+        """-- prelude scan; don't let this apostrophe break the splitter
+          |SELECT COUNT(*) AS warmup FROM nation;
+          |/* block comment; with ; embedded ; semicolons */
+          |SELECT o_orderstatus AS grp, COUNT(*) AS n,
+          |       SUM(CASE WHEN o_orderpriority = '1-URGENT'
+          |                THEN 1 ELSE 0 END) AS urgent_n
+          |FROM orders
+          |WHERE o_orderstatus <> 'X;Y'
+          |GROUP BY o_orderstatus
+          |""".stripMargin
+      graft.ingest.RawZone.runScript(s, dir, script).fold(
+        d => throw new IllegalStateException(s"script denied: ${d.reason}"),
+        identity)
     })
 }

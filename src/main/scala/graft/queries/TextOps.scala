@@ -427,5 +427,34 @@ object TextOps {
             col("user_id") % 16, lit("/"),
             substring(md5(col("event_id").cast("string")), 1, 12),
             lit(".bin")).as("file_path"))
+    },
+
+    // ---- T12: Indic->Latin transliteration --------------------------------
+    QueryDef(
+      "t12_transliterate",
+      "Deterministic Devanagari->Latin char-map transliteration (brief_facts_ai/main.py:101-135); oracle = the same map as a DuckDB replace chain over identical constructed input",
+      Some("""
+        SELECT n_nationkey,
+               replace(replace(replace(replace(replace(replace(replace(replace(
+               replace(replace(replace(replace(replace(replace(replace(replace(
+                 (CASE WHEN n_nationkey % 4 = 0 THEN 'नमस्ते'
+                       WHEN n_nationkey % 4 = 1 THEN 'क्रिकेट'
+                       WHEN n_nationkey % 4 = 2 THEN 'भारत'
+                       ELSE 'विद्यालय' END) || ' ' || n_name,
+                 'न','n'),'म','m'),'स','s'),'्',''),'त','t'),'े','e'),
+                 'क','k'),'र','r'),'ि','i'),'ट','t'),'भ','bh'),'ा','a'),
+                 'व','v'),'द','d'),'य','y'),'ल','l') AS latin
+        FROM nation
+      """)) { (s, dir) =>
+      // every Devanagari char in the four planted words is covered by the
+      // oracle's replace chain; unknown chars (space, NATION_x) pass
+      // through both engines unchanged
+      val word = when(col("n_nationkey") % 4 === 0, "नमस्ते")
+        .when(col("n_nationkey") % 4 === 1, "क्रिकेट")
+        .when(col("n_nationkey") % 4 === 2, "भारत")
+        .otherwise("विद्यालय")
+      t(s, dir, "nation").select(col("n_nationkey"),
+        graft.functions.Udfs.translit(concat(word, lit(" "), col("n_name")))
+          .as("latin"))
     })
 }

@@ -115,4 +115,14 @@ class RawZoneSpec extends SparkTestBase {
     assert(RawZone.splitStatements("SELECT 1 /* open; forever") ==
       Seq("SELECT 1 /* open; forever"))
   }
+
+  test("stripLeadingComments peels header comments so the guard sees SELECT first") {
+    assert(RawZone.stripLeadingComments("-- header\nSELECT 1") == "SELECT 1")
+    assert(RawZone.stripLeadingComments("/* a */ -- b\n  SELECT 2") == "SELECT 2")
+    // comment-only statement strips to empty (skipped by runScript)
+    assert(RawZone.stripLeadingComments("-- just a trailer\n") == "")
+    assert(RawZone.stripLeadingComments("/* open forever") == "")
+    // mid-statement comments are untouched
+    assert(RawZone.stripLeadingComments("SELECT 1 -- tail") == "SELECT 1 -- tail")
+  }
 }
