@@ -141,4 +141,53 @@ object MergeKernels {
     }
     target.unionByName(stubs.select(target.columns.map(col).toSeq: _*))
   }
+
+  /** SCD2 — slowly-changing-dimension type-2 merge (beyond-reference;
+    * the warehouse-standard history mechanism the reference's
+    * change-detecting upsert discards).
+    *
+    * `current` must be the dimension in SCD2 shape — business key,
+    * attribute columns, `valid_from`/`valid_to` DATEs, `is_current`
+    * BOOLEAN. `batch` carries the key + the same attribute columns. Per
+    * key: attrs unchanged → no-op; changed → the live row closes at
+    * `effective` and a new open version inserts; unseen key → new open
+    * version; keys absent from the batch are untouched. History
+    * (non-current) rows pass through without joining.
+    *
+    * Scale (100 TB dim): ONE full-outer equi-join shuffled on the
+    * business key; the 1-or-2 output rows per matched key come from an
+    * exploded CASE array, so the dimension is scanned once and never
+    * re-joined. History rides a union, not a shuffle. An incremental
+    * delta batch broadcasts under AQE like every other kernel here.
+    */
+  def scd2Merge(
+      current: DataFrame,
+      batch: DataFrame,
+      pk: String,
+      attrs: Seq[String],
+      effective: Column,
+      openEnd: Column = lit("9999-12-31").cast("date")): DataFrame = {
+    val live = current.filter(col("is_current")).withColumn(TP, lit(true)).alias("t")
+    val hist = current.filter(!col("is_current"))
+    val s = batch.withColumn(SP, lit(true)).alias("s")
+    val joined = s.join(live, col(s"s.$pk") <=> col(s"t.$pk"), "full_outer")
+    val sPresent = col(s"s.$SP") <=> lit(true)
+    val tPresent = col(s"t.$TP") <=> lit(true)
+    val same = attrs.map(c => col(s"s.$c") <=> col(s"t.$c")).reduce(_ && _)
+    def rowOf(keyC: Column, attrC: String => Column, from: Column, to: Column,
+        cur: Column): Column =
+      struct(keyC.as(pk) +: attrs.map(c => attrC(c).as(c))
+        :+ from.as("valid_from") :+ to.as("valid_to") :+ cur.as("is_current"): _*)
+    val oldRow = rowOf(col(s"t.$pk"), c => col(s"t.$c"),
+      col("t.valid_from"), col("t.valid_to"), col("t.is_current"))
+    val closedRow = rowOf(col(s"t.$pk"), c => col(s"t.$c"),
+      col("t.valid_from"), effective, lit(false))
+    val newRow = rowOf(col(s"s.$pk"), c => col(s"s.$c"),
+      effective, openEnd, lit(true))
+    val arr = when(!sPresent, array(oldRow))
+      .when(!tPresent, array(newRow))
+      .when(same, array(oldRow))
+      .otherwise(array(closedRow, newRow))
+    joined.select(explode(arr).as("r")).select(col("r.*")).unionByName(hist)
+  }
 }

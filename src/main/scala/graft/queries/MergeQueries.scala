@@ -246,5 +246,74 @@ object MergeQueries {
       val tgt = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       MergeKernels.stubRows(tgt, t(s, dir, "orders").select(col("o_custkey")), "c_custkey")
+    },
+
+    // ---- SCD2: type-2 dimension history merge (beyond-reference) ----------
+    QueryDef(
+      "scd2_merge",
+      "SCD2 dimension maintenance: changed keys close at the effective date and reopen, new keys insert, unchanged keys no-op (MergeKernels.scd2Merge)",
+      Some("""
+        WITH cur AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment,
+                 TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+                 TIMESTAMP '2200-01-01 00:00:00' AS valid_to,
+                 TRUE AS is_current
+          FROM customer
+        ),
+        batch AS (
+          SELECT c_custkey AS b_key, c_acctbal + 100 AS b_bal, c_mktsegment AS b_seg
+          FROM customer WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 1
+          UNION ALL
+          SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+                 c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 2
+        ),
+        j AS (SELECT * FROM cur FULL JOIN batch ON c_custkey = b_key),
+        same AS (
+          SELECT *,
+                 (b_bal IS NOT DISTINCT FROM c_acctbal
+                  AND b_seg IS NOT DISTINCT FROM c_mktsegment) AS unchanged
+          FROM j
+        )
+        SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current
+        FROM same WHERE c_custkey IS NOT NULL AND (b_key IS NULL OR unchanged)
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+               TIMESTAMP '2000-06-01 00:00:00', FALSE
+        FROM same WHERE b_key IS NOT NULL AND c_custkey IS NOT NULL AND NOT unchanged
+        UNION ALL
+        SELECT b_key, b_bal, b_seg, TIMESTAMP '2000-06-01 00:00:00',
+               TIMESTAMP '2200-01-01 00:00:00', TRUE
+        FROM same WHERE b_key IS NOT NULL AND (c_custkey IS NULL OR NOT unchanged)
+      """)) { (s, dir) =>
+      // batch derived from the dim itself so DuckDB states the identical
+      // fixture: keys %10=0 change an attribute, %10=1 arrive unchanged,
+      // %10=2 arrive under fresh keys (offset = max+1, collision-proof)
+      // TIMESTAMP (not DATE) validity bounds: the gate's pandas canon
+      // reads Spark date32 as python date objects but DuckDB DATEs as
+      // datetime64 — timestamps normalize identically on both paths
+      val c = t(s, dir, "customer")
+      val current = c.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        lit("1990-01-01").cast("timestamp").as("valid_from"),
+        lit("2200-01-01").cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val off = c.agg((max(col("c_custkey")) + 1).as("__off"))
+      val changed = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+          col("c_mktsegment"))
+      val unchanged = c.filter(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val fresh = c.filter(col("c_custkey") % 10 === 2)
+        .crossJoin(broadcast(off))
+        .select((col("c_custkey") + col("__off")).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+      MergeKernels.scd2Merge(
+        current, changed.unionByName(unchanged).unionByName(fresh),
+        "c_custkey", Seq("c_acctbal", "c_mktsegment"),
+        lit("2000-06-01").cast("timestamp"),
+        lit("2200-01-01").cast("timestamp"))
     })
 }

@@ -142,4 +142,41 @@ class MergeKernelsSpec extends SparkTestBase {
     assert(out.filter(col("pk").isin(3, 4)).filter(col("v").isNotNull).count() == 0)
     out.unpersist()
   }
+
+  test("SCD2 scd2Merge: close-and-reopen on change, insert on new, no-op on same, history untouched") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val current = Seq(
+      // pk 1: live row whose attr the batch changes + one closed history row
+      (1L, "a", d("1990-01-01"), d("1995-01-01"), false),
+      (1L, "b", d("1995-01-01"), d("9999-12-31"), true),
+      // pk 2: live row the batch repeats verbatim
+      (2L, "x", d("1990-01-01"), d("9999-12-31"), true),
+      // pk 3: live row the batch never mentions
+      (3L, "y", d("1990-01-01"), d("9999-12-31"), true)
+    ).toDF("pk", "attr", "valid_from", "valid_to", "is_current")
+    val batch = Seq((1L, "c"), (2L, "x"), (9L, "z")).toDF("pk", "attr")
+    val out = MergeKernels.scd2Merge(
+      current, batch, "pk", Seq("attr"), lit("2000-06-01").cast("date")).cache()
+
+    // exactly one open version per key, never more
+    assert(out.filter(col("is_current")).groupBy("pk").count()
+      .filter(col("count") > 1).count() == 0)
+    // pk 1: old history row untouched, changed row closed at effective, new version open
+    val p1 = out.filter(col("pk") === 1).collect()
+    assert(p1.length == 3)
+    assert(p1.exists(r => r.getString(1) == "b" && r.getDate(3) == d("2000-06-01")
+      && !r.getBoolean(4)))
+    assert(p1.exists(r => r.getString(1) == "c" && r.getDate(2) == d("2000-06-01")
+      && r.getBoolean(4)))
+    assert(p1.exists(r => r.getString(1) == "a" && r.getDate(3) == d("1995-01-01")))
+    // pk 2 unchanged: single verbatim row; pk 3 untouched; pk 9 inserted open
+    assert(out.filter(col("pk") === 2).count() == 1)
+    assert(out.filter(col("pk") === 3 && col("valid_to") === d("9999-12-31")).count() == 1)
+    assert(out.filter(col("pk") === 9 && col("is_current")
+      && col("valid_from") === d("2000-06-01")).count() == 1)
+    // validity intervals never overlap per key: close date of the old
+    // version equals the open date of its successor
+    assert(out.count() == 6)
+    out.unpersist()
+  }
 }
