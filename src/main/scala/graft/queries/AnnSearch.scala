@@ -351,5 +351,95 @@ object AnnSearch {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("q_id"), col("cand_id"), col("label"), col("cos"))
+    },
+
+    // ---- dd23: seeded k-means over the embedding corpus --------------------
+    QueryDef(
+      "dd23_kmeans",
+      "Deterministic k-means (k=4 fixed seed vectors, 2 Lloyd rounds): assignments are pure ints; distances round(6) and per-round centroids round(9) so both engines argmin identically",
+      Some("""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CASE vec_id WHEN 7 THEN 0 WHEN 23 THEN 1
+                             WHEN 41 THEN 2 ELSE 3 END AS cid, v AS cv
+          FROM vecs WHERE vec_id IN (7, 23, 41, 59)
+        ),
+        d1 AS (
+          SELECT vec_id,
+                 list(round(list_dot_product(v, v) + list_dot_product(cv, cv)
+                            - 2 * list_dot_product(v, cv), 6) ORDER BY cid) AS ds
+          FROM vecs CROSS JOIN c0 GROUP BY vec_id
+        ),
+        a1 AS (
+          SELECT vec_id,
+                 CASE WHEN ds[1] <= ds[2] AND ds[1] <= ds[3] AND ds[1] <= ds[4] THEN 0
+                      WHEN ds[2] <= ds[3] AND ds[2] <= ds[4] THEN 1
+                      WHEN ds[3] <= ds[4] THEN 2 ELSE 3 END AS cluster
+          FROM d1
+        ),
+        parts AS (
+          SELECT a1.cluster AS cid, generate_subscripts(v.v, 1) AS pos, unnest(v.v) AS x
+          FROM a1 JOIN vecs v USING (vec_id)
+        ),
+        c1 AS (
+          SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, round(avg(x), 9) AS cx FROM parts GROUP BY cid, pos)
+          GROUP BY cid
+        ),
+        d2 AS (
+          SELECT vec_id,
+                 list(round(list_dot_product(v, v) + list_dot_product(cv, cv)
+                            - 2 * list_dot_product(v, cv), 6) ORDER BY cid) AS ds
+          FROM vecs CROSS JOIN c1 GROUP BY vec_id
+        )
+        SELECT vec_id,
+               CASE WHEN ds[1] <= ds[2] AND ds[1] <= ds[3] AND ds[1] <= ds[4] THEN 0
+                    WHEN ds[2] <= ds[3] AND ds[2] <= ds[4] THEN 1
+                    WHEN ds[3] <= ds[4] THEN 2 ELSE 3 END AS cluster
+        FROM d2
+      """)) { (s, dir) =>
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      // fixed seed centroids (vec_ids present at every SF); cluster index
+      // = seed rank so the argmin tie-break order is stated, not implicit
+      val c0 = vecs.filter(col("vec_id").isin(7L, 23L, 41L, 59L))
+        .select(
+          when(col("vec_id") === 7, 0).when(col("vec_id") === 23, 1)
+            .when(col("vec_id") === 41, 2).otherwise(3).as("cid"),
+          col("v").as("cv"))
+      // one Lloyd assignment: k centroid vectors broadcast as ONE packed
+      // array row, distances fused through the codegen'd dot product
+      // (‖v‖² + ‖c‖² − 2v·c), argmin by explicit CASE so the tie rule is
+      // identical in both engines. round(6) makes the compared values
+      // byte-equal cross-engine; cluster ids are plain ints.
+      def assign(cents: DataFrame): DataFrame = {
+        val packed = cents.groupBy()
+          .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+        val d = (c: Column) =>
+          round(dot(col("v"), col("v")) + dot(c, c) - lit(2) * dot(col("v"), c), 6)
+        vecs.crossJoin(broadcast(packed))
+          .withColumn("ds", transform(col("cs"), c => d(c.getField("cv"))))
+          .withColumn("cluster",
+            when(col("ds")(0) <= col("ds")(1) && col("ds")(0) <= col("ds")(2)
+              && col("ds")(0) <= col("ds")(3), 0)
+              .when(col("ds")(1) <= col("ds")(2) && col("ds")(1) <= col("ds")(3), 1)
+              .when(col("ds")(2) <= col("ds")(3), 2)
+              .otherwise(3))
+          .drop("cs", "ds")
+      }
+      val a1 = assign(c0)
+      // recompute: element-wise mean per cluster; round(9) at the
+      // iteration boundary pins the new centroids to byte-equal values
+      // in both engines (avg order-noise ~1e-12 ≪ the rounding step)
+      val c1 = a1
+        .select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(round(avg(col("x")), 9).as("cx"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+      assign(c1).select(col("vec_id"), col("cluster"))
     })
 }

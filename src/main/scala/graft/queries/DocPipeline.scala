@@ -1037,5 +1037,28 @@ object DocPipeline {
           (col("c.idx") * 24).cast("long").as("start_word"),
           size(col("c.words")).cast("long").as("n_words"),
           md5(array_join(col("c.words"), " ")).as("chunk_md5"))
+    },
+
+    // ---- dd22: exact heavy hitters (corpus-frequency top-k) ---------------
+    QueryDef(
+      "dd22_heavy_hitters",
+      "Exact global top-k most frequent tokens with total-order tie-break; map-side partial agg + TakeOrdered, never a full sort",
+      Some("""
+        SELECT w, n FROM (
+          SELECT w, COUNT(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w)
+        ORDER BY n DESC, w LIMIT 20
+      """)) { (s, dir) =>
+      // scale shape: explode → hash-agg on token (partial combine maps
+      // the token space down before the single shuffle) → orderBy+limit
+      // compiles to TakeOrderedAndProject: each partition keeps its own
+      // top-20, the driver merges k×partitions rows — no global sort at
+      // any corpus size
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20)
     })
 }
