@@ -145,5 +145,53 @@ object Ingest {
       graft.ingest.RawZone.runScript(s, dir, script).fold(
         d => throw new IllegalStateException(s"script denied: ${d.reason}"),
         identity)
+    },
+
+    // ---- L3: permissive-parse quarantine boundary --------------------------
+    QueryDef(
+      "l3_quarantine_boundary",
+      "Malformed payloads quarantine instead of dropping or failing the batch: PERMISSIVE from_json over a planted corruption schedule (RawZone corrupt-record boundary, llm boundary l3)",
+      Some("""
+        WITH raw AS (
+          SELECT o_orderkey,
+                 '{"k":' || o_orderkey || ',"p":"' || o_orderpriority || '"}' AS js0
+          FROM orders
+        ),
+        staged AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0
+                      THEN substr(js0, 1, length(js0) - 2) ELSE js0 END AS js
+          FROM raw
+        )
+        SELECT CASE WHEN json_valid(js) THEN 'parsed' ELSE 'quarantined' END AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN json_valid(js)
+                             THEN CAST(json_extract(js, '$.k') AS BIGINT) END)
+                    AS BIGINT) AS k_sum,
+               CAST(COUNT(DISTINCT CASE WHEN json_valid(js)
+                          THEN json_extract_string(js, '$.p') END) AS BIGINT) AS n_prio
+        FROM staged GROUP BY 1
+      """)) { (s, dir) =>
+      // corruption schedule derived from the data itself (every 13th key
+      // loses its closing quote+brace) so DuckDB plants the identical
+      // malformed payloads; PERMISSIVE parse nulls the struct instead of
+      // failing the batch — the quarantined rows stay countable
+      val js0 = concat(lit("{\"k\":"), col("o_orderkey"),
+        lit(",\"p\":\""), col("o_orderpriority"), lit("\"}"))
+      t(s, dir, "orders")
+        .withColumn("js0", js0)
+        .withColumn("js",
+          when(col("o_orderkey") % 13 === 0,
+            expr("substring(js0, 1, length(js0) - 2)")).otherwise(col("js0")))
+        .select(from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG, p STRING"))
+          .as("parsed"), col("js"))
+        .select(
+          when(col("parsed").isNotNull && col("parsed.k").isNotNull, "parsed")
+            .otherwise("quarantined").as("status"),
+          col("parsed.k").as("k"), col("parsed.p").as("p"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          countDistinct(col("p")).as("n_prio"))
     })
 }

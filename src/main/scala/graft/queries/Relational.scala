@@ -363,5 +363,40 @@ object Relational {
         .agg(sum(col("pn")).as("n"),
           sum(col("pq")).cast("double").as("sum_qty"),
           sum(col("pp")).cast("double").as("sum_price"))
+    },
+
+    // ---- A14: row-count + referential validation report -------------------
+    QueryDef(
+      "a14_rowcount_validation",
+      "Operational validation report: per-entity row counts vs expected minimums + FK orphan checks (validate_etl.py:29-135)",
+      Some("""
+        SELECT 'orders' AS entity, COUNT(*) AS n, COUNT(*) >= 1 AS ok FROM orders
+        UNION ALL
+        SELECT 'lineitem', COUNT(*), COUNT(*) >= 1 FROM lineitem
+        UNION ALL
+        SELECT 'customer', COUNT(*), COUNT(*) >= 1 FROM customer
+        UNION ALL
+        SELECT 'lineitem_orphans', COUNT(*), COUNT(*) = 0 FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'orders_cust_orphans', COUNT(*), COUNT(*) = 0 FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      """)) { (s, dir) =>
+      // each check is a count-only aggregate (orphans via anti-join), so
+      // at scale every branch is a partial-agg scan; no row data moves
+      def row(entity: String, df: DataFrame, expectZero: Boolean): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(entity).as("entity"), col("n"),
+          (if (expectZero) col("n") === 0 else col("n") >= 1).as("ok"))
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      row("orders", o, expectZero = false)
+        .unionByName(row("lineitem", l, expectZero = false))
+        .unionByName(row("customer", c, expectZero = false))
+        .unionByName(row("lineitem_orphans",
+          l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+          expectZero = true))
+        .unionByName(row("orders_cust_orphans",
+          o.join(c, col("o_custkey") === col("c_custkey"), "left_anti"),
+          expectZero = true))
     })
 }
