@@ -353,6 +353,74 @@ object AnnSearch {
         .select(col("q_id"), col("cand_id"), col("label"), col("cos"))
     },
 
+    // ---- e5 variant: int8 scalar-quantized ANN ------------------------------
+    QueryDef(
+      "e5_ann_quantized",
+      "Int8 symmetric scalar quantization of UNIT vectors (per-vector scale = max|x|/127 stored alongside) + rescaled integer-dot top-3: the 4x-memory ANN path; int dot is exact, the sq*sc rescale is one fixed-order multiply chain",
+      Some("""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        unitv AS (
+          SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+          FROM base
+        ),
+        qz AS (
+          SELECT vec_id, s,
+                 list_transform(vn, x -> CAST(floor(x / s + 0.5) AS INTEGER)) AS qv
+          FROM (SELECT vec_id, vn,
+                       greatest(list_max(list_transform(vn, y -> abs(y))) / 127.0,
+                                1e-12) AS s
+                FROM unitv)
+        ),
+        q AS (SELECT vec_id AS q_id, s AS sq, qv AS qq FROM qz WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS cand_id,
+                 round(q.sq * c.s *
+                       CAST(list_sum(list_transform(list_zip(q.qq, c.qv),
+                                                    p -> p[1] * p[2])) AS BIGINT),
+                       9) AS score
+          FROM q JOIN qz c ON c.vec_id <> q.q_id
+        )
+        SELECT q_id, cand_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+      """)) { (s, dir) =>
+      // SQ8 as deployed at scale: normalize, quantize the unit vector to
+      // int8, keep the per-vector scale; similarity = sq*sc*(q·c) so the
+      // integer dot (exact in both engines) carries the ranking and the
+      // float rescale is one fixed-order multiply chain. Round-half-up is
+      // spelled floor(x/s + 0.5) because that form is engine-identical
+      // (round() half-case conventions are not). 64 bytes/vector instead
+      // of 256; the usual deployment reranks a quantized top-(k·m)
+      // prefilter exactly — ApproxSpec pins the recall against the exact
+      // cosine top-3.
+      val base = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val unitv = base.select(col("vec_id"),
+        transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("vn"))
+      val qz = unitv
+        .withColumn("s",
+          greatest(array_max(transform(col("vn"), y => abs(y))) / 127.0, lit(1e-12)))
+        .select(col("vec_id"), col("s"),
+          transform(col("vn"), x => floor(x / col("s") + 0.5).cast("int")).as("qv"))
+      val q = qz.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("s").as("sq"), col("qv").as("qq"))
+      val scored = qz.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(col("sq") * col("s") *
+            aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x), 9).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"), col("score"))
+    },
+
     // ---- dd23: seeded k-means over the embedding corpus --------------------
     QueryDef(
       "dd23_kmeans",

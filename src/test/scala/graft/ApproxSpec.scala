@@ -51,4 +51,18 @@ class ApproxSpec extends SparkTestBase {
       assert(math.abs(a - e).toDouble / e < 0.05, s"$k exact=$e approx=$a")
     }
   }
+
+  test("int8-quantized ANN top-3 recalls the exact cosine top-3") {
+    def top3(name: String) = SparkEntry.all.find(_.name == name).get
+      .run(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = top3("e5_ann_bruteforce")
+    val quant = top3("e5_ann_quantized")
+    assert(exact.keySet == quant.keySet)
+    // int8 keeps ~0.8% quantization error per component; on this corpus
+    // the top-3 sets should overlap heavily — require >= 2/3 on average
+    val overlap = exact.keys.toSeq
+      .map(q => (exact(q) & quant(q)).size.toDouble / 3).sum / exact.size
+    assert(overlap >= 0.66, s"mean top-3 overlap $overlap")
+  }
 }
