@@ -130,7 +130,8 @@ object Planner {
     * ("ordered by date" is a list, not a group-by). */
   def detectIntent(q: String): String = {
     val s = q.toLowerCase.replaceAll("(?:ordered|sorted|order)\\s+by\\s+", " ")
-    if (s.contains("how many") || s.contains("count")) "count"
+    // "count" must start a word: "account balance" is not a count cue
+    if (s.contains("how many") || "(?<![a-z])count".r.findFirstIn(s).isDefined) "count"
     else if (Seq("sum", "total", "average", "mean ", "maximum", "minimum",
       "avg per", "by ").exists(s.contains)) "aggregate"
     else if (Seq("find", "search", "named", "called").exists(s.contains)) "search"

@@ -144,5 +144,74 @@ object QlQueries {
       "NL ordered list: explicit sort column, exclusive 'after YYYY', LIMIT",
       "first 20 orders placed after 1997 ordered by order date",
       """SELECT * FROM orders WHERE year(o_orderdate) >= 1998
-         ORDER BY o_orderdate ASC, o_orderkey LIMIT 20""")())
+         ORDER BY o_orderdate ASC, o_orderkey LIMIT 20""")(),
+
+    // ---- numeric threshold filter -----------------------------------------
+    planned(
+      "ql_threshold_count",
+      "NL numeric threshold bound to the primary table's amount column",
+      "how many orders over 200000",
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 200000")(),
+
+    // ---- AVG metric grouped by derived year dimension ----------------------
+    planned(
+      "ql_avg_by_year",
+      "NL AVG metric grouped by the derived year dimension",
+      "average order value by year",
+      """SELECT year(o_orderdate) AS grp, COUNT(*) AS n,
+                round(AVG(o_totalprice), 4) AS avg_value
+         FROM orders GROUP BY year(o_orderdate)""")(
+      _.withColumn("avg_value", round(col("avg_value"), 4))),
+
+    // ---- MIN metric, ungrouped ---------------------------------------------
+    planned(
+      "ql_min_metric",
+      "NL MIN metric selection on the matched table's numeric column",
+      "minimum account balance of customers",
+      "SELECT COUNT(*) AS n, MIN(c_acctbal) AS min_value FROM customer")(),
+
+    // ---- single-day date filter ---------------------------------------------
+    planned(
+      "ql_on_day",
+      "NL single-day 'on DD-MM-YYYY' filter",
+      "how many orders on 27-02-1995",
+      """SELECT COUNT(*) AS n FROM orders
+         WHERE CAST(o_orderdate AS DATE)
+           BETWEEN DATE '1995-02-27' AND DATE '1995-02-27'""")(),
+
+    // ---- ISO day range on the events stream table -----------------------------
+    planned(
+      "ql_events_day_range",
+      "NL ISO-format day range resolved onto the events timestamp",
+      "how many events between 2024-01-05 and 2024-01-15",
+      """SELECT COUNT(*) AS n FROM events
+         WHERE CAST(ts AS DATE)
+           BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'""")(),
+
+    // ---- which-group superlative on a SUM metric --------------------------------
+    planned(
+      "ql_which_priority",
+      "NL 'which <dim> has the highest <amount>' — SUM metric, DESC, tie-broken",
+      "which priority has the highest order value",
+      """SELECT o_orderpriority AS grp, COUNT(*) AS n,
+                round(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY SUM(o_totalprice) DESC, grp LIMIT 1""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- distinct count over an FK join with year filter --------------------------
+    planned(
+      "ql_distinct_join_year",
+      "NL distinct-entity count across an FK join with a year filter",
+      "how many unique customers with orders in 1997",
+      """SELECT COUNT(DISTINCT c_name) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE year(o_orderdate) = 1997""")(),
+
+    // ---- grouped count by a dim owned by the matched table -------------------------
+    planned(
+      "ql_grouped_by_segment",
+      "NL grouped count on the matched table's own dimension",
+      "count of customers by segment",
+      "SELECT c_mktsegment AS grp, COUNT(*) AS n FROM customer GROUP BY 1")())
 }

@@ -10,6 +10,9 @@ class PlannerSpec extends SparkTestBase {
     assert(Planner.detectIntent("total value by nation") == "aggregate")
     assert(Planner.detectIntent("find the customer named X") == "search")
     assert(Planner.detectIntent("show recent documents") == "list")
+    // "account balance" must not substring-match the count cue
+    assert(Planner.detectIntent("minimum account balance of customers") == "aggregate")
+    assert(Planner.detectIntent("count of accounts") == "count")
   }
 
   test("table matcher picks the most specific keyword hit") {
