@@ -1060,5 +1060,34 @@ object DocPipeline {
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w"))
         .limit(20)
+    },
+
+    // ---- dd24: incremental-batch dedup against the standing corpus --------
+    QueryDef(
+      "dd24_incremental_dedup",
+      "New-batch docs dedup against the existing corpus WITHOUT reshuffling it: the batch's content keys anti-join the corpus scan, so the standing data is read once and never moves",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 10 <> 7
+        ),
+        batch AS (
+          SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 10 = 7
+        )
+        SELECT b.doc_id,
+               CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.k = b.k)
+                    THEN 'duplicate' ELSE 'new' END AS status
+        FROM batch b
+      """)) { (s, dir) =>
+      // at 100 TB the batch (small) broadcasts; the corpus side is a pure
+      // scan feeding the hash lookup — no shuffle of the standing corpus.
+      // left join on the distinct corpus keys (not semi/anti twice) so
+      // one pass labels both outcomes.
+      val docs = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("k"))
+      val corpusKeys = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("k")).distinct().withColumn("seen", lit(true))
+      docs.filter(col("doc_id") % 10 === 7)
+        .join(corpusKeys, Seq("k"), "left")
+        .select(col("doc_id"),
+          when(col("seen"), "duplicate").otherwise("new").as("status"))
     })
 }

@@ -315,5 +315,25 @@ object Extras {
           coalesce(col("p_value"), lit(-1.0)).cast("double").as("purchase_value"),
           coalesce(unix_timestamp(col("ts")) - unix_timestamp(col("p_ts")), lit(-1L))
             .as("gap_sec"))
+    },
+
+    // ---- W8: grouped top-k via bounded typed Aggregator ---------------------
+    QueryDef(
+      "w8_grouped_topk_agg",
+      "Per-customer top-3 order values via a k-bounded typed Aggregator (partial top-k merge: the shuffle carries <= k doubles per group per map task, vs a window's full per-group sort)",
+      Some("""
+        SELECT o_custkey,
+               CAST(generate_subscripts(top3, 1) - 1 AS BIGINT) AS rank,
+               unnest(top3) AS val
+        FROM (
+          SELECT o_custkey,
+                 (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3
+          FROM orders GROUP BY o_custkey)
+      """)) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAggregator.top_k(col("o_totalprice"), 3).as("top3"))
+        .select(col("o_custkey"), posexplode(col("top3")).as(Seq("rank", "val")))
+        .withColumn("rank", col("rank").cast("long"))
     })
 }

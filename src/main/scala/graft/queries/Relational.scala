@@ -365,6 +365,27 @@ object Relational {
           sum(col("pp")).cast("double").as("sum_price"))
     },
 
+    // ---- J14: salted skew join ≡ plain join --------------------------------
+    QueryDef(
+      "j14_salted_join",
+      "Skew-salted join: fact rows salt 16 ways, the dim replicates per salt, equi-join on (key, salt) — result-identical to the plain join but a hot key spreads over 16 partitions instead of one",
+      Some("""
+        SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, o.o_orderstatus
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+      """)) { (s, dir) =>
+      val salts = 16
+      val fact = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_linenumber")), lit(salts)))
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim,
+          col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_totalprice"), col("o_orderstatus"))
+    },
+
     // ---- A14: row-count + referential validation report -------------------
     QueryDef(
       "a14_rowcount_validation",
