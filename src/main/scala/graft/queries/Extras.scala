@@ -335,5 +335,27 @@ object Extras {
         .agg(graft.functions.TopKAggregator.top_k(col("o_totalprice"), 3).as("top3"))
         .select(col("o_custkey"), posexplode(col("top3")).as(Seq("rank", "val")))
         .withColumn("rank", col("rank").cast("long"))
+    },
+
+    // ---- W9: running cumulative total per key -------------------------------
+    QueryDef(
+      "w9_running_total",
+      "Per-customer cumulative order value in date order (UNBOUNDED PRECEDING frame); one shuffle on the partition key, total order pinned by the key tie-break",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               round(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+      """)) { (s, dir) =>
+      // round(2) on both sides: cumulative frames may aggregate in
+      // different internal orders across engines (segment trees vs
+      // straight accumulation); the ~1e-9 noise is far under a cent
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
     })
 }

@@ -456,5 +456,31 @@ object TextOps {
       t(s, dir, "nation").select(col("n_nationkey"),
         graft.functions.Udfs.translit(concat(word, lit(" "), col("n_name")))
           .as("latin"))
+    },
+
+    // ---- T21: Unicode NFC normalization (beyond-reference) -----------------
+    QueryDef(
+      "t21_unicode_nfc",
+      "NFC canonical composition before content hashing: combining-mark and precomposed spellings of the same text must dedup/join identically (oracle: DuckDB nfc_normalize)",
+      Some("""
+        SELECT n_nationkey,
+               nfc_normalize('cafe' || chr(769) || ' ' || n_name) AS norm,
+               length(nfc_normalize('cafe' || chr(769) || ' ' || n_name)) AS n_chars,
+               md5(nfc_normalize('cafe' || chr(769) || ' ' || n_name)) AS content_key
+        FROM nation
+      """)) { (s, dir) =>
+      // decomposed input planted from the data ('e' + U+0301 combining
+      // acute); NFC composes it to the precomposed é so downstream md5
+      // keys match however the source spelled it. Normalizer is JDK-
+      // built-in — no UDF-side state, a pure narrow map.
+      val nfc = udf((x: String) =>
+        if (x == null) null
+        else java.text.Normalizer.normalize(x, java.text.Normalizer.Form.NFC))
+      // decomposed on purpose: "cafe" + combining acute U+0301 + space
+      val raw = concat(lit("cafe\u0301 "), col("n_name"))
+      t(s, dir, "nation").select(col("n_nationkey"),
+        nfc(raw).as("norm"),
+        length(nfc(raw)).cast("long").as("n_chars"),
+        md5(nfc(raw)).as("content_key"))
     })
 }
