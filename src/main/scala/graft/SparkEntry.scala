@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Ingest.defs ++
       graft.queries.Surface.defs ++
       graft.queries.Extras.defs ++
+      graft.queries.ScaleOps.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.{Parity, Tables}
+
+/** Scale-pattern operators: the join/sampling/sketch shapes a 100 TB
+  * deployment leans on once the basic relational inventory is done.
+  *
+  * Each query is the *pattern* demonstrated at test scale with the exact
+  * result pinned against the DuckDB oracle:
+  *
+  *   - bucketized range join (interval overlap WITHOUT a nested-loop
+  *     join — the classic expand-to-buckets + equi-join + residual),
+  *   - Bloom-filter pruned join (prune the fact BEFORE the exchange;
+  *     result provably identical to the plain join),
+  *   - SemDeDup-style semantic dedup (cluster-blocked cosine pairs,
+  *     never all-pairs; reference analog of E5 similarity,
+  *     `geo_resolver.py:123-190`, lifted to corpus curation),
+  *   - greedy sequence packing (token-budget bins for LLM pretraining,
+  *     pure integer window math),
+  *   - sketch-vs-exact tolerance gates (HLL distinct + approximate
+  *     percentile pinned within tolerance of the exact answers), and
+  *   - temperature-scaled mixture resampling (per-language rates derived
+  *     from the corpus itself, deterministic hash selection),
+  *   - percentile-boundary range sharding (plan the shard boundaries,
+  *     don't sample them — reproducible export layout).
+  */
+object ScaleOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.dot_native(a, b)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- J15: bucketized interval-overlap (range) join -------------------
+    QueryDef(
+      "j15_range_join",
+      "Interval-overlap join via bucket expansion: intervals explode to fixed-width buckets, points equi-join on bucket, residual BETWEEN — never a nested-loop join",
+      Some("""
+        WITH periods AS (
+          SELECT CAST(n_nationkey AS INT) AS period_id,
+                 DATE '1995-01-01' + CAST(n_nationkey * 99 AS INT) AS p_start,
+                 DATE '1995-01-01' + CAST(n_nationkey * 99 + 14 AS INT) AS p_end
+          FROM nation
+        )
+        SELECT period_id, COUNT(*) AS n_ship,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM periods
+        JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN p_start AND p_end
+        GROUP BY period_id
+      """)) { (s, dir) =>
+      // The at-scale shape: a range predicate join compiles to
+      // BroadcastNestedLoopJoin (every point × every interval). Instead:
+      // buckets of width 16 days ≥ the 15-day interval span, so each
+      // interval covers ≤ 2 buckets; intervals EXPLODE to their buckets,
+      // points land in exactly one, and the join is a plain equi-join on
+      // the bucket key with the BETWEEN as a cheap residual. Cost is
+      // O(|points| + |intervals| × spanBuckets), shuffle is hash — the
+      // pattern holds for billions of points and millions of intervals.
+      val base = lit("1995-01-01").cast("date")
+      val periods = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("period_id"))
+        .withColumn("p_start", date_add(base, col("period_id") * 99))
+        .withColumn("p_end", date_add(col("p_start"), 14))
+        .withColumn("b",
+          // div-by-16 is a power-of-two exponent shift — exact in double,
+          // so the truncating cast is a true floor for non-negative days
+          explode(sequence((datediff(col("p_start"), base) / 16).cast("int"),
+            (datediff(col("p_end"), base) / 16).cast("int"))))
+      val points = t(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
+        .filter(col("ship_date") >= base)
+        .withColumn("b", (datediff(col("ship_date"), base) / 16).cast("int"))
+      points.join(periods, Seq("b"))
+        .filter(col("ship_date").between(col("p_start"), col("p_end")))
+        .groupBy(col("period_id"))
+        .agg(count(lit(1)).as("n_ship"), Parity.dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ---- J16: Bloom-filter pruned selective join -------------------------
+    QueryDef(
+      "j16_bloom_prune",
+      "Bloom-filter pruned join: fact rows filtered by a Bloom filter of the selective dim's keys BEFORE the exchange; false positives die in the exact join, so the result ≡ the plain join",
+      Some("""
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 9900
+        GROUP BY c.c_mktsegment
+      """)) { (s, dir) =>
+      // At 100 TB the selective dim can exceed the broadcast budget, so
+      // the join shuffles BOTH sides; a Bloom filter of the dim keys
+      // (built once, ~1.2 MB per million keys at 1% fpp) prunes the fact
+      // to ~|matching| × (1 + fpp) rows before the exchange — the shuffle
+      // carries ~1% of the fact instead of all of it. Correctness does
+      // not depend on the filter: Bloom has no false negatives and the
+      // exact join removes the false positives. (Spark's own runtime
+      // bloom-filter rule does this under AQE for suitable plans; spelled
+      // explicitly here so the pattern is pinned and oracle-gated.)
+      val dim = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9900)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+      val mightContain = udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue()))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .filter(mightContain(col("o_custkey")))
+        .hint("shuffle_hash") // model the at-scale non-broadcast join shape
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), Parity.dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- DD25: SemDeDup-style semantic dedup -----------------------------
+    QueryDef(
+      "dd25_semantic_dedup",
+      "Semantic dedup (SemDeDup): k-means cluster assignment blocks the corpus, cosine pairs are computed only WITHIN a cluster; planted duplicate embeddings flag as semdups of their source",
+      Some("""
+        WITH vecs0 AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        planted AS (
+          SELECT vec_id + (SELECT max(vec_id) + 1 FROM vecs0) AS vec_id, v
+          FROM vecs0 WHERE vec_id % 25 = 0
+        ),
+        allv AS (SELECT * FROM vecs0 UNION ALL SELECT * FROM planted),
+        seeds AS (
+          SELECT CASE vec_id WHEN 7 THEN 0 WHEN 23 THEN 1
+                             WHEN 41 THEN 2 ELSE 3 END AS cid, v AS cv
+          FROM vecs0 WHERE vec_id IN (7, 23, 41, 59)
+        ),
+        d AS (
+          SELECT vec_id,
+                 list(round(list_dot_product(v, v) + list_dot_product(cv, cv)
+                            - 2 * list_dot_product(v, cv), 6) ORDER BY cid) AS ds
+          FROM allv CROSS JOIN seeds GROUP BY vec_id
+        ),
+        assigned AS (
+          SELECT a.vec_id, v,
+                 CASE WHEN ds[1] <= ds[2] AND ds[1] <= ds[3] AND ds[1] <= ds[4] THEN 0
+                      WHEN ds[2] <= ds[3] AND ds[2] <= ds[4] THEN 1
+                      WHEN ds[3] <= ds[4] THEN 2 ELSE 3 END AS cluster
+          FROM d a JOIN allv USING (vec_id)
+        ),
+        n AS (SELECT vec_id, cluster, v, sqrt(list_dot_product(v, v)) AS nrm FROM assigned),
+        dup_ids AS (
+          SELECT DISTINCT b.vec_id
+          FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
+        )
+        SELECT n.vec_id, n.cluster, d.vec_id IS NOT NULL AS is_semdup
+        FROM n LEFT JOIN dup_ids d ON n.vec_id = d.vec_id
+      """)) { (s, dir) =>
+      // SemDeDup at scale: all-pairs cosine over the corpus is O(N²);
+      // clustering first bounds the pair stage to Σ|cluster|² — and k is
+      // chosen ∝ N so clusters stay O(N/k) ≈ constant-sized (the paper
+      // uses k ≈ N/1000 on billions of embeddings). Here k=4 seeded
+      // clusters (dd23's seeds) demonstrate the blocking; the pair join
+      // is an equi-join on the cluster id, never a cartesian product.
+      val vecs0 = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = vecs0.filter(col("vec_id") % 25 === 0)
+        .crossJoin(broadcast(vecs0.agg(max(col("vec_id")).as("max_id"))))
+        .select((col("vec_id") + col("max_id") + 1).as("vec_id"), col("v"))
+      val allv = vecs0.unionByName(planted)
+      val seeds = vecs0.filter(col("vec_id").isin(7L, 23L, 41L, 59L))
+        .select(
+          when(col("vec_id") === 7, 0).when(col("vec_id") === 23, 1)
+            .when(col("vec_id") === 41, 2).otherwise(3).as("cid"),
+          col("v").as("cv"))
+      // one packed broadcast row carries all k centroids; distances fuse
+      // through the codegen'd dot product; argmin CASE = stated tie rule
+      val packed = seeds.groupBy()
+        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+      val dist = (c: Column) =>
+        round(dot(col("v"), col("v")) + dot(c, c) - lit(2) * dot(col("v"), c), 6)
+      val assigned = allv.crossJoin(broadcast(packed))
+        .withColumn("ds", transform(col("cs"), c => dist(c.getField("cv"))))
+        .withColumn("cluster",
+          when(col("ds")(0) <= col("ds")(1) && col("ds")(0) <= col("ds")(2)
+            && col("ds")(0) <= col("ds")(3), 0)
+            .when(col("ds")(1) <= col("ds")(2) && col("ds")(1) <= col("ds")(3), 1)
+            .when(col("ds")(2) <= col("ds")(3), 2)
+            .otherwise(3))
+        .select(col("vec_id"), col("cluster"), col("v"),
+          sqrt(dot(col("v"), col("v"))).as("nrm"))
+      val lhs = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an"))
+      val dupIds = lhs.join(assigned, Seq("cluster"))
+        .filter(col("a_id") < col("vec_id"))
+        .filter(round(dot(col("av"), col("v")) / (col("an") * col("nrm")), 6) >= 0.99)
+        .select(col("vec_id")).distinct()
+        .withColumn("is_semdup", lit(true))
+      assigned.select(col("vec_id"), col("cluster"))
+        .join(dupIds, Seq("vec_id"), "left")
+        .withColumn("is_semdup", coalesce(col("is_semdup"), lit(false)))
+    },
+
+    // ---- DD26: greedy token-budget sequence packing ----------------------
+    QueryDef(
+      "dd26_sequence_pack",
+      "Sequence packing for pretraining: docs fill fixed 512-token sequences greedily in deterministic id order per language; pure integer window math, one partitioned shuffle",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        packed AS (
+          SELECT lang, doc_id, tok,
+                 CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS w
+          FROM toks
+        )
+        SELECT lang, (w - tok) // 512 AS seq_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM packed GROUP BY lang, seq_id
+      """)) { (s, dir) =>
+      // The packing rule is "a doc starts the sequence its running-offset
+      // falls in": seq = (cumsum − tok) div budget. All-integer, so the
+      // binning is exact in both engines, and the only exchange is the
+      // hash partition on lang for the window — each language packs
+      // independently and in parallel, which is exactly how a 100 TB
+      // corpus shards (window per shard key, never a global order).
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("w", sum(col("tok")).over(w))
+        .withColumn("seq_id", expr("(w - tok) DIV 512"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+
+    // ---- DD27: sketch-vs-exact tolerance gates ---------------------------
+    QueryDef(
+      "dd27_sketch_gates",
+      "Approximate sketches gated against exact answers: HLL distinct within 5% of exact, approx-percentile within 5% of the exact interpolated median — the booleans ARE the compared result",
+      Some("""
+        WITH words AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        dw AS (SELECT lang, COUNT(DISTINCT w) AS exact_distinct FROM words GROUP BY lang),
+        pc AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+          FROM documents GROUP BY lang
+        )
+        SELECT pc.lang, n_docs, exact_distinct,
+               TRUE AS hll_ok, p50_chars, TRUE AS p50_ok
+        FROM pc JOIN dw ON pc.lang = dw.lang
+      """)) { (s, dir) =>
+      // The 100 TB reality: exact COUNT(DISTINCT) and exact percentiles
+      // need a full shuffle of the distinct keys; HLL and quantile
+      // sketches are one streaming pass with mergeable state. This query
+      // runs BOTH and emits `|approx − exact| ≤ tol·exact` booleans; the
+      // oracle pins the exact values and asserts the booleans TRUE, so a
+      // sketch drifting out of tolerance fails CORRECTNESS, not just a
+      // spec. rsd=0.01 against a 5% gate leaves ~5σ of margin.
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      val dw = words.groupBy("lang").agg(
+        countDistinct(col("w")).as("exact_distinct"),
+        approx_count_distinct(col("w"), 0.01).as("hll_distinct"))
+      val pc = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_approx"))
+      pc.join(dw, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("exact_distinct"),
+          (abs(col("hll_distinct") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("hll_ok"),
+          col("p50_chars"),
+          (abs(col("p50_approx") - col("p50_chars"))
+            <= col("p50_chars") * 0.05).as("p50_ok"))
+    },
+
+    // ---- DD28: temperature-scaled mixture resampling ---------------------
+    QueryDef(
+      "dd28_mixture_reweight",
+      "Data-mixture reweighting: per-language target weights p^0.5 (temperature-flattened), deterministic md5-hash selection at the derived rate; rates computed FROM the corpus in the same job",
+      Some("""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        tot AS (
+          SELECT CAST(SUM(n) AS DOUBLE) AS big_n, SUM(sqrt(CAST(n AS DOUBLE))) AS s
+          FROM counts
+        ),
+        rates AS (
+          SELECT lang, n,
+                 round(least(1.0, 0.6 * big_n / (s * sqrt(CAST(n AS DOUBLE)))), 9) AS rate
+          FROM counts CROSS JOIN tot
+        ),
+        sel AS (
+          SELECT d.lang, d.doc_id, r.n, r.rate,
+                 ('0x' || substr(md5('mix#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < r.rate AS keep
+          FROM documents d JOIN rates r ON d.lang = r.lang
+        )
+        SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs, MAX(rate) AS rate,
+               CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_selected
+        FROM sel GROUP BY lang
+      """)) { (s, dir) =>
+      // Mixture math: w_l ∝ p_l^τ with τ=0.5 flattens head languages and
+      // boosts the tail (the standard multilingual-pretraining reweight);
+      // rate_l = min(1, target·w_l/n_l) with target=0.6·N. The per-doc
+      // keep decision is a pure md5 hash — reproducible across runs,
+      // engines, and partitionings; only the tiny per-language rate table
+      // shuffles (two 5-row aggregates), the corpus itself maps once.
+      // round(rate, 9) pins the one float that crosses engines (house
+      // pattern: dd9's ln parity).
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        sum(col("n")).cast("double").as("big_n"),
+        sum(sqrt(col("n").cast("double"))).as("s"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          round(least(lit(1.0),
+            lit(0.6) * col("big_n") / (col("s") * sqrt(col("n").cast("double")))), 9)
+            .as("rate"))
+      docs.select(col("lang"), col("doc_id"))
+        .join(broadcast(rates), Seq("lang"))
+        .withColumn("keep",
+          conv(substring(md5(concat(lit("mix#"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") / 4294967296.0 < col("rate"))
+        .groupBy("lang")
+        .agg(max(col("n")).cast("long").as("n_docs"), max(col("rate")).as("rate"),
+          count(when(col("keep"), 1)).as("n_selected"))
+    },
+
+    // ---- W10: percentile-boundary range sharding -------------------------
+    QueryDef(
+      "w10_range_shards",
+      "Range-sharded export layout: shard boundaries are EXACT septile percentiles (planned, not sampled), shard = #boundaries below the value; per-shard counts + key checksum pin the layout",
+      Some("""
+        WITH bs AS (
+          SELECT list_transform(
+                   quantile_cont(o_totalprice,
+                     [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                   b -> round(b, 6)) AS bs
+          FROM orders
+        )
+        SELECT len(list_filter(bs, b -> o_totalprice > b)) AS shard,
+               COUNT(*) AS n_rows,
+               round(MIN(o_totalprice), 2) AS min_price,
+               round(MAX(o_totalprice), 2) AS max_price,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM orders CROSS JOIN bs
+        GROUP BY shard
+      """)) { (s, dir) =>
+      // repartitionByRange SAMPLES boundaries — fast but non-reproducible
+      // run to run. For an export layout that must be stable (resumable
+      // writes, downstream bucket joins, audits), compute the boundaries
+      // exactly from the data, broadcast the 7-value array, and assign
+      // shard = count(boundaries < value). Two passes over the keys, no
+      // sampling nondeterminism; the checksum column makes layout drift
+      // visible immediately.
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bs = orders.agg(
+        transform(
+          percentile(col("o_totalprice"),
+            array(Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875).map(lit): _*)),
+          b => round(b, 6)).as("bs"))
+      orders.crossJoin(broadcast(bs))
+        .withColumn("shard", size(filter(col("bs"), b => col("o_totalprice") > b)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          sum(col("o_orderkey")).as("key_checksum"))
+    })
+}
