@@ -339,6 +339,64 @@ object ScaleOps {
           count(when(col("keep"), 1)).as("n_selected"))
     },
 
+    // ---- W11: Z-order (Morton) clustering for multi-dim data skipping ----
+    QueryDef(
+      "w11_zorder_layout",
+      "Z-order layout vs linear layout, measured: rows binned into 32 'files' by Morton-interleaved (nation, balance-bucket) vs by balance alone; per-file min-max spans of BOTH dims show the multi-dim pruning bound",
+      Some("""
+        WITH b AS (
+          SELECT c_custkey,
+                 CAST(c_nationkey AS INT) AS nat,
+                 LEAST(31, GREATEST(0, CAST(floor((c_acctbal + 999.0) / 344.0) AS INT))) AS bb
+          FROM customer
+        ),
+        z AS (
+          SELECT *,
+                 (((nat >> 0) & 1) << 1) + (((bb >> 0) & 1) << 0)
+               + (((nat >> 1) & 1) << 3) + (((bb >> 1) & 1) << 2)
+               + (((nat >> 2) & 1) << 5) + (((bb >> 2) & 1) << 4)
+               + (((nat >> 3) & 1) << 7) + (((bb >> 3) & 1) << 6)
+               + (((nat >> 4) & 1) << 9) + (((bb >> 4) & 1) << 8) AS zv
+          FROM b
+        ),
+        files AS (
+          SELECT 'zorder' AS layout, CAST(zv // 32 AS INT) AS file, nat, bb FROM z
+          UNION ALL
+          SELECT 'linear' AS layout, bb AS file, nat, bb FROM z
+        )
+        SELECT layout, file, COUNT(*) AS n_rows,
+               MAX(nat) - MIN(nat) AS nat_span,
+               MAX(bb) - MIN(bb) AS bb_span
+        FROM files GROUP BY layout, file
+      """)) { (s, dir) =>
+      // Data skipping at 100 TB lives or dies on file-level min/max zone
+      // maps: a predicate prunes a file only if the file's value RANGE
+      // misses it. Sorting by one column makes that column tight and
+      // every other column full-range; Morton interleaving bounds BOTH
+      // dims per file (here: nat_span ≤ 3, bb_span ≤ 7 by construction
+      // — the low 5 z-bits hold 2 nation + 3 balance bits). The result
+      // quantifies it: every zorder file is a small box, every linear
+      // file is a full-height stripe. Writing is one narrow map + the
+      // same groupBy a partitioned write would do — no extra shuffles.
+      val b = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("int").as("nat"),
+        least(lit(31), greatest(lit(0),
+          floor((col("c_acctbal") + 999.0) / 344.0).cast("int"))).as("bb"))
+      val zbits = (0 until 5).map { i =>
+        shiftleft(shiftright(col("nat"), i).bitwiseAND(lit(1)), 2 * i + 1) +
+          shiftleft(shiftright(col("bb"), i).bitwiseAND(lit(1)), 2 * i)
+      }.reduce(_ + _)
+      val z = b.withColumn("zv", zbits)
+      val files = z.select(lit("zorder").as("layout"),
+        (col("zv") / 32).cast("int").as("file"), col("nat"), col("bb"))
+        .unionByName(z.select(lit("linear").as("layout"),
+          col("bb").as("file"), col("nat"), col("bb")))
+      files.groupBy(col("layout"), col("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("nat")) - min(col("nat"))).as("nat_span"),
+          (max(col("bb")) - min(col("bb"))).as("bb_span"))
+    },
+
     // ---- W10: percentile-boundary range sharding -------------------------
     QueryDef(
       "w10_range_shards",

@@ -96,6 +96,21 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("w11_zorder_layout: z-order files bound BOTH dims, linear files only one") {
+    val rows = q("w11_zorder_layout").run(spark, sf001).collect()
+    val (zf, lf) = rows.partition(_.getAs[String]("layout") == "zorder")
+    assert(zf.nonEmpty && lf.nonEmpty)
+    // construction bound: the low 5 z-bits carry 2 nation + 3 balance bits
+    zf.foreach { r =>
+      assert(r.getAs[Int]("nat_span") <= 3, r.toString)
+      assert(r.getAs[Int]("bb_span") <= 7, r.toString)
+    }
+    // the linear layout is tight on balance but full-stripe on nation
+    assert(lf.forall(_.getAs[Int]("bb_span") == 0))
+    assert(lf.map(_.getAs[Int]("nat_span")).max >
+      zf.map(_.getAs[Int]("nat_span")).max)
+  }
+
   test("dd28_mixture_reweight: temperature flattens the mixture toward the tail") {
     val out = q("dd28_mixture_reweight").run(spark, sf001).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
