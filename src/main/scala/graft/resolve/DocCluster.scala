@@ -20,9 +20,13 @@ object DocCluster {
     * @return (node, cluster) where cluster = min node id reachable. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val a = edges.columns(0); val b = edges.columns(1)
+    // repartition on the join key BEFORE caching: the cached relation
+    // then carries hashpartitioning(src), so every round's edge⋈label
+    // join reads it exchange-free instead of re-shuffling the edge table
+    // once per iteration.
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node")).cache()
     val sc = edges.sparkSession.sparkContext
@@ -44,11 +48,21 @@ object DocCluster {
     while (!converged && i < maxIter) {
       val propagated = sym.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("cluster"))
+      // pointer jumping: also propagate each node's label THROUGH its
+      // current cluster representative (label-of-label). Plain min-label
+      // needs O(diameter) rounds — star edges deliberately lengthen
+      // chains (node→group-min→variant), so diameter, not edge count, was
+      // the round driver; with the doubling step convergence is
+      // O(log diameter) and each saved round saves a full fixed-cost
+      // join+checkpoint cycle.
+      val jumped = labels.select(col("node").as("jn"), col("cluster").as("jc"))
+        .join(labels, col("jc") === col("node"))
+        .select(col("jn").as("node"), col("cluster"))
       // localCheckpoint (not cache): truncates the lineage each round —
       // otherwise the plan grows exponentially with iterations and the
       // optimizer itself OOMs on long chains. Eager: materialized here.
       val before = sc.getPersistentRDDs.keySet
-      val next = labels.unionByName(propagated)
+      val next = labels.unionByName(propagated).unionByName(jumped)
         .groupBy("node").agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
       val thisRoundIds = sc.getPersistentRDDs.keySet.diff(before)
