@@ -13,7 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Memoize the loaded DataFrame per (session, dir, table): the object
+  // holds only the analyzed plan (no data), but building it costs a file
+  // listing + parquet footer read — a fixed driver-side job that a
+  // 157-query inventory otherwise pays hundreds of times over.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses natively.
     // Sessions set spark.sql.legacy.parquet.nanosAsLong=true; restore a
@@ -27,7 +37,14 @@ object Tables {
     else df
   }
 
-  /** Register every table as a temp view for the SQL query surface. */
+  /** Register every table as a temp view for the SQL query surface.
+    * Idempotent per (session, dir): re-registration only happens when the
+    * requested dir CHANGES for a session (views must then be replaced),
+    * so back-to-back guarded queries pay the view setup once. */
+  private val lastDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    if (lastDir.put(spark, dir) != dir)
+      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

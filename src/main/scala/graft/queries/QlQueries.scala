@@ -213,5 +213,62 @@ object QlQueries {
       "ql_grouped_by_segment",
       "NL grouped count on the matched table's own dimension",
       "count of customers by segment",
-      "SELECT c_mktsegment AS grp, COUNT(*) AS n FROM customer GROUP BY 1")())
+      "SELECT c_mktsegment AS grp, COUNT(*) AS n FROM customer GROUP BY 1")(),
+
+    // ---- THREE constraints in one question: status + group-by + year range ---
+    planned(
+      "ql_composed_status_year_group",
+      "NL triple composition: status filter + per-year grouping + year range in one question",
+      "how many finished orders per year between 1995 and 1997",
+      """SELECT year(o_orderdate) AS grp, COUNT(*) AS n FROM orders
+         WHERE o_orderstatus = 'F' AND year(o_orderdate) BETWEEN 1995 AND 1997
+         GROUP BY 1""")(),
+
+    // ---- negation composed with a year filter ------------------------------
+    planned(
+      "ql_negation_year",
+      "NL negated status composed with a year filter",
+      "how many orders that are not finished were placed in 1996",
+      """SELECT COUNT(*) AS n FROM orders
+         WHERE NOT (o_orderstatus = 'F') AND year(o_orderdate) = 1996""")(),
+
+    // ---- top-k by joined SUM composed with an inclusive 'since' filter ------
+    planned(
+      "ql_topk_by_join_year",
+      "NL top-k by joined fact SUM composed with an inclusive since-year filter",
+      "top 5 customers by order total since 1996",
+      """SELECT c_custkey, c_name, round(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE year(o_orderdate) >= 1996
+         GROUP BY c_custkey, c_name
+         ORDER BY SUM(o_totalprice) DESC, c_custkey LIMIT 5""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- which-group superlative in the ASC (fewest) direction --------------
+    planned(
+      "ql_which_segment_fewest",
+      "NL 'which <own-dim> has the fewest <entity>' — COUNT metric, ASC direction",
+      "which segment has the fewest customers",
+      """SELECT c_mktsegment AS grp, COUNT(*) AS n,
+                round(SUM(c_acctbal), 2) AS total
+         FROM customer GROUP BY c_mktsegment
+         ORDER BY COUNT(*) ASC, grp LIMIT 1""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- numeric threshold composed with a year filter -----------------------
+    planned(
+      "ql_threshold_year",
+      "NL numeric threshold composed with an in-year filter",
+      "how many orders over 300000 placed in 1997",
+      """SELECT COUNT(*) AS n FROM orders
+         WHERE o_totalprice > 300000 AND year(o_orderdate) = 1997""")(),
+
+    // ---- relative date range pinned to the deterministic anchor ---------------
+    planned(
+      "ql_events_last_days",
+      "NL relative 'last N days' range resolved against the pinned anchor date",
+      "how many events in the last 30 days",
+      """SELECT COUNT(*) AS n FROM events
+         WHERE CAST(ts AS DATE)
+           BETWEEN DATE '2001-07-02' AND DATE '2001-08-01'""")())
 }
