@@ -339,6 +339,58 @@ object ScaleOps {
           count(when(col("keep"), 1)).as("n_selected"))
     },
 
+    // ---- DD29: bigram LM statistics (conditional next-token table) -------
+    QueryDef(
+      "dd29_bigram_lm",
+      "Bigram language-model table: per-token top-3 next tokens with exact conditional probabilities, for frequent tokens only — counts are map-side-combined, the window partitions by token",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+        ),
+        big AS (
+          SELECT w AS prev, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+          FROM tok
+        ),
+        pair_counts AS (
+          SELECT prev, next, COUNT(*) AS n FROM big
+          WHERE next IS NOT NULL GROUP BY prev, next
+        ),
+        with_tot AS (
+          SELECT prev, next, n,
+                 CAST(SUM(n) OVER (PARTITION BY prev) AS BIGINT) AS total,
+                 ROW_NUMBER() OVER (PARTITION BY prev ORDER BY n DESC, next) AS rnk
+          FROM pair_counts
+        )
+        SELECT prev, next, n, CAST(rnk AS INT) AS rnk,
+               round(CAST(n AS DOUBLE) / total, 9) AS cond_prob
+        FROM with_tot WHERE rnk <= 3 AND total >= 100
+      """)) { (s, dir) =>
+      // The LM-statistics shape at corpus scale: bigram extraction is a
+      // NARROW per-doc array pass (no pos-explode join), the (prev,next)
+      // count is ONE map-side-combined groupBy, and the top-3 window
+      // partitions by the token — per-token groups are vocabulary-bounded
+      // so no partition outgrows an executor. The ≥100 support floor is
+      // the classic LM cutoff and also bounds the result.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val pairs = docs.select(explode(transform(
+        sequence(lit(0), size(col("arr")) - 2),
+        i => struct(element_at(col("arr"), i + 1).as("prev"),
+          element_at(col("arr"), i + 2).as("next")))).as("p"))
+        .select(col("p.prev").as("prev"), col("p.next").as("next"))
+      val counts = pairs.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+      val wTot = Window.partitionBy("prev")
+      val wRnk = Window.partitionBy("prev").orderBy(col("n").desc, col("next"))
+      counts
+        .withColumn("total", sum(col("n")).over(wTot))
+        .withColumn("rnk", row_number().over(wRnk))
+        .filter(col("rnk") <= 3 && col("total") >= 100)
+        .select(col("prev"), col("next"), col("n"), col("rnk"),
+          round(col("n").cast("double") / col("total"), 9).as("cond_prob"))
+    },
+
     // ---- W11: Z-order (Morton) clustering for multi-dim data skipping ----
     QueryDef(
       "w11_zorder_layout",
