@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Surface.defs ++
       graft.queries.Extras.defs ++
       graft.queries.ScaleOps.defs ++
+      graft.queries.OlapOps.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1089,5 +1089,164 @@ object DocPipeline {
         .join(corpusKeys, Seq("k"), "left")
         .select(col("doc_id"),
           when(col("seen"), "duplicate").otherwise("new").as("status"))
+    },
+
+    // ---- dd31: exact-substring dedup stats (repeated 8-gram coverage) ----
+    QueryDef(
+      "dd31_substring_dedup",
+      "Exact-substring dedup accounting (Lee et al. 2021 shape at word-8-gram grain): cross-doc repeated spans found by ONE shingle groupBy, per-doc covered-token fraction via span expansion — no pairwise doc comparison anywhere",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^(\w+ ){3}', '') AS text
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM corpus
+          WHERE len(string_split(text, ' ')) >= 8
+        ),
+        sh AS (
+          SELECT doc_id, p.s AS s, p.g AS g
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-7),
+                i -> struct_pack(s := i, g := array_to_string(arr[i:i+7], ' ')))) AS p FROM tok)
+        ),
+        dup AS (
+          SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        hits AS (SELECT sh.doc_id, sh.s FROM sh JOIN dup ON sh.g = dup.g),
+        covered AS (
+          SELECT DISTINCT doc_id, s + off AS pos
+          FROM hits, generate_series(0, 7) AS o(off)
+        ),
+        per_doc AS (
+          SELECT t.doc_id, len(t.arr) AS n_tokens,
+                 COALESCE(c.n_cov, 0) AS covered_tokens,
+                 COALESCE(h.n_hit, 0) AS n_dup_shingles
+          FROM tok t
+          LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM covered GROUP BY doc_id) c USING (doc_id)
+          LEFT JOIN (SELECT doc_id, COUNT(*) AS n_hit FROM hits GROUP BY doc_id) h USING (doc_id)
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_dup_shingles AS BIGINT) AS n_dup_shingles,
+               CAST(covered_tokens AS BIGINT) AS covered_tokens,
+               round(CAST(covered_tokens AS DOUBLE) / n_tokens, 6) AS dup_fraction
+        FROM per_doc
+      """)) { (s, dir) =>
+      // The suffix-array dedup from "Deduplicating Training Data Makes
+      // Language Models Better", re-expressed as Spark relational algebra:
+      // a span repeats across docs iff its 8-gram shingle does, so the
+      // global duplicate-span set is ONE groupBy(shingle) with a
+      // distinct-doc count — never a doc×doc comparison. Coverage then
+      // expands each hit to its 8 token positions and distinct-counts per
+      // doc. Scale: shingle rows ≈ corpus tokens; both shuffles (shingle
+      // groupBy, doc_id recount) are bounded by corpus size — the same
+      // 2-pass shape MapReduce suffix-dedup implementations use. The
+      // duplicated-shingle set is corpus-global; its JOIN back to shingles
+      // is an equi-join the AQE planner can broadcast when the dup set is
+      // small (the common case: dup spans are rare in a healthy corpus).
+      val tok = corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 8)
+      val sh = tok.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("arr")) - 7),
+        i => struct(i.as("s"),
+          array_join(slice(col("arr"), i, lit(8)), " ").as("g")))).as("p"))
+        .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
+      val dup = sh.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("g"))
+      val hits = sh.join(dup, Seq("g")).select(col("doc_id"), col("s"))
+      val coveredCnt = hits
+        .select(col("doc_id"), explode(sequence(col("s"), col("s") + 7)).as("pos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov"))
+      val hitCnt = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      tok.select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"))
+        .join(coveredCnt, Seq("doc_id"), "left")
+        .join(hitCnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_hit"), lit(0L)).as("n_dup_shingles"),
+          coalesce(col("n_cov"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("n_cov"), lit(0L)).cast("double") / col("n_tokens"), 6)
+            .as("dup_fraction"))
+    },
+
+    // ---- dd32: canonical-document selection per dedup cluster ------------
+    QueryDef(
+      "dd32_canonical_select",
+      "After clustering (dd11), keep ONE canonical doc per duplicate cluster — longest text, doc-id tiebreak — and account the bytes the dedup saves; selection is a cluster-keyed window, no second clustering pass",
+      Some("""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^(\w+ ){3}', '') AS text
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        keyed AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+          FROM corpus
+        ),
+        edges0(a, b) AS (
+          SELECT x.doc_id, y.doc_id
+          FROM keyed x JOIN keyed y ON x.k = y.k AND x.doc_id < y.doc_id
+          UNION ALL
+          SELECT doc_id, doc_id + 10000 FROM documents WHERE doc_id % 5 = 0
+        ),
+        edges(a, b) AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        reach(node, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        clusters AS (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node),
+        sized AS (
+          SELECT c.cluster, c.node, length(co.text) AS n_chars
+          FROM clusters c JOIN corpus co ON co.doc_id = c.node
+        ),
+        ranked AS (
+          SELECT cluster, node, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, node) AS rk
+          FROM sized
+        )
+        SELECT r.cluster,
+               CAST(MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS canonical_id,
+               COUNT(*) AS n_members,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) - MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS saved_chars
+        FROM ranked r GROUP BY r.cluster
+        HAVING COUNT(*) > 1
+      """)) { (s, dir) =>
+      // The keep-best step every production dedup ends with: clusters come
+      // from the SAME star-edge + min-label machinery as dd11 (one code
+      // path, not a re-derivation), then canonical selection is a single
+      // cluster-partitioned window — quality-first (longest text), id
+      // tiebreak — and the savings accounting rides the same groupBy.
+      // Nothing here is pairwise; cluster sizes bound the window groups.
+      val docs = corpus(s, dir)
+      val keyed = docs.select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("k"))
+      val wk = Window.partitionBy("k")
+      val bagEdges = keyed
+        .withColumn("root", min(col("doc_id")).over(wk))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("a"), col("doc_id").as("b"))
+      val variantEdges = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 10000).as("b"))
+      val cc = graft.resolve.DocCluster.connectedComponents(
+        bagEdges.unionByName(variantEdges))
+      val sized = cc.join(docs.select(col("doc_id").as("node"),
+        length(col("text")).cast("long").as("n_chars")), Seq("node"))
+      val wc = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("node"))
+      sized.withColumn("rk", row_number().over(wc))
+        .groupBy(col("cluster"))
+        .agg(max(when(col("rk") === 1, col("node"))).as("canonical_id"),
+          count(lit(1)).as("n_members"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")) - max(when(col("rk") === 1, col("n_chars"))))
+            .as("saved_chars"))
+        .filter(col("n_members") > 1)
     })
 }

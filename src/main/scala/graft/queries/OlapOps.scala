@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** OLAP-surface operators the reference's reporting layer leans on
+  * (subtotal pyramids, cross-tabs, user sessionization) plus the
+  * LM-statistics scoring pass a corpus-curation pipeline runs after the
+  * bigram table exists (`dd29_bigram_lm`).
+  *
+  * Scale notes live on each query; the common theme: every one of these
+  * is a single shuffle on the natural key (rollup/pivot ride ONE groupBy
+  * with map-side partials; sessionization partitions by user), so the
+  * shapes survive a 1000-executor deployment unchanged.
+  */
+object OlapOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- A16: ROLLUP subtotal pyramid -----------------------------------
+    QueryDef(
+      "a16_rollup",
+      "ROLLUP (year, flag): detail rows + per-year subtotals + grand total in ONE pass — Spark Expand feeds a single map-side-combined aggregate, no self-union of three scans",
+      Some("""
+        SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag AS flag,
+               CAST(GROUPING(year(l_shipdate)) * 2 + GROUPING(l_returnflag) AS INT) AS gid,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(year(l_shipdate), l_returnflag)
+      """)) { (s, dir) =>
+      // The subtotal-pyramid shape: Catalyst compiles rollup() to ONE
+      // Expand (3 grouping sets per input row) + ONE hash aggregate with
+      // map-side partials — at 100 TB that is one shuffle keyed by
+      // (gid, year, flag), vs the naive 3-scan UNION ALL a report writer
+      // would hand-roll. grouping_id() bit order matches DuckDB's
+      // GROUPING(a)*2 + GROUPING(b).
+      t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("ship_year"),
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        .rollup(col("ship_year"), col("flag"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("qty")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("ship_year"), col("flag"), col("gid"), col("sum_qty"), col("n"))
+    },
+
+    // ---- A17: pivot / cross-tab -----------------------------------------
+    QueryDef(
+      "a17_pivot",
+      "Cross-tab: years × return flags pivoted to one row per year with a column per flag — pinned pivot values keep it ONE groupBy, no per-column scans",
+      Some("""
+        SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+               CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_a,
+               CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_n,
+               CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_r
+        FROM lineitem GROUP BY 1
+      """)) { (s, dir) =>
+      // Explicit pivot values matter at scale: .pivot(col) with no value
+      // list runs a DISTINCT collect to the driver first — an extra
+      // blocking job over 100 TB. Pinning Seq("A","N","R") makes the whole
+      // cross-tab one map-side-combined groupBy(year).
+      t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("ship_year"),
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("ship_year"))
+        .pivot("flag", Seq("A", "N", "R"))
+        .agg(sum(col("qty")))
+        .na.fill(0L, Seq("A", "N", "R"))
+        .select(col("ship_year"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))
+    },
+
+    // ---- W12: batch sessionization (30-min inactivity gap) --------------
+    QueryDef(
+      "w12_batch_sessionize",
+      "Gap-based sessionization: per-user event stream split into sessions at >30-min silences via lag + running sum of boundary flags — two windows, ONE user-keyed shuffle",
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, event_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM ordered
+        )
+        SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+               COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(floor(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT) AS duration_sec
+        FROM sess GROUP BY user_id, session_idx
+      """)) { (s, dir) =>
+      // The batch twin of st_session_window: both windows AND the final
+      // groupBy share the user_id partitioning, so Spark reuses one
+      // exchange for all three — lag, running sum, and the rollup are
+      // per-user local. Microsecond timestamps: cast-to-double epoch
+      // (unix_timestamp would truncate to seconds and merge adjacent
+      // sessions whose gap straddles 1800.x s).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sessions = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("is_new",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double") > 1800d,
+            1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy(col("user_id"), col("session_idx").cast("int").as("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          floor(max(col("ts")).cast("double") - min(col("ts")).cast("double"))
+            .cast("long").as("duration_sec"))
+    },
+
+    // ---- DD30: per-document perplexity under the corpus bigram LM -------
+    QueryDef(
+      "dd30_lm_perplexity",
+      "KenLM-style quality filter: score every document's bigrams under the corpus's own Laplace-smoothed bigram LM (avg bits per bigram) — LM table and scoring pass are each one equi-join-keyed shuffle",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        big AS (
+          SELECT doc_id, b.prev AS prev, b.next AS next
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-1),
+                i -> struct_pack(prev := arr[i], next := arr[i+1]))) AS b FROM tok)
+        ),
+        pair_counts AS (SELECT prev, next, COUNT(*) AS c FROM big GROUP BY prev, next),
+        prev_counts AS (SELECT prev, SUM(c) AS cp FROM pair_counts GROUP BY prev),
+        vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(arr) AS w FROM tok)),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(-log2((pc.c + 1.0) / (pv.cp + vocab.v)), 9) AS DECIMAL(28,9)) AS cost
+          FROM big b
+          JOIN pair_counts pc ON b.prev = pc.prev AND b.next = pc.next
+          JOIN prev_counts pv ON b.prev = pv.prev
+          CROSS JOIN vocab
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS avg_bits
+        FROM scored GROUP BY doc_id
+      """)) { (s, dir) =>
+      // The CCNet-shaped quality gate, deterministic twin: the LM is the
+      // corpus's own bigram table (dd29), smoothing is add-one over the
+      // observed vocabulary, the doc score is mean bits per bigram. Scale
+      // shape: bigram extraction is a NARROW array pass; the LM table is
+      // (prev,next)-keyed — vocabulary-bounded, NOT corpus-bounded — so
+      // the scoring join shuffles on a key set that stops growing long
+      // before 100 TB; V rides in as a broadcast scalar. Float parity:
+      // per-bigram cost rounds to 9 dp then sums in DECIMAL (order-free),
+      // mirroring the TF-IDF recipe in core/Parity.scala.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val bigrams = docs.select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("arr")) - 2),
+        i => struct(element_at(col("arr"), i + 1).as("prev"),
+          element_at(col("arr"), i + 2).as("next")))).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.next").as("next"))
+      val pairCounts = bigrams.groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("c"))
+      val prevCounts = pairCounts.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+      val vocab = docs.select(explode(col("arr")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      // cost depends only on (prev,next): fold the smoothed log-prob into
+      // the LM table once, then score docs with a single equi-join
+      val lm = pairCounts
+        .join(prevCounts, Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .select(col("prev"), col("next"),
+          round(-log2((col("c") + lit(1.0)) / (col("cp") + col("v"))), 9)
+            .cast("decimal(28,9)").as("cost"))
+      bigrams.join(lm, Seq("prev", "next"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("tot"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("tot").cast("double") / col("n_bigrams"), 6).as("avg_bits"))
+    })
+}
