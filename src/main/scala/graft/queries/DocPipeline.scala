@@ -1172,6 +1172,52 @@ object DocPipeline {
             .as("dup_fraction"))
     },
 
+    // ---- dd33: n-gram novelty curve (first-seen attribution) -------------
+    QueryDef(
+      "dd33_ngram_novelty",
+      "Corpus novelty curve: per doc, the fraction of its 3-gram shingles first seen in THAT doc (min-doc-id attribution) — the curation signal for ordering/pruning crawl snapshots; one shingle groupBy, no pairwise scan",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, g
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-2),
+                i -> array_to_string(arr[i:i+2], ' '))) AS g FROM tok)
+        ),
+        first_seen AS (
+          SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+        )
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+        FROM sh s JOIN first_seen f USING (g)
+        GROUP BY s.doc_id
+      """)) { (s, dir) =>
+      // First-seen attribution is a min-aggregate over the shingle key,
+      // NOT a doc×doc comparison: each distinct (doc, shingle) pair joins
+      // the global first_doc table on the shingle — the same equi-join
+      // blocking every dd-family op uses. At crawl scale the shingle
+      // table is the big side; both the groupBy and the join shuffle on
+      // the shingle key, so the shape is one repartition wide. Novelty
+      // ordering is deterministic (min doc id), matching how snapshot
+      // ingestion assigns priority to the earliest copy.
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 3)
+      val sh = tok.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.NativeExpressions.ngrams_native(col("arr"), 3))).as("g"))
+      val firstSeen = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(firstSeen, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
+          round(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("novelty"))
+    },
+
     // ---- dd32: canonical-document selection per dedup cluster ------------
     QueryDef(
       "dd32_canonical_select",

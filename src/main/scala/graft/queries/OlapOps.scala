@@ -127,6 +127,53 @@ object OlapOps {
             .cast("long").as("duration_sec"))
     },
 
+    // ---- W13: cohort retention matrix -----------------------------------
+    QueryDef(
+      "w13_cohort_retention",
+      "Cohort retention: users grouped by first-active day, per-(cohort, day-offset) distinct-active counts and retention rates — three user-keyed aggregates, no self-join of the raw event log",
+      Some("""
+        WITH activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        cohort AS (
+          SELECT user_id, MIN(d) AS cohort_day FROM activity GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_day
+        )
+        SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.d) AS INT) AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_active,
+               CAST(ANY_VALUE(s.cohort_size) AS BIGINT) AS cohort_size,
+               round(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / ANY_VALUE(s.cohort_size), 6) AS retention
+        FROM activity a
+        JOIN cohort c USING (user_id)
+        JOIN sizes s ON s.cohort_day = c.cohort_day
+        GROUP BY c.cohort_day, day_offset
+      """)) { (s, dir) =>
+      // The retention-triangle shape: everything after the first distinct
+      // is keyed by user_id or cohort_day — the raw log is scanned ONCE,
+      // day-deduped per user (collapses event volume by orders of
+      // magnitude before any join), and the cohort dim joins back on the
+      // user key. The sizes table is one row per day — broadcast. At
+      // 100 TB the only big shuffle is the initial (user, day) distinct,
+      // which no cohort formulation can avoid.
+      val activity = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohortDf = activity.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      val sizes = cohortDf.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"))
+      activity.join(cohortDf, Seq("user_id"))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("int").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          max(col("cohort_size")).as("cohort_size"),
+          round(countDistinct(col("user_id")).cast("double") /
+            max(col("cohort_size")), 6).as("retention"))
+    },
+
     // ---- DD30: per-document perplexity under the corpus bigram LM -------
     QueryDef(
       "dd30_lm_perplexity",
