@@ -1148,6 +1148,13 @@ object DocPipeline {
       val tok = corpus(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
         .filter(size(col("arr")) >= 8)
+      // branch point: sh feeds BOTH the duplicate-set groupBy and the
+      // hits join. Deliberately NOT cached — measured 1.5× slower with
+      // .cache(): materializing the wide (doc, pos, 8-gram-string) table
+      // costs more than re-running the codegen-fused explode, and at
+      // corpus scale the shingle table (≈ tokens × 8-gram bytes) would
+      // blow executor storage anyway. Recompute-over-cache is the right
+      // call for wide derived shingles.
       val sh = tok.select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("arr")) - 7),
         i => struct(i.as("s"),
