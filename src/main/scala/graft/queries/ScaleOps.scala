@@ -391,6 +391,103 @@ object ScaleOps {
           round(col("n").cast("double") / col("total"), 9).as("cond_prob"))
     },
 
+    // ---- DD34: PageRank as relational algebra (link-graph curation) ------
+    QueryDef(
+      "dd34_pagerank",
+      "PageRank over the part↔supplier link graph, 3 power iterations unrolled — each iteration is ONE edge equi-join + ONE dst-keyed groupBy; per-edge contributions round then sum in DECIMAL so the ranks are bit-reproducible",
+      Some("""
+        WITH e0 AS (
+          SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem
+        ),
+        edges AS (
+          SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        it1 AS (
+          SELECT n.node,
+                 round(0.15 / nn.n + CAST(SUM(CAST(round(0.85 * r.r / deg.d, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+          FROM nodes n
+          JOIN edges e ON e.dst = n.node
+          JOIN r0 r ON r.node = e.src
+          JOIN deg ON deg.src = e.src
+          CROSS JOIN nn
+          GROUP BY n.node, nn.n
+        ),
+        it2 AS (
+          SELECT n.node,
+                 round(0.15 / nn.n + CAST(SUM(CAST(round(0.85 * r.r / deg.d, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+          FROM nodes n
+          JOIN edges e ON e.dst = n.node
+          JOIN it1 r ON r.node = e.src
+          JOIN deg ON deg.src = e.src
+          CROSS JOIN nn
+          GROUP BY n.node, nn.n
+        ),
+        it3 AS (
+          SELECT n.node,
+                 round(0.15 / nn.n + CAST(SUM(CAST(round(0.85 * r.r / deg.d, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+          FROM nodes n
+          JOIN edges e ON e.dst = n.node
+          JOIN it2 r ON r.node = e.src
+          JOIN deg ON deg.src = e.src
+          CROSS JOIN nn
+          GROUP BY n.node, nn.n
+        )
+        SELECT node, round(r, 9) AS rank FROM it3
+        ORDER BY rank DESC, node LIMIT 20
+      """)) { (s, dir) =>
+      // Link-graph ranking is a first-class curation signal for web-crawl
+      // corpora (domain authority gates what enters the training set).
+      // The relational formulation: ranks live in a node-keyed table,
+      // every power iteration is edges⋈ranks (src key) + groupBy(dst) —
+      // two shuffle keys, zero driver-side graph state, so the iteration
+      // cost is O(|E|/cluster) regardless of graph size. Determinism
+      // across engines: per-edge contributions are IEEE double ops
+      // rounded to 12 dp, summed in DECIMAL (order-free), re-rounded —
+      // the same freeze-the-float recipe as dd30/TF-IDF. The undirected
+      // part↔supplier graph keeps every node reachable, matching the
+      // random-walk form; a 100 TB web graph swaps the edge source and
+      // nothing else.
+      val e0 = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      // the rank/degree state is NODE-bounded, orders of magnitude
+      // smaller than the edge set — in the undirected graph every node
+      // appears as a src, so deg doubles as the node table
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
+      val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+      var ranks = deg.crossJoin(nn)
+        .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
+      for (_ <- 1 to 3) {
+        // per-NODE contribution computed once on the small table, THEN
+        // replicated across edges by a broadcast join — the edge set is
+        // never shuffled; the dst groupBy is each iteration's only
+        // exchange. (On a graph whose rank table outgrows broadcast,
+        // drop the hint: both sides hash-join on src and the cached
+        // edges' partitioning is reused across iterations.)
+        val contrib = ranks.join(deg, col("node") === col("src"))
+          .select(col("src").as("c_src"),
+            round(lit(0.85) * col("r") / col("d"), 12)
+              .cast("decimal(28,12)").as("contrib"))
+        ranks = edges
+          .join(broadcast(contrib), col("src") === col("c_src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("contrib")).as("acc"))
+          .crossJoin(nn)
+          .select(col("node"),
+            round(lit(0.15) / col("n") + col("acc").cast("double"), 12).as("r"))
+      }
+      ranks.select(col("node"), round(col("r"), 9).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    },
+
     // ---- W11: Z-order (Morton) clustering for multi-dim data skipping ----
     QueryDef(
       "w11_zorder_layout",
