@@ -174,6 +174,67 @@ object OlapOps {
             max(col("cohort_size")), 6).as("retention"))
     },
 
+    // ---- W14: trailing-frame z-score anomaly detection ------------------
+    QueryDef(
+      "w14_trailing_zscore",
+      "Time-series anomaly gate: each day's metric z-scored against its own trailing 7-day frame (ROWS 7 PRECEDING..1 PRECEDING) — bounded-frame window stats from DECIMAL sums, |z|>2 flags; one series-keyed shuffle",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        framed AS (
+          SELECT event_type, d, v,
+                 COUNT(v) OVER w AS cnt,
+                 CAST(SUM(v) OVER w AS DOUBLE) AS sx,
+                 CAST(SUM(v * v) OVER w AS DOUBLE) AS sx2
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, CAST(d AS TIMESTAMP) AS day,
+               CAST(v AS DOUBLE) AS daily_value,
+               CASE WHEN cnt >= 2 AND (sx2 - sx * sx / cnt) / (cnt - 1) > 0
+                    THEN round((CAST(v AS DOUBLE) - sx / cnt) /
+                               sqrt((sx2 - sx * sx / cnt) / (cnt - 1)), 6)
+                    ELSE NULL END AS zscore,
+               CASE WHEN cnt >= 2 AND (sx2 - sx * sx / cnt) / (cnt - 1) > 0
+                    AND abs((CAST(v AS DOUBLE) - sx / cnt) /
+                            sqrt((sx2 - sx * sx / cnt) / (cnt - 1))) > 2
+                    THEN TRUE ELSE FALSE END AS anomaly
+        FROM framed
+      """)) { (s, dir) =>
+      // The trailing-baseline shape every metrics pipeline runs: the
+      // frame EXCLUDES the current row (7 PRECEDING..1 PRECEDING), so a
+      // spike judges itself against history it isn't part of. Cross-
+      // engine float parity for windowed variance: daily values freeze
+      // to DECIMAL(18,2) first, the frame sums (Σx, Σx²) are DECIMAL —
+      // exact, order-free — and only the final mean/σ/z arithmetic runs
+      // in IEEE doubles, identical on both engines. The day-grain
+      // pre-aggregate collapses the log before the window, and the
+      // groupBy and window share the event_type key — one shuffle.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(round(col("value"), 2).cast("decimal(18,2)")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy(col("d")).rowsBetween(-7, -1)
+      val framed = daily
+        .withColumn("cnt", count(col("v")).over(w))
+        .withColumn("sx", sum(col("v")).over(w).cast("double"))
+        .withColumn("sx2", sum(col("v") * col("v")).over(w).cast("double"))
+      // ANSI mode faults integer division by zero even in untaken CASE
+      // branches of the row: null-ify the divisor below the 2-row
+      // minimum instead (null propagates to a null z, same as the guard)
+      val cntD = when(col("cnt") >= 2, col("cnt").cast("double"))
+      val variance = (col("sx2") - col("sx") * col("sx") / cntD) / (cntD - 1)
+      val z = (col("v").cast("double") - col("sx") / cntD) / sqrt(variance)
+      framed.select(col("event_type"),
+        col("d").cast("timestamp").as("day"),
+        col("v").cast("double").as("daily_value"),
+        when(col("cnt") >= 2 && variance > 0, round(z, 6)).otherwise(lit(null)).as("zscore"),
+        when(col("cnt") >= 2 && variance > 0 && abs(z) > 2, lit(true))
+          .otherwise(lit(false)).as("anomaly"))
+    },
+
     // ---- DD30: per-document perplexity under the corpus bigram LM -------
     QueryDef(
       "dd30_lm_perplexity",
