@@ -1225,6 +1225,60 @@ object DocPipeline {
             .cast("double") / count(lit(1)), 6).as("novelty"))
     },
 
+    // ---- dd35: curriculum training order (tier interleave) ---------------
+    QueryDef(
+      "dd35_curriculum_order",
+      "Curriculum training order: quality tiers interleaved round-robin in deterministic md5 order; the within-tier ordinal uses the two-phase bucketed row_number (distributed zipWithIndex) so NO window ever sees a whole tier",
+      Some("""
+        WITH tiered AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars >= 600 THEN 0
+                      WHEN n_chars >= 300 THEN 1
+                      ELSE 2 END AS tier,
+                 md5(CAST(doc_id AS VARCHAR)) AS h,
+                 strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+          FROM documents
+        ),
+        ordered AS (
+          SELECT doc_id, tier,
+                 ROW_NUMBER() OVER (PARTITION BY tier ORDER BY bucket, h, doc_id) AS ordinal
+          FROM tiered
+        )
+        SELECT doc_id, CAST(tier AS INT) AS tier, CAST(ordinal AS BIGINT) AS ordinal,
+               CAST((ordinal - 1) * 3 + tier AS BIGINT) AS curriculum_pos
+        FROM ordered
+      """)) { (s, dir) =>
+      // Training-order construction: 3 quality tiers, each shuffled by
+      // md5, interleaved round-robin (pos = (ordinal-1)*3 + tier) so
+      // every stretch of the training stream mixes tiers. The oracle
+      // states the semantics as ONE window per tier; the engine computes
+      // the SAME ordinal scalably: row_number runs per (tier, md5-hex
+      // bucket) — 16× the parallelism, bucket sizes bounded — and a
+      // 48-row running-offset table (broadcast) lifts bucket-local ranks
+      // to tier-global ordinals. The bucket is a prefix of the sort key,
+      // so two-phase ≡ single-window exactly; widening the bucket digit
+      // scales the pattern to any corpus size.
+      val hexpos = "0123456789abcdef"
+      val tiered = t(s, dir, "documents").select(col("doc_id"),
+        when(col("n_chars") >= 600, 0).when(col("n_chars") >= 300, 1)
+          .otherwise(2).as("tier"),
+        md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bucket",
+          instr(lit(hexpos), substring(col("h"), 1, 1)) - 1)
+      val counts = tiered.groupBy(col("tier"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy("tier").orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts.withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("tier"), col("bucket"), col("off"))
+      val wRn = Window.partitionBy("tier", "bucket").orderBy(col("h"), col("doc_id"))
+      tiered.join(broadcast(offsets), Seq("tier", "bucket"))
+        .withColumn("ordinal", col("off") + row_number().over(wRn))
+        .select(col("doc_id"), col("tier").cast("int").as("tier"),
+          col("ordinal").as("ordinal"),
+          ((col("ordinal") - 1) * 3 + col("tier")).cast("long").as("curriculum_pos"))
+    },
+
     // ---- dd32: canonical-document selection per dedup cluster ------------
     QueryDef(
       "dd32_canonical_select",
