@@ -1225,6 +1225,65 @@ object DocPipeline {
             .cast("double") / count(lit(1)), 6).as("novelty"))
     },
 
+    // ---- dd36: markup stripping + visible-text ratio ---------------------
+    QueryDef(
+      "dd36_markup_strip",
+      "Web-corpus cleaning: strip tags + decode entities on a planted-markup schedule, emit visible-text ratio (the boilerplate-density quality gate) — pure narrow codegen'd string pass, zero shuffles",
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN '<html><body><p class="x">' ||
+                           replace(text, ' ', ' </p><p> ') ||
+                           '</p><div>&amp; &lt;tail&gt;</div></body></html>'
+                      ELSE text END AS html
+          FROM documents
+        ),
+        stripped AS (
+          SELECT doc_id, html,
+                 trim(regexp_replace(
+                   replace(replace(replace(
+                     regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                     '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   ' +', ' ', 'g')) AS clean
+          FROM raw
+        )
+        SELECT doc_id,
+               CAST(length(html) AS BIGINT) AS raw_len,
+               CAST(length(clean) AS BIGINT) AS clean_len,
+               round(CAST(length(clean) AS DOUBLE) / length(html), 6) AS visible_ratio,
+               (doc_id % 7 = 0) AS had_markup
+        FROM stripped
+      """)) { (s, dir) =>
+      // The first stage of every web-crawl pipeline: tag strip, entity
+      // decode, whitespace re-collapse, and the visible-text ratio that
+      // gates boilerplate-heavy pages. Everything is per-row string work
+      // — whole-stage codegen, no exchange anywhere — so at 100 TB this
+      // runs at scan speed and the only cost is the parquet read. The
+      // markup is planted on a fixed schedule (doc_id % 7) so the oracle
+      // pins both the stripping and the ratio arithmetic exactly.
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("<html><body><p class=\"x\">"),
+            regexp_replace(col("text"), " ", " </p><p> "),
+            lit("</p><div>&amp; &lt;tail&gt;</div></body></html>")))
+          .otherwise(col("text")).as("html"))
+      val clean = trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("html"), "<[^>]*>", " "),
+              "&amp;", "&"),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        " +", " "))
+      raw.select(col("doc_id"),
+        length(col("html")).cast("long").as("raw_len"),
+        length(clean).cast("long").as("clean_len"),
+        round(length(clean).cast("double") / length(col("html")), 6).as("visible_ratio"),
+        (col("doc_id") % 7 === 0).as("had_markup"))
+    },
+
     // ---- dd35: curriculum training order (tier interleave) ---------------
     QueryDef(
       "dd35_curriculum_order",
