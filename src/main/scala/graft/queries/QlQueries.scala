@@ -270,5 +270,64 @@ object QlQueries {
       "how many events in the last 30 days",
       """SELECT COUNT(*) AS n FROM events
          WHERE CAST(ts AS DATE)
-           BETWEEN DATE '2001-07-02' AND DATE '2001-08-01'""")())
+           BETWEEN DATE '2001-07-02' AND DATE '2001-08-01'""")(),
+
+    // ---- grouped count on the documents table -------------------------------
+    planned(
+      "ql_docs_by_language",
+      "NL grouped count on the corpus table (documents dimension rules)",
+      "count documents by language",
+      "SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang")(),
+
+    // ---- joined SUM grouped by a two-hop dimension --------------------------
+    planned(
+      "ql_revenue_by_nation",
+      "NL joined SUM through the orders→customer→nation two-hop path",
+      "total revenue by nation",
+      """SELECT n_name AS grp, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- own-table SUM grouped by an own dimension --------------------------
+    planned(
+      "ql_balance_by_segment",
+      "NL own-table SUM grouped by the customer's own segment dimension",
+      "sum of balances by segment",
+      """SELECT c_mktsegment AS grp, COUNT(*) AS n,
+                round(SUM(c_acctbal), 2) AS total
+         FROM customer GROUP BY c_mktsegment""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- FOUR constraints: join + group + status + since-year ---------------
+    planned(
+      "ql_open_value_by_nation_year",
+      "NL quadruple composition: joined SUM + nation grouping + open-status filter + inclusive since-year",
+      "total value by nation for open orders since 1996",
+      """SELECT n_name AS grp, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderstatus = 'O' AND year(o_orderdate) >= 1996
+         GROUP BY n_name""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- top-k-per-group through a joined dimension -------------------------
+    planned(
+      "ql_topk_customers_per_nation",
+      "NL top-k rows per JOINED dimension group (window over a join)",
+      "top 3 customers per nation",
+      """SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer JOIN nation ON c_nationkey = n_nationkey) ranked
+         WHERE rnk <= 3""")(),
+
+    // ---- top-k rows by an own numeric column --------------------------------
+    planned(
+      "ql_topk_suppliers_balance",
+      "NL top-k raw rows ordered by the entity's own numeric column",
+      "top 5 suppliers by account balance",
+      """SELECT * FROM supplier
+         ORDER BY s_acctbal DESC, s_suppkey LIMIT 5""")())
 }
