@@ -329,5 +329,30 @@ object QlQueries {
       "NL top-k raw rows ordered by the entity's own numeric column",
       "top 5 suppliers by account balance",
       """SELECT * FROM supplier
-         ORDER BY s_acctbal DESC, s_suppkey LIMIT 5""")())
+         ORDER BY s_acctbal DESC, s_suppkey LIMIT 5""")(),
+
+    // ---- grouped count on the event log --------------------------------------
+    planned(
+      "ql_events_by_type",
+      "NL grouped count over the event log's type dimension",
+      "count of events by event type",
+      "SELECT event_type AS grp, COUNT(*) AS n FROM events GROUP BY event_type")(),
+
+    // ---- AVG metric grouped by a corpus dimension -----------------------------
+    planned(
+      "ql_avg_size_by_source",
+      "NL AVG metric on the corpus table grouped by provenance",
+      "average document size by source",
+      """SELECT source AS grp, COUNT(*) AS n,
+                round(AVG(n_chars), 4) AS avg_value
+         FROM documents GROUP BY source""")(
+      _.withColumn("avg_value", round(col("avg_value"), 4))),
+
+    // ---- top-k documents by the corpus numeric column --------------------------
+    planned(
+      "ql_topk_docs_by_length",
+      "NL top-k raw corpus rows by document length",
+      "top 3 documents by length",
+      """SELECT * FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT 3""")())
 }
