@@ -1225,6 +1225,92 @@ object DocPipeline {
             .cast("double") / count(lit(1)), 6).as("novelty"))
     },
 
+    // ---- dd37: dedup-detector evaluation harness -------------------------
+    QueryDef(
+      "dd37_dedup_eval",
+      "Detector evaluation as a first-class op: SimHash-equality candidate pairs scored against the planted near-dup truth — one confusion-matrix row with precision/recall; every set op is a key-partitioned join, truth and detections never leave the cluster",
+      Some {
+        val bitSums = (0 until 16).map(b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(",\n                 ")
+        val bits = (0 until 16).map(b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""
+        WITH $corpusSql,
+        tokd AS (
+          SELECT DISTINCT doc_id, w
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+        ),
+        hashed AS (
+          SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tokd
+        ),
+        votes AS (
+          SELECT doc_id,
+                 $bitSums
+          FROM hashed GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes),
+        detected AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sig a JOIN sig b
+            ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+        ),
+        truth AS (
+          SELECT doc_id AS a_id, doc_id + 10000 AS b_id
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        tp AS (
+          SELECT COUNT(*) AS n FROM detected d
+          WHERE EXISTS (SELECT 1 FROM truth t
+                        WHERE t.a_id = d.a_id AND t.b_id = d.b_id)
+        )
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM detected) AS n_detected,
+               tp.n AS n_tp,
+               round(CAST(tp.n AS DOUBLE) / (SELECT COUNT(*) FROM detected), 6) AS precision,
+               round(CAST(tp.n AS DOUBLE) / (SELECT COUNT(*) FROM truth), 6) AS recall
+        FROM tp
+        """
+      }) { (s, dir) =>
+      // The evaluation loop production dedup ships with: a cheap
+      // detector (SimHash signature equality) scored against planted
+      // ground truth, yielding the precision/recall a curation team
+      // tunes thresholds by. All three sets (signatures, detections,
+      // truth) are key-partitioned frames; the confusion counts are
+      // 1-row aggregates — nothing is collected until the final scalar
+      // row, so the same harness evaluates a detector over a 100 TB
+      // corpus unchanged.
+      val tokd = corpus(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val hashed = tokd.select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+      val voteExprs = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$b"))
+      val votes = hashed.groupBy(col("doc_id")).agg(voteExprs.head, voteExprs.tail: _*)
+      val sig = votes.select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      val detected = sig.as("a").join(sig.as("b"),
+          col("a.simhash") === col("b.simhash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .cache()
+      val truth = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 10000).as("b_id"))
+        .cache()
+      val nTp = detected.join(truth, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_tp"))
+      val nDet = detected.agg(count(lit(1)).as("n_detected"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      nTruth.crossJoin(nDet).crossJoin(nTp)
+        .select(col("n_truth"), col("n_detected"), col("n_tp"),
+          round(col("n_tp").cast("double") / col("n_detected"), 6).as("precision"),
+          round(col("n_tp").cast("double") / col("n_truth"), 6).as("recall"))
+    },
+
     // ---- dd36: markup stripping + visible-text ratio ---------------------
     QueryDef(
       "dd36_markup_strip",
