@@ -299,5 +299,113 @@ object OlapOps {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("tot"))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("tot").cast("double") / col("n_bigrams"), 6).as("avg_bits"))
+    },
+
+    // ---- W15: ordered multi-step event funnel ---------------------------
+    QueryDef(
+      "w15_event_funnel",
+      "Ordered funnel view->click->purchase: cascaded per-user conditional mins (each step strictly after the prior step's first hit) — every stage keys on user_id, event_type filters pushed to the scan",
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+          FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+          FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 'step1_view' AS step, count(*) AS users, CAST(0 AS BIGINT) AS gap_us_total FROM s1
+        UNION ALL
+        SELECT 'step2_click', count(*), CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 'step3_purchase', count(*), CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM s3
+      """)) { (s, dir) =>
+      // Funnel semantics: step N counts users whose FIRST step-N event is
+      // strictly after their first step-(N-1) event — the cascaded-min
+      // formulation, not a per-user event-array fold. The fold (collect +
+      // sort per user) holds a user's whole history in one task; a hot
+      // user with 10^8 events OOMs it. Here every stage is a per-type
+      // filtered scan (event_type reaches PushedFilters) aggregated to
+      // ≤|users| rows, and all three stages + both joins key on user_id,
+      // so one hash partitioning serves the whole funnel. Gap totals in
+      // integer microseconds: exact, order-free, bit-stable cross-engine.
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t2")), Seq("user_id")).where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+      val r1 = s1.agg(count(lit(1)).as("users"))
+        .select(lit("step1_view").as("step"), col("users"), lit(0L).as("gap_us_total"))
+      val r2 = s2.agg(count(lit(1)).as("users"),
+        coalesce(sum(unix_micros(col("t2")) - unix_micros(col("t1"))), lit(0L)).as("gap_us_total"))
+        .select(lit("step2_click").as("step"), col("users"), col("gap_us_total"))
+      val r3 = s3.agg(count(lit(1)).as("users"),
+        coalesce(sum(unix_micros(col("t3")) - unix_micros(col("t2"))), lit(0L)).as("gap_us_total"))
+        .select(lit("step3_purchase").as("step"), col("users"), col("gap_us_total"))
+      r1.unionByName(r2).unionByName(r3)
+    },
+
+    // ---- A18: one-pass column profiler ----------------------------------
+    QueryDef(
+      "a18_column_profile",
+      "Data-profiling report over orders: per-column null count, exact distinct count, rendered min/max — ONE scan feeding one multi-distinct aggregate, long-form output via explode",
+      Some("""
+        SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS null_count,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_count,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*) - count(o_custkey), CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*) - count(o_orderstatus), CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               min(o_orderstatus), max(o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*) - count(o_totalprice), CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*) - count(o_orderdate), CAST(count(DISTINCT o_orderdate) AS BIGINT),
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'), strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*) - count(o_orderpriority), CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority) FROM orders
+      """)) { (s, dir) =>
+      // The profiling pass every curation pipeline runs before touching a
+      // new 100-TB drop. The oracle is a 6-scan UNION; the engine does it
+      // in ONE scan: all six columns' metrics ride a single aggregate
+      // (Catalyst expands multi-distinct into one pass with an Expand —
+      // ~7× row multiplier but still one read of the data, vs six). At
+      // real scale swap countDistinct for approx_count_distinct and the
+      // Expand disappears; exact here for oracle parity. min/max render
+      // through type-pinned formats (DECIMAL(18,2), second-grain dates)
+      // so the strings are bit-identical cross-engine.
+      def metrics(c: String, render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        struct(lit(c).as("col_name"),
+          (count(lit(1)) - count(col(c))).as("null_count"),
+          countDistinct(col(c)).as("distinct_count"),
+          render(min(col(c))).as("min_value"),
+          render(max(col(c))).as("max_value")).as(s"p_$c")
+      val one = t(s, dir, "orders").agg(
+        metrics("o_orderkey", _.cast("string")),
+        metrics("o_custkey", _.cast("string")),
+        metrics("o_orderstatus", c => c),
+        metrics("o_totalprice", _.cast("decimal(18,2)").cast("string")),
+        metrics("o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")),
+        metrics("o_orderpriority", c => c))
+      one.select(explode(array(col("p_o_orderkey"), col("p_o_custkey"),
+        col("p_o_orderstatus"), col("p_o_totalprice"),
+        col("p_o_orderdate"), col("p_o_orderpriority"))).as("m"))
+        .select(col("m.*"))
     })
 }

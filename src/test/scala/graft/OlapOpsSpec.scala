@@ -63,4 +63,25 @@ class OlapOpsSpec extends SparkTestBase {
     assert(sess(1L) == 1L && sess(2L) == 1L, s"1800 s gap must not split: $sess")
     assert(sess(3L) == 2L, s"1800.000001 s gap must split: $sess")
   }
+
+  test("a18_column_profile: all six columns' metrics ride ONE scan of orders (oracle needs six)") {
+    val plan = executedPlan("a18_column_profile")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    // multi-distinct compiles to the Expand strategy, not N self-joins
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("w15_event_funnel: per-step event_type filters reach the parquet scan; no cartesian anywhere") {
+    val plan = executedPlan("w15_event_funnel")
+    // each stage reads only its event type — the string filter must be
+    // pushed into the scan, not applied post-read over the full log
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type".r.findFirstIn(plan).isDefined,
+      s"event_type filter not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // funnel stages key on user_id: every hash exchange clusters by it
+    val funnelExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(funnelExchanges >= 1, s"expected user_id-keyed exchanges:\n$plan")
+  }
 }
