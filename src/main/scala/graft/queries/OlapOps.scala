@@ -383,29 +383,40 @@ object OlapOps {
       """)) { (s, dir) =>
       // The profiling pass every curation pipeline runs before touching a
       // new 100-TB drop. The oracle is a 6-scan UNION; the engine does it
-      // in ONE scan: all six columns' metrics ride a single aggregate
-      // (Catalyst expands multi-distinct into one pass with an Expand —
-      // ~7× row multiplier but still one read of the data, vs six). At
-      // real scale swap countDistinct for approx_count_distinct and the
-      // Expand disappears; exact here for oracle parity. min/max render
-      // through type-pinned formats (DECIMAL(18,2), second-grain dates)
-      // so the strings are bit-identical cross-engine.
-      def metrics(c: String, render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        struct(lit(c).as("col_name"),
-          (count(lit(1)) - count(col(c))).as("null_count"),
-          countDistinct(col(c)).as("distinct_count"),
-          render(min(col(c))).as("min_value"),
-          render(max(col(c))).as("max_value")).as(s"p_$c")
-      val one = t(s, dir, "orders").agg(
-        metrics("o_orderkey", _.cast("string")),
-        metrics("o_custkey", _.cast("string")),
-        metrics("o_orderstatus", c => c),
-        metrics("o_totalprice", _.cast("decimal(18,2)").cast("string")),
-        metrics("o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")),
-        metrics("o_orderpriority", c => c))
-      one.select(explode(array(col("p_o_orderkey"), col("p_o_custkey"),
-        col("p_o_orderstatus"), col("p_o_totalprice"),
-        col("p_o_orderdate"), col("p_o_orderpriority"))).as("m"))
+      // in TWO cheap passes, deliberately split: (1) null counts + exact
+      // distincts — all-long aggregation buffers, so the multi-distinct
+      // Expand (~7× row multiplier, but one read vs six) stays on the
+      // HashAggregate fast path; (2) min/max — string buffers, which
+      // would otherwise demote the WHOLE expanded aggregate to
+      // SortAggregate (measured 5× slower fused), but as a grouping-free
+      // global fold they sort nothing. The two 1-row results cross-join
+      // into the long-form report. At real scale swap countDistinct for
+      // approx_count_distinct and pass 1 loses the Expand too; exact here
+      // for oracle parity. min/max render through type-pinned formats
+      // (DECIMAL(18,2), second-grain dates) so the strings are
+      // bit-identical cross-engine.
+      type Render = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+      val cols: Seq[(String, Render)] = Seq(
+        ("o_orderkey", (_: org.apache.spark.sql.Column).cast("string")),
+        ("o_custkey", (_: org.apache.spark.sql.Column).cast("string")),
+        ("o_orderstatus", (c: org.apache.spark.sql.Column) => c),
+        ("o_totalprice", (_: org.apache.spark.sql.Column).cast("decimal(18,2)").cast("string")),
+        ("o_orderdate", date_format(_: org.apache.spark.sql.Column, "yyyy-MM-dd HH:mm:ss")),
+        ("o_orderpriority", (c: org.apache.spark.sql.Column) => c))
+      val o = t(s, dir, "orders")
+      val countExprs = cols.flatMap { case (c, _) => Seq(
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c")) }
+      val rangeExprs = cols.flatMap { case (c, r) => Seq(
+        r(min(col(c))).as(s"min_$c"), r(max(col(c))).as(s"max_$c")) }
+      val counts = o.agg(countExprs.head, countExprs.tail: _*)
+      val ranges = o.agg(rangeExprs.head, rangeExprs.tail: _*)
+      counts.crossJoin(ranges)
+        .select(explode(array(cols.map { case (c, _) =>
+          struct(lit(c).as("col_name"), col(s"nulls_$c").as("null_count"),
+            col(s"dist_$c").as("distinct_count"),
+            col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"))
+        }: _*)).as("m"))
         .select(col("m.*"))
     })
 }

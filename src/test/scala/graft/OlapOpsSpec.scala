@@ -64,13 +64,70 @@ class OlapOpsSpec extends SparkTestBase {
     assert(sess(3L) == 2L, s"1800.000001 s gap must split: $sess")
   }
 
-  test("a18_column_profile: all six columns' metrics ride ONE scan of orders (oracle needs six)") {
+  test("w15 funnel semantics: out-of-order steps don't count; each step needs a STRICTLY later first hit") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("funnel_fx").toString
+    // testdata layout: events.ts is TIMESTAMP(NANOS) parquet, which the
+    // Tables loader reads as int64 nanos and converts — mirror that here
+    def ts(m: Int): Long = m * 60_000_000_000L
+    // A: clean view->click->purchase. B: purchase & click BEFORE its first
+    // view — reaches step1 only. C: view->purchase but no click — the
+    // purchase must NOT count without an intervening click. D: click at
+    // the SAME instant as view — strictness requires strictly-after.
+    spark.createDataFrame(Seq(
+      (1L, ts(1), 10L, "view", 0d, "{}"), (2L, ts(2), 10L, "click", 0d, "{}"),
+      (3L, ts(3), 10L, "purchase", 0d, "{}"),
+      (4L, ts(1), 20L, "purchase", 0d, "{}"), (5L, ts(2), 20L, "click", 0d, "{}"),
+      (6L, ts(3), 20L, "view", 0d, "{}"),
+      (7L, ts(1), 30L, "view", 0d, "{}"), (8L, ts(2), 30L, "purchase", 0d, "{}"),
+      (9L, ts(4), 40L, "view", 0d, "{}"), (10L, ts(4), 40L, "click", 0d, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val rows = SparkEntry.all.find(_.name == "w15_event_funnel").get
+      .run(spark, out).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("users")).toMap
+    assert(rows == Map("step1_view" -> 4L, "step2_click" -> 1L, "step3_purchase" -> 1L), rows)
+  }
+
+  test("a18 profiler semantics: nulls are counted, not folded into distincts or min/max") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("profile_fx").toString
+    spark.createDataFrame(Seq(
+      (0L, 5L, "F", 10.5, "2000-01-02 00:00:00", "1-URGENT"),
+      (1L, 5L, "O", 20.25, "2000-01-03 00:00:00", "5-LOW")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"),
+        // one null per type family: string, double, timestamp
+        when(col("o_orderkey") === 0L, lit(null)).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") === 0L, lit(null)).otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("d").cast("timestamp").as("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val m = SparkEntry.all.find(_.name == "a18_column_profile").get
+      .run(spark, out).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("null_count"), r.getAs[Long]("distinct_count"),
+          r.getAs[String]("min_value"), r.getAs[String]("max_value")))).toMap
+    assert(m("o_orderstatus") == ((1L, 1L, "O", "O")), m)
+    assert(m("o_totalprice") == ((1L, 1L, "20.25", "20.25")), m)
+    assert(m("o_custkey") == ((0L, 1L, "5", "5")), m)
+    assert(m("o_orderdate") == ((0L, 2L, "2000-01-02 00:00:00", "2000-01-03 00:00:00")), m)
+  }
+
+  test("a18_column_profile: two scans (distincts + ranges), and the Expand stays on HashAggregate") {
     val plan = executedPlan("a18_column_profile")
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
-    // multi-distinct compiles to the Expand strategy, not N self-joins
+    assert(scans == 2, s"expected 2 scans (oracle needs 6), got $scans:\n$plan")
+    // multi-distinct compiles to the Expand strategy, not N self-joins —
+    // and the split design keeps its buffers all-primitive: a string
+    // min/max fused into the same aggregate demotes every stage to
+    // SortAggregate (5× slower measured at sf0.1)
     assert(plan.contains("Expand"), plan)
     assert(!plan.contains("Union"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    // the ONLY SortAggregates allowed are the grouping-free min/max folds,
+    // which sort nothing — so no Sort node may appear anywhere in the plan
+    assert(!plan.contains("Sort ["),
+      s"a profiling pass got demoted to a sorted aggregate:\n$plan")
   }
 
   test("w15_event_funnel: per-step event_type filters reach the parquet scan; no cartesian anywhere") {
