@@ -111,17 +111,21 @@ object DocPipeline {
         $shinglesSql,
         mh AS (
           SELECT doc_id,
-                 min(md5('0#' || sh)) AS mh0, min(md5('1#' || sh)) AS mh1,
-                 min(md5('2#' || sh)) AS mh2, min(md5('3#' || sh)) AS mh3,
-                 min(md5('4#' || sh)) AS mh4, min(md5('5#' || sh)) AS mh5,
-                 min(md5('6#' || sh)) AS mh6, min(md5('7#' || sh)) AS mh7
+                 min(CAST(('0x' || substring(md5('0#' || sh), 1, 15)) AS BIGINT)) AS mh0,
+                 min(CAST(('0x' || substring(md5('1#' || sh), 1, 15)) AS BIGINT)) AS mh1,
+                 min(CAST(('0x' || substring(md5('2#' || sh), 1, 15)) AS BIGINT)) AS mh2,
+                 min(CAST(('0x' || substring(md5('3#' || sh), 1, 15)) AS BIGINT)) AS mh3,
+                 min(CAST(('0x' || substring(md5('4#' || sh), 1, 15)) AS BIGINT)) AS mh4,
+                 min(CAST(('0x' || substring(md5('5#' || sh), 1, 15)) AS BIGINT)) AS mh5,
+                 min(CAST(('0x' || substring(md5('6#' || sh), 1, 15)) AS BIGINT)) AS mh6,
+                 min(CAST(('0x' || substring(md5('7#' || sh), 1, 15)) AS BIGINT)) AS mh7
           FROM sh GROUP BY doc_id
         ),
         bands AS (
-          SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bkey FROM mh
-          UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
-          UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
-          UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh
+          SELECT doc_id, 0 AS band_idx, md5(CAST(mh0 AS VARCHAR) || CAST(mh1 AS VARCHAR)) AS bkey FROM mh
+          UNION ALL SELECT doc_id, 1, md5(CAST(mh2 AS VARCHAR) || CAST(mh3 AS VARCHAR)) FROM mh
+          UNION ALL SELECT doc_id, 2, md5(CAST(mh4 AS VARCHAR) || CAST(mh5 AS VARCHAR)) FROM mh
+          UNION ALL SELECT doc_id, 3, md5(CAST(mh6 AS VARCHAR) || CAST(mh7 AS VARCHAR)) FROM mh
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -147,16 +151,22 @@ object DocPipeline {
       // distinct exchange); the 8-way minhash stays an exploded groupBy
       // because Spark's hash aggregate is whole-stage-codegen'd where a
       // transform+array_min lambda is interpreted — measured 2.5s vs
-      // 1.8s at sf0.1. The shingle count rides the array (size, narrow).
+      // 1.8s at sf0.1. Each signature mins over a 60-bit NUMERIC prefix
+      // of the md5, not the hex string: min(string) buffers are
+      // immutable and demote the whole groupBy to SortAggregate; long
+      // buffers keep it on codegen'd HashAggregate (hex-prefix order ≡
+      // numeric order, so the minhash statistics are unchanged). The
+      // shingle count rides the array (size, narrow).
+      def mhash(i: Int) =
+        min(conv(substring(md5(concat(lit(s"$i#"), col("sh"))), 1, 15), 16, 10)
+          .cast("long")).as(s"mh$i")
       val docsArr = shingleArr(corpus(s, dir)).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
-      val mh = sh.groupBy(col("doc_id")).agg(
-        min(md5(concat(lit("0#"), col("sh")))).as("mh0"),
-        (1 until 8).map(i =>
-          min(md5(concat(lit(s"$i#"), col("sh")))).as(s"mh$i")): _*)
+      val mh = sh.groupBy(col("doc_id")).agg(mhash(0), (1 until 8).map(mhash): _*)
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band_idx"),
-          md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))): _*))
+          md5(concat(col(s"mh${2 * b}").cast("string"),
+            col(s"mh${2 * b + 1}").cast("string"))).as("bkey"))): _*))
         .as("band"))
         .select(col("doc_id"), col("band.band_idx").as("band_idx"),
           col("band.bkey").as("bkey"))
@@ -987,14 +997,21 @@ object DocPipeline {
             concat(lit(" and http://cdn.example.org/asset"),
               col("doc_id").cast("string")))
             .otherwise(lit(""))).as("text"))
-      urled
+      // split the rollup like a18: the distinct-doc count (long buffers)
+      // rides HashAggregate; fusing min(url) into it would demote the
+      // whole two-phase distinct to SortAggregate. min(url) aggregates
+      // the projected (domain, url) pair set alone, then joins back on
+      // the ~|domains|-sized key.
+      val urls = urled
         .select(col("doc_id"),
           explode(regexp_extract_all(col("text"), lit(urlPat), lit(0))).as("url"))
-        .groupBy(regexp_extract(col("url"), "^https?://([a-z0-9.-]+)", 1)
-          .as("domain"))
-        .agg(count(lit(1)).as("n_urls"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          min(col("url")).as("first_url"))
+        .withColumn("domain",
+          regexp_extract(col("url"), "^https?://([a-z0-9.-]+)", 1))
+      val counts = urls.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      val firsts = urls.select(col("domain"), col("url"))
+        .groupBy(col("domain")).agg(min(col("url")).as("first_url"))
+      counts.join(firsts, Seq("domain"))
     },
 
     // ---- DD21: overlapping-window chunking ---------------------------------

@@ -241,10 +241,14 @@ object LlmOps {
         FROM lineitem l JOIN roles r ON l.l_orderkey = r.l_orderkey
         WHERE l.l_orderkey % 21 = 0
       """)) { (s, dir) =>
+      // role codes are single chars — min/countDistinct over their ascii
+      // codes (long buffers) keep the rollup on codegen'd HashAggregate;
+      // a fused min(string) would demote the whole aggregate (Expand
+      // included) to SortAggregate. chr() restores the code after.
       val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 21 === 0)
       val roles = li.groupBy(col("l_orderkey").as("r_orderkey")).agg(
-        countDistinct(col("l_returnflag")).as("n_roles"),
-        min(col("l_returnflag")).as("only_role"))
+        countDistinct(ascii(col("l_returnflag"))).as("n_roles"),
+        expr("char(min(ascii(l_returnflag)))").as("only_role"))
       li.join(roles, col("l_orderkey") === col("r_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           when(col("n_roles") === 1, col("only_role")).otherwise("SHARED")
