@@ -16,8 +16,9 @@ class PlanAssertionSpec extends SparkTestBase {
     // …and no Sort/Window sits directly on a SinglePartition exchange —
     // the round-2 scale-killer was `sum over ()` compiling to exactly
     // that adjacency. (The 1-row global aggregate's own SinglePartition
-    // exchange of per-task partial rows is fine and expected.)
-    val badAdjacency = "(?m)Sort[^\\n]*\\n[^\\n]*Exchange SinglePartition".r
+    // exchange of per-task partial rows is fine and expected — match the
+    // Sort NODE "Sort [", not a SortAggregate partial above the exchange.)
+    val badAdjacency = "(?m)Sort \\[[^\\n]*\\n[^\\n]*Exchange SinglePartition".r
     assert(badAdjacency.findFirstIn(plan).isEmpty, plan)
   }
 
@@ -30,7 +31,9 @@ class PlanAssertionSpec extends SparkTestBase {
     // (global ORDER BY + LIMIT queries like w4/w7 compile to
     // TakeOrderedAndProject, so no exception list is needed)
     val singlePartitionOk = Set.empty[String]
-    val badAdjacency = "(?m)Sort[^\\n]*\\n[^\\n]*Exchange SinglePartition".r
+    // "Sort [" is the Sort exec node; a SortAggregate PARTIAL feeding a
+    // 1-row global exchange (a18's grouping-free min/max fold) is fine.
+    val badAdjacency = "(?m)Sort \\[[^\\n]*\\n[^\\n]*Exchange SinglePartition".r
     val failures = SparkEntry.all.flatMap { q =>
       try {
         val df = q.run(spark, sf0001)
