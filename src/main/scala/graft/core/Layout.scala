@@ -26,9 +26,12 @@ object Layout {
 
   /** Salt a skewed key into `salts` subkeys; the dimension side is
     * exploded across all salts so the join stays an equi-join
-    * (SURVEY §4: mega-case crime_id skew). */
+    * (SURVEY §4: mega-case crime_id skew). The salt hashes the WHOLE
+    * row, never the key alone — a key-derived salt maps every row of
+    * the hot key to the same subkey and spreads nothing. */
   def saltKey(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(col(key)), lit(salts)))
+    df.withColumn("__salt",
+        pmod(hash(struct(df.columns.map(col): _*)), lit(salts)))
       .withColumn("__salted_key", concat_ws("#", col(key), col("__salt")))
 
   def explodeDimForSalt(dim: DataFrame, key: String, salts: Int): DataFrame =

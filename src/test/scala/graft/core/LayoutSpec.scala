@@ -73,4 +73,25 @@ class LayoutSpec extends SparkTestBase {
       .count()
     assert(plain == salted)
   }
+
+  test("salting actually SPREADS a hot key: max shuffle-partition load drops >=4x") {
+    // 90% of rows share one key — the mega-case shape. Under plain
+    // hashpartitioning(key) they all land in ONE task; salted
+    // partitioning must spread them across the salt space. This is the
+    // regression test for the key-derived-salt bug, where __salt was a
+    // pure function of the key and the hot key still serialized.
+    val n = 20000
+    val hot = spark.range(n).select(
+      when(col("id") % 10 =!= 0, lit("HOT")).otherwise(col("id").cast("string")).as("k"),
+      col("id").as("payload"))
+    def maxLoad(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count()
+        .agg(max("count")).collect()(0).getLong(0)
+    val plainMax = maxLoad(hot.repartition(16, col("k")))
+    val saltedMax = maxLoad(Layout.saltKey(hot, "k", 16)
+      .repartition(16, col("__salted_key")))
+    assert(plainMax >= (n * 9) / 10, s"fixture not skewed: $plainMax")
+    assert(saltedMax * 4 <= plainMax,
+      s"salt failed to spread the hot key: salted max $saltedMax vs plain $plainMax")
+  }
 }
