@@ -18,6 +18,10 @@ object SparkEntry {
       graft.queries.Resolve.defs ++
       graft.queries.Cascades.defs ++
       graft.queries.DocPipeline.defs ++
+      graft.queries.TrainPrep.defs ++
+      graft.queries.Dimensional.defs ++
+      graft.queries.SearchRank.defs ++
+      graft.queries.Association.defs ++
       graft.queries.AnnSearch.defs ++
       graft.queries.Conform.defs ++
       graft.queries.TextOps.defs ++

@@ -418,5 +418,53 @@ object OlapOps {
             col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"))
         }: _*)).as("m"))
         .select(col("m.*"))
+    },
+
+    // ---- A19: per-group OLS regression via sufficient statistics ---------
+    QueryDef(
+      "a19_group_regression",
+      "Grouped least-squares: slope/intercept of extendedprice on quantity per (returnflag, ship year) from sufficient statistics (n, Sx, Sy, Sxy, Sxx) accumulated EXACTLY in DECIMAL by one map-side-combined groupBy — the closed form needs no second pass and no per-group data motion, so it costs the same as a sum at any scale; the float division happens once per group on exact operands, round(6) absorbs the last-ulp",
+      Some("""
+        WITH pts AS (
+          SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+          FROM lineitem
+        ),
+        stats AS (
+          SELECT l_returnflag, ship_year,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DECIMAL(38,2)) AS sx, CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+                 CAST(sum(x*y) AS DECIMAL(38,4)) AS sxy, CAST(sum(x*x) AS DECIMAL(38,4)) AS sxx
+          FROM pts GROUP BY 1,2
+        )
+        SELECT l_returnflag, ship_year, n,
+               round((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                   - ((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                      / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM stats
+      """)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val pts = t(s, dir, "lineitem").select(col("l_returnflag"),
+        year(col("l_shipdate")).cast("int").as("ship_year"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("y"))
+      val stats = pts.groupBy(col("l_returnflag"), col("ship_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(DecimalType(38, 2)).as("sx"),
+          sum(col("y")).cast(DecimalType(38, 2)).as("sy"),
+          sum(col("x") * col("y")).cast(DecimalType(38, 4)).as("sxy"),
+          sum(col("x") * col("x")).cast(DecimalType(38, 4)).as("sxx"))
+      val slope = (col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      stats.select(col("l_returnflag"), col("ship_year"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) / col("n"), 6)
+          .as("intercept"))
     })
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Text-retrieval surface over the document corpus: inverted-index
+  * construction and BM25 ranked search. The reference reaches for
+  * Postgres full-text search (`to_tsvector` GIN indexes) for its
+  * narrative-text lookups; the Spark-native equivalents are the
+  * index-build as a dataflow (posting lists ARE a groupBy) and scoring
+  * as a fold over the query terms' postings.
+  *
+  * Scale shape: every stage is term- or doc-keyed — tokenize is a
+  * narrow explode, tf/df/posting-heads ride ONE shuffle on the term key
+  * (the ranking window and the posting aggregation reuse the same hash
+  * partitioning), and scoring joins the tf table against a
+  * query-term relation that is top-k-bounded, so it broadcasts at any
+  * corpus size. Nothing is ever all-pairs and no stage needs the whole
+  * index on one node — this is the shape a 100 TB corpus index build
+  * wants.
+  */
+object SearchRank {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- IR1: inverted index with impact-ordered posting heads ----------
+    QueryDef(
+      "ir1_inverted_index",
+      "Inverted-index build as a dataflow: per term its document frequency, collection frequency, and the tf-impact-ordered top-3 posting head 'doc:tf,...' — tf, the ranking window, and the posting aggregation all ride ONE term-keyed shuffle (window and groupBy reuse the same partitioning); stop-terms (df<2) dropped",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        heads AS (
+          SELECT w, doc_id, tf,
+                 ROW_NUMBER() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rn
+          FROM tf
+        )
+        SELECT w AS term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+               string_agg(CASE WHEN rn <= 3 THEN doc_id || ':' || tf END, ',' ORDER BY rn) AS posting_head
+        FROM heads GROUP BY w HAVING count(*) >= 2
+      """)) { (s, dir) =>
+      val tf = tok(s, dir).groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val wW = Window.partitionBy(col("w")).orderBy(col("tf").desc, col("doc_id"))
+      // window then groupBy on the same key: the exchange is planned once
+      // — df/cf aggregate over ALL postings while the head keeps rn<=3
+      // (collect_list skips the nulls the WHEN produces)
+      tf.withColumn("rn", row_number().over(wW))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          concat_ws(",", transform(
+            array_sort(collect_list(when(col("rn") <= 3,
+              struct(col("rn"), concat_ws(":", col("doc_id"), col("tf")).as("s"))))),
+            x => x.getField("s"))).as("posting_head"))
+        .filter(col("df") >= 2)
+        .select(col("w").as("term"), col("df"), col("cf"), col("posting_head"))
+    },
+
+    // ---- IR2: BM25 ranked retrieval -------------------------------------
+    QueryDef(
+      "ir2_bm25_topk",
+      "BM25 top-10 retrieval (k1=1.2, b=0.75): the query is the corpus's own 3 highest-df terms (deterministic), idf=ln((N-df+.5)/(df+.5)+1); scoring is tf-table x broadcast query-terms — per-term contributions round(9) into DECIMAL so the sum is order-free, distributed TakeOrdered top-10",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        contrib AS (
+          SELECT tf.doc_id,
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9)) AS c
+          FROM tf JOIN qterms q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        )
+        SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+      """)) { (s, dir) =>
+      val toks = tok(s, dir)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val tf = toks.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // top-3 df terms: TakeOrderedAndProject (distributed top-k), then the
+      // 3-row result broadcasts into the scoring join
+      val qterms = df.orderBy(col("df").desc, col("w")).limit(3)
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val contrib = tf.join(broadcast(qterms), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+      contrib.groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    })
+}

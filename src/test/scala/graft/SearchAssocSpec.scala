@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the retrieval (ir1/ir2), association
+  * (dd41/dd42/dd43), temporal-lookup (j17), and grouped-regression (a19)
+  * operators — structural laws the DuckDB hash parity can't state.
+  */
+class SearchAssocSpec extends SparkTestBase {
+
+  private def run(name: String) =
+    SparkEntry.all.find(_.name == name).get.run(spark, sf001)
+
+  test("ir1: posting heads are tf-descending, head size = min(df,3), cf >= df") {
+    val rows = run("ir1_inverted_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1); val cf = r.getLong(2)
+      val head = r.getString(3).split(",").map { e =>
+        val Array(_, tf) = e.split(":"); tf.toLong
+      }
+      assert(cf >= df, r.toString)
+      assert(head.length == math.min(df, 3L), r.toString)
+      assert(head.sameElements(head.sortBy(-_)), s"head not tf-descending: $r")
+    }
+  }
+
+  test("ir2: top-10 is score-descending and matches a from-scratch BM25 of the top doc") {
+    val out = run("ir2_bm25_topk").collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(scores.forall(_ > 0))
+    // recompute the winner's score directly from the corpus
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val n = docs.count()
+    val dl = docs.select(col("doc_id"), size(col("arr")).cast("long").as("dl"))
+    val avgdl = dl.agg(avg(col("dl"))).collect()(0).getDouble(0)
+    val tok = docs.select(col("doc_id"), explode(col("arr")).as("w"))
+    val dfTab = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val qterms = dfTab.orderBy(col("df").desc, col("w")).limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val winner = out.head.getLong(0)
+    val wDl = dl.filter(col("doc_id") === winner).collect()(0).getLong(1)
+    val tfs = tok.filter(col("doc_id") === winner).groupBy("w")
+      .agg(count(lit(1)).as("tf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = qterms.map { case (w, df) =>
+      val tf = tfs.getOrElse(w, 0L).toDouble
+      if (tf == 0) 0.0
+      else {
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        val c = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * wDl / avgdl))
+        BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.sum
+    assert(math.abs(out.head.getDouble(1) - expected) < 1e-6,
+      s"winner score ${out.head.getDouble(1)} vs recomputed $expected")
+  }
+
+  test("dd42: oriented enumeration matches the naive triangle count; per-node sum = 3x triangles") {
+    val out = run("dd42_triangle_count").cache()
+    val perNodeSum = out.agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    assert(perNodeSum % 3 == 0, s"per-node sum $perNodeSum not divisible by 3")
+    // naive reference: enumerate unoriented triangles x<y<z directly
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v")).distinct()
+      .cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    assert(perNodeSum == 3 * naive, s"oriented=$perNodeSum/3 naive=$naive")
+    e.unpersist(); out.unpersist()
+  }
+
+  test("dd43: JS divergence is within [0,1] bits and covers every language") {
+    val out = run("dd43_segment_drift").collect()
+    val langs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("lang").distinct().count()
+    assert(out.length == langs)
+    out.foreach { r =>
+      val js = r.getDouble(1)
+      assert(js >= 0.0 && js <= 1.0, r.toString)
+    }
+  }
+
+  test("j17: every ship event inside the customer's history matches exactly once") {
+    val out = run("j17_scd2_lookup").cache()
+    val matched = out.agg(sum(col("n_ship_events"))).collect()(0).getLong(0)
+    // the synthetic ship dates are NOT constrained to follow the order
+    // date, so events before the customer's first version are legitimately
+    // unmatched — the law is: in-history events match exactly once
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val firsts = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(min(col("o_orderdate")).as("hist_start"))
+    val total = li
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(firsts, col("o_custkey") === col("ck"))
+      .filter(col("l_shipdate") >= col("hist_start"))
+      .count()
+    assert(matched == total, s"matched $matched of $total in-history ship events")
+    // every (custkey, version) key the lookup emits exists in the history
+    val hist = run("s13_scd2_history")
+      .select(col("o_custkey"), col("version"), col("o_orderpriority"))
+    assert(out.select(col("o_custkey"), col("version"), col("o_orderpriority"))
+      .exceptAll(hist).isEmpty)
+    out.unpersist()
+  }
+
+  test("a19: slope/intercept match a direct double-precision OLS per group") {
+    val out = run("a19_group_regression").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.nonEmpty)
+    val pts = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_returnflag"), year(col("l_shipdate")).as("y"),
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("yy"))
+      .collect().groupBy(r => (r.getString(0), r.getInt(1)))
+    pts.foreach { case (k, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_.getDouble(2)).sum; val sy = rows.map(_.getDouble(3)).sum
+      val sxy = rows.map(r => r.getDouble(2) * r.getDouble(3)).sum
+      val sxx = rows.map(r => r.getDouble(2) * r.getDouble(2)).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (gn, gs, gi) = out(k)
+      assert(gn == rows.length)
+      assert(math.abs(gs - slope) < 1e-4, s"$k slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-2, s"$k intercept $gi vs $intercept")
+    }
+  }
+}
