@@ -88,10 +88,13 @@ object SearchRank {
         FROM contrib GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 10
       """)) { (s, dir) =>
-      val toks = tok(s, dir)
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // ONE corpus pass: tf is the only relation built from tokens; doc
+      // length, df, and the scoring join all derive from it (cached — it
+      // is the index a retrieval system materializes anyway)
+      val tf = tok(s, dir).groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
-      val tf = toks.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       // top-3 df terms: TakeOrderedAndProject (distributed top-k), then the
       // 3-row result broadcasts into the scoring join
