@@ -466,5 +466,118 @@ object OlapOps {
         round(slope, 6).as("slope"),
         round((col("sy").cast("double") - slope * col("sx").cast("double")) / col("n"), 6)
           .as("intercept"))
+    },
+
+    // ---- W16: date-spine gap filling + forward fill ----------------------
+    QueryDef(
+      "w16_gap_fill",
+      "Time-series regularization: per customer a monthly date spine from first to last order month, actual totals joined on, gaps forward-filled with the last known value (last IGNORE NULLS window) — the spine is GENERATED per key with sequence+explode (rows proportional to the output, no calendar table shuffle) and the fill rides the same customer-key partition as the join",
+      Some("""
+        WITH monthly AS (
+          SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+          FROM orders WHERE o_custkey % 100 = 0
+          GROUP BY 1,2
+        ),
+        spans AS (
+          SELECT o_custkey, min(month) AS mn, max(month) AS mx FROM monthly GROUP BY 1
+        ),
+        spine AS (
+          SELECT s.o_custkey, unnest(generate_series(s.mn, s.mx, INTERVAL 1 MONTH)) AS month
+          FROM spans s
+        ),
+        joined AS (
+          SELECT sp.o_custkey, sp.month, m.month_total
+          FROM spine sp LEFT JOIN monthly m ON sp.o_custkey = m.o_custkey AND sp.month = m.month
+        )
+        SELECT o_custkey, month,
+               COALESCE(month_total, 0.0) AS month_total,
+               last_value(month_total IGNORE NULLS) OVER (
+                 PARTITION BY o_custkey ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+               month_total IS NULL AS is_gap
+        FROM joined
+      """)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      // cache: monthly feeds the span aggregate AND the spine join
+      val monthly = t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+        .groupBy(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("month_total"))
+        .cache()
+      val spans = monthly.groupBy(col("o_custkey"))
+        .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+      val spine = spans.select(col("o_custkey"),
+        explode(expr("sequence(mn, mx, interval 1 month)")).as("month"))
+      val wF = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(monthly, Seq("o_custkey", "month"), "left")
+        .select(col("o_custkey"), col("month"),
+          coalesce(col("month_total"), lit(0.0)).as("month_total"),
+          last(col("month_total"), ignoreNulls = true).over(wF).as("filled_total"),
+          col("month_total").isNull.as("is_gap"))
+    },
+
+    // ---- W17: INTERSECT / EXCEPT set algebra -----------------------------
+    QueryDef(
+      "w17_set_ops",
+      "Relational set algebra on yearly active-customer sets: 1995 INTERSECT 1996, and both EXCEPT directions, tagged and unioned — Spark lowers these to distinct-aggregated semi/anti joins on the already-distinct key sets; both year slices are cached once and reused by all three branches",
+      Some("""
+        WITH a95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        a96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM a95 INTERSECT SELECT o_custkey FROM a96)
+        UNION ALL
+        SELECT 'only_1995', o_custkey FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a96)
+        UNION ALL
+        SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM a96 EXCEPT SELECT o_custkey FROM a95)
+      """)) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def active(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct().cache()
+      val a95 = active(1995)
+      val a96 = active(1996)
+      a95.intersect(a96).select(lit("both").as("tag"), col("o_custkey"))
+        .unionByName(a95.except(a96)
+          .select(lit("only_1995").as("tag"), col("o_custkey")))
+        .unionByName(a96.except(a95)
+          .select(lit("only_1996").as("tag"), col("o_custkey")))
+    },
+
+    // ---- A20: chi-square independence test -------------------------------
+    QueryDef(
+      "a20_chi_square",
+      "Chi-square independence cells for priority x order-year: observed counts, expected = row_total*col_total/N, and the (o-e)^2/e contribution per cell — the contingency table is category-bounded, so after ONE groupBy the marginals and N are broadcast scalars; (o-e)*(o-e) is written as explicit multiplication on both engines (libm pow is not cross-engine stable)",
+      Some("""
+        WITH obs AS (
+          SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS INT) AS yr,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM orders GROUP BY 1,2
+        ),
+        rt AS (SELECT prio, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        ct AS (SELECT yr, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+        SELECT obs.prio, obs.yr, obs.o,
+               round(CAST(rt.r * ct.c AS DOUBLE) / n.n, 6) AS expected,
+               round((obs.o - CAST(rt.r * ct.c AS DOUBLE) / n.n)
+                   * (obs.o - CAST(rt.r * ct.c AS DOUBLE) / n.n)
+                   / (CAST(rt.r * ct.c AS DOUBLE) / n.n), 6) AS contrib
+        FROM obs JOIN rt USING(prio) JOIN ct USING(yr) CROSS JOIN n
+      """)) { (s, dir) =>
+      // cache: the contingency table feeds both marginals, N, and the
+      // final join — category-bounded, tiny at any data size
+      val obs = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(count(lit(1)).as("o")).cache()
+      val rt = obs.groupBy(col("prio")).agg(sum(col("o")).as("r"))
+      val ct = obs.groupBy(col("yr")).agg(sum(col("o")).as("c"))
+      val n = obs.agg(sum(col("o")).as("n"))
+      val e = (col("r") * col("c")).cast("double") / col("n")
+      obs.join(broadcast(rt), Seq("prio")).join(broadcast(ct), Seq("yr"))
+        .crossJoin(broadcast(n))
+        .select(col("prio"), col("yr"), col("o"),
+          round(e, 6).as("expected"),
+          round((col("o") - e) * (col("o") - e) / e, 6).as("contrib"))
     })
 }

@@ -141,4 +141,63 @@ class OlapOpsSpec extends SparkTestBase {
     val funnelExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
     assert(funnelExchanges >= 1, s"expected user_id-keyed exchanges:\n$plan")
   }
+
+  private def run(name: String) =
+    SparkEntry.all.find(_.name == name).get.run(spark, sf001)
+
+  test("w16_gap_fill: spines are contiguous, gaps carry the last known value, real months match the raw sums") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = run("w16_gap_fill").cache()
+    // spine contiguity: consecutive rows per customer are 1 month apart
+    val w = Window.partitionBy("o_custkey").orderBy("month")
+    val gaps = out.withColumn("prev", lag(col("month"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        months_between(col("month"), col("prev")) =!= 1.0)
+    assert(gaps.count() == 0)
+    // forward fill: on gap rows the filled value equals the previous row's
+    val bad = out.withColumn("pf", lag(col("filled_total"), 1).over(w))
+      .filter(col("is_gap") && col("filled_total") =!= col("pf"))
+    assert(bad.count() == 0)
+    // non-gap rows: filled == actual, and actuals reconcile with raw orders
+    assert(out.filter(!col("is_gap") &&
+      col("filled_total") =!= col("month_total")).count() == 0)
+    val spineSum = out.agg(sum(col("month_total").cast("decimal(18,2)")))
+      .collect()(0).getDecimal(0)
+    val rawSum = spark.read.parquet(s"$sf001/orders.parquet")
+      .filter(col("o_custkey") % 100 === 0)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    assert(spineSum.compareTo(rawSum) == 0, s"$spineSum != $rawSum")
+    out.unpersist()
+  }
+
+  test("w17_set_ops: tags partition the union of the year sets") {
+    import org.apache.spark.sql.functions._
+    val out = run("w17_set_ops").cache()
+    // no key appears under two tags
+    assert(out.groupBy("o_custkey").count().filter(col("count") > 1)
+      .join(out, Seq("o_custkey")).groupBy("o_custkey")
+      .agg(countDistinct(col("tag")).as("t")).filter(col("t") > 1).count() == 0)
+    // |both| + |only_95| = |active 1995|
+    val byTag = out.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a95 = spark.read.parquet(s"$sf001/orders.parquet")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select("o_custkey").distinct().count()
+    assert(byTag("both") + byTag("only_1995") == a95)
+    out.unpersist()
+  }
+
+  test("a20_chi_square: expected counts reproduce the marginals") {
+    import org.apache.spark.sql.functions._
+    val out = run("a20_chi_square").cache()
+    // sum of expected per row equals the observed row total (within rounding)
+    val rows = out.groupBy("prio")
+      .agg(sum(col("expected")).as("se"), sum(col("o")).as("so")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getLong(2)) < 1e-3, r.toString)
+    }
+    assert(out.filter(col("contrib") < 0).count() == 0)
+    out.unpersist()
+  }
 }
