@@ -111,5 +111,55 @@ object SearchRank {
       contrib.groupBy(col("doc_id"))
         .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
+
+    // ---- IR3: positional phrase search -----------------------------------
+    QueryDef(
+      "ir3_phrase_search",
+      "Positional phrase search: per-doc occurrence counts of the corpus's most frequent bigram (deterministic query), matched by intersecting the first term's positions+1 with the second term's — the positional postings build is ONE doc-keyed groupBy over the term-filtered token stream (both lists in one pass), the 1-row query phrase broadcasts; position bases differ across engines (0- vs 1-indexed) but the relative-offset match is base-invariant",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents
+                     WHERE len(string_split(text,' ')) >= 2),
+        pos AS (SELECT doc_id, i.g AS p, arr[i.g] AS w
+                FROM tok, LATERAL unnest(generate_series(1, len(arr))) AS i(g)),
+        big AS (SELECT unnest(list_transform(generate_series(1, len(arr)-1),
+                        i -> struct_pack(a := arr[i], b := arr[i+1]))) AS bg FROM tok),
+        pairs AS (SELECT bg.a AS a, bg.b AS b, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1,2),
+        top1 AS (SELECT a, b FROM pairs ORDER BY c DESC, a, b LIMIT 1),
+        lists AS (
+          SELECT pos.doc_id,
+                 list(pos.p) FILTER (pos.w = top1.a) AS pa,
+                 list(pos.p) FILTER (pos.w = top1.b) AS pb
+          FROM pos JOIN top1 ON pos.w = top1.a OR pos.w = top1.b
+          GROUP BY pos.doc_id
+        )
+        SELECT doc_id,
+               CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS BIGINT) AS n_occ
+        FROM lists
+        WHERE len(list_intersect(list_transform(pa, x -> x + 1), pb)) > 0
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val pos = docs.select(col("doc_id"),
+        posexplode(col("arr")).as(Seq("p", "w")))
+      val pairs = docs.select(explode(transform(
+        sequence(lit(0), size(col("arr")) - 2),
+        i => struct(element_at(col("arr"), i + 1).as("a"),
+          element_at(col("arr"), i + 2).as("b")))).as("bg"))
+        .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val top1 = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .select(col("a"), col("b"))
+      // one pass builds BOTH position lists: collect_list skips the nulls
+      // the per-term when() produces
+      pos.join(broadcast(top1), col("w") === col("a") || col("w") === col("b"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(when(col("w") === col("a"), col("p"))).as("pa"),
+          collect_list(when(col("w") === col("b"), col("p"))).as("pb"))
+        .select(col("doc_id"),
+          size(array_intersect(transform(col("pa"), x => x + 1), col("pb")))
+            .cast("long").as("n_occ"))
+        .filter(col("n_occ") > 0)
     })
 }

@@ -67,5 +67,24 @@ object TrainPrep {
           floor((col("before") + col("n_tokens") - 1) / cap).as("end_seq_id"),
           (floor((col("before") + col("n_tokens") - 1) / cap) >
             floor(col("before") / cap)).as("straddles"))
+    },
+
+    // ---- dd44: fixed-size deterministic sample per group -----------------
+    QueryDef(
+      "dd44_group_sample",
+      "Fixed-k deterministic sample: exactly min(k,|group|)=5 docs per language, ranked by md5 of the id (uniform-ish, reproducible across runs and engines) — the complement of dd10's rate-based sampling when the contract is a firm per-group quota; one language-keyed window, rows beyond k never leave the partial sort",
+      Some("""
+        WITH ranked AS (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        )
+        SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 5
+      """)) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents").select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
     })
 }

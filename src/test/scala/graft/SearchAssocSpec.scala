@@ -59,6 +59,38 @@ class SearchAssocSpec extends SparkTestBase {
       s"winner score ${out.head.getDouble(1)} vs recomputed $expected")
   }
 
+  test("ir3: phrase hits reproduce a direct substring scan for the top bigram") {
+    val out = run("ir3_phrase_search").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // recompute the most frequent bigram and count occurrences per doc by
+    // scanning token arrays directly
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("arr")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { case (_, a) =>
+      a.sliding(2).foreach { case Seq(x, y) =>
+        counts((x, y)) = counts.getOrElse((x, y), 0L) + 1
+      case _ => }
+    }
+    val (qa, qb) = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    val expected = docs.map { case (id, a) =>
+      id -> a.sliding(2).count { case Seq(x, y) => x == qa && y == qb; case _ => false }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(out == expected, s"phrase ($qa,$qb): engine ${out.size} docs vs direct ${expected.size}")
+  }
+
+  test("dd44: exactly min(5,|group|) rows per language, stable across runs") {
+    val a = run("dd44_group_sample").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val b = run("dd44_group_sample").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+    val sizes = spark.read.parquet(s"$sf001/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = a.groupBy(_._1).map { case (l, rs) => l -> rs.length.toLong }
+    sizes.foreach { case (l, n) => assert(perLang(l) == math.min(5L, n), l) }
+  }
+
   test("dd42: oriented enumeration matches the naive triangle count; per-node sum = 3x triangles") {
     val out = run("dd42_triangle_count").cache()
     val perNodeSum = out.agg(sum(col("n_tri"))).collect()(0).getLong(0)
