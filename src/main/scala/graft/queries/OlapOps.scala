@@ -579,5 +579,41 @@ object OlapOps {
         .select(col("prio"), col("yr"), col("o"),
           round(e, 6).as("expected"),
           round((col("o") - e) * (col("o") - e) / e, 6).as("contrib"))
+    },
+
+    // ---- A21: exact weighted median --------------------------------------
+    QueryDef(
+      "a21_weighted_median",
+      "Exact weighted median (price weighted by quantity) per return flag: smallest v whose cumulative weight reaches half the total — the running sum uses a RANGE frame, so tied values share one cumulative weight and the answer is deterministic under any shuffle order; weights accumulate in DECIMAL (exact), one flag-keyed shuffle carries both windows and the final min",
+      Some("""
+        WITH w AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS q
+          FROM lineitem
+        ),
+        cum AS (
+          SELECT l_returnflag, v, q,
+                 SUM(q) OVER (PARTITION BY l_returnflag ORDER BY v
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                 SUM(q) OVER (PARTITION BY l_returnflag) AS tw
+          FROM w
+        )
+        SELECT l_returnflag, CAST(min(v) AS DOUBLE) AS weighted_median,
+               CAST(CAST(any_value(tw) AS DECIMAL(18,2)) AS DOUBLE) AS total_weight
+        FROM cum WHERE cw * 2 >= tw GROUP BY l_returnflag
+      """)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val w = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("v"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("q"))
+      val wr = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("l_returnflag"))
+      w.withColumn("cw", sum(col("q")).over(wr))
+        .withColumn("tw", sum(col("q")).over(wp))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("v")).cast("double").as("weighted_median"),
+          first(col("tw")).cast(DecimalType(18, 2)).cast("double").as("total_weight"))
     })
 }

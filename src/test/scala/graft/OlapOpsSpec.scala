@@ -188,6 +188,24 @@ class OlapOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("a21_weighted_median: half the weight sits at or below the median, less than half strictly below") {
+    import org.apache.spark.sql.functions._
+    val med = run("a21_weighted_median").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"),
+        col("l_quantity").cast("double").as("q")).cache()
+    med.foreach { case (f, (m, tw)) =>
+      val below = li.filter(col("l_returnflag") === f && col("v") < m)
+        .agg(sum(col("q"))).collect()(0).getDouble(0)
+      val atOrBelow = li.filter(col("l_returnflag") === f && col("v") <= m)
+        .agg(sum(col("q"))).collect()(0).getDouble(0)
+      assert(below * 2 < tw, s"$f: below=$below tw=$tw")
+      assert(atOrBelow * 2 >= tw, s"$f: atOrBelow=$atOrBelow tw=$tw")
+    }
+    li.unpersist()
+  }
+
   test("a20_chi_square: expected counts reproduce the marginals") {
     import org.apache.spark.sql.functions._
     val out = run("a20_chi_square").cache()
