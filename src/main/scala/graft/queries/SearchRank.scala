@@ -161,5 +161,30 @@ object SearchRank {
           size(array_intersect(transform(col("pa"), x => x + 1), col("pb")))
             .cast("long").as("n_occ"))
         .filter(col("n_occ") > 0)
+    },
+
+    // ---- IR4: incremental index refresh ≡ full rebuild -------------------
+    QueryDef(
+      "ir4_index_refresh",
+      "Incremental index maintenance (search/IndexMaintain): base index over 6/7 of the corpus, then the remaining 1/7 arrives as a delta batch — postings splice by broadcast anti-join (the base never shuffles), term stats recomputed ONLY for the delta's vocabulary, untouched rows carried verbatim. The oracle is the FULL-corpus ir1 index, so the hash compare IS the incremental-equals-rebuild proof",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        heads AS (
+          SELECT w, doc_id, tf,
+                 ROW_NUMBER() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rn
+          FROM tf
+        )
+        SELECT w AS term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+               string_agg(CASE WHEN rn <= 3 THEN doc_id || ':' || tf END, ',' ORDER BY rn) AS posting_head
+        FROM heads GROUP BY w HAVING count(*) >= 2
+      """)) { (s, dir) =>
+      import graft.search.IndexMaintain
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      val basePostings = IndexMaintain.postings(base).cache()
+      val baseIndex = IndexMaintain.buildIndex(basePostings)
+      IndexMaintain.refresh(basePostings, baseIndex, delta)._2
     })
 }
