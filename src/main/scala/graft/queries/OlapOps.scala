@@ -615,5 +615,102 @@ object OlapOps {
         .groupBy(col("l_returnflag"))
         .agg(min(col("v")).cast("double").as("weighted_median"),
           first(col("tw")).cast(DecimalType(18, 2)).cast("double").as("total_weight"))
+    },
+
+    // ---- W18: cumulative distinct users (first-seen trick) ---------------
+    QueryDef(
+      "w18_cumulative_distinct",
+      "Daily active + cumulative distinct users: the expanding-window COUNT(DISTINCT) that does NOT exist as a scalable operator anywhere — replaced by the first-seen identity (a user adds 1 exactly on their first day, so cumulative distinct = running sum of first-appearance counts). The oracle states the global day-ordered window; the engine runs it two-phase (year-partitioned running sum + broadcast year offsets) so no Sort ever sits on a single partition",
+      Some("""
+        WITH firsts AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+        ),
+        per_day AS (
+          SELECT first_day AS d, CAST(count(*) AS BIGINT) AS new_users FROM firsts GROUP BY 1
+        ),
+        activity AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM events GROUP BY 1
+        )
+        SELECT CAST(a.d AS TIMESTAMP) AS d, a.dau,
+               COALESCE(p.new_users, 0) AS new_users,
+               CAST(SUM(COALESCE(p.new_users, 0)) OVER (ORDER BY a.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+        FROM activity a LEFT JOIN per_day p ON a.d = p.d
+      """)) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("d")).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+      val activity = ev.distinct().groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val daily = activity.join(firsts, Seq("d"), "left")
+        .select(col("d"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          year(col("d")).as("y"))
+      // two-phase global cumsum (dd40's shape on the calendar): within-year
+      // running sum rides a year-partitioned window; year offsets come from
+      // the tiny year-level inequality join and broadcast
+      val yearTot = daily.groupBy(col("y")).agg(sum(col("new_users")).as("c"))
+      val offsets = yearTot.as("x")
+        .join(yearTot.as("y2"), col("y2.y") < col("x.y"), "left")
+        .groupBy(col("x.y").as("y"))
+        .agg(coalesce(sum(col("y2.c")), lit(0L)).as("off"))
+      val wIn = Window.partitionBy(col("y")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(offsets), Seq("y"))
+        .select(col("d").cast("timestamp").as("d"), col("dau"), col("new_users"),
+          (col("off") + sum(col("new_users")).over(wIn)).cast("long")
+            .as("cum_distinct_users"))
+    },
+
+    // ---- DQ1: data-quality expectations report ---------------------------
+    QueryDef(
+      "dq1_quality_report",
+      "Data-quality expectations in ONE pass shape: uniqueness of the order key, FK integrity to customer (broadcast-dim anti count), null/positivity and domain checks — each check is a named row with pass flag + violation count, the report an ETL gate publishes every run; all checks are aggregates, only scalar rows leave the cluster",
+      Some("""
+        WITH uniq AS (
+          SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dk
+          FROM orders
+        ),
+        fk AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_orphan
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL
+        ),
+        nulls AS (
+          SELECT CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT) AS null_dates,
+                 CAST(count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT) AS bad_prices
+          FROM orders
+        ),
+        dom AS (
+          SELECT CAST(count(*) AS BIGINT) AS bad_status
+          FROM orders WHERE o_orderstatus NOT IN ('O','F','P')
+        )
+        SELECT 'orderkey_unique' AS check_name, uniq.total = uniq.dk AS passed, uniq.total - uniq.dk AS n_violations FROM uniq
+        UNION ALL
+        SELECT 'custkey_fk_integrity', fk.n_orphan = 0, fk.n_orphan FROM fk
+        UNION ALL
+        SELECT 'orderdate_not_null', nulls.null_dates = 0, nulls.null_dates FROM nulls
+        UNION ALL
+        SELECT 'totalprice_positive', nulls.bad_prices = 0, nulls.bad_prices FROM nulls
+        UNION ALL
+        SELECT 'status_in_domain', dom.bad_status = 0, dom.bad_status FROM dom
+      """)) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def report(name: String, agg: DataFrame): DataFrame =
+        agg.select(lit(name).as("check_name"),
+          (col("v") === 0L).as("passed"), col("v").as("n_violations"))
+      val uniq = o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))
+      val fk = o.join(broadcast(t(s, dir, "customer").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      val nullDates = o.agg(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v"))
+      val badPrices = o.agg(sum(when(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v"))
+      val badStatus = o.filter(!col("o_orderstatus").isin("O", "F", "P"))
+        .agg(count(lit(1)).as("v"))
+      report("orderkey_unique", uniq)
+        .unionByName(report("custkey_fk_integrity", fk))
+        .unionByName(report("orderdate_not_null", nullDates))
+        .unionByName(report("totalprice_positive", badPrices))
+        .unionByName(report("status_in_domain", badStatus))
     })
 }

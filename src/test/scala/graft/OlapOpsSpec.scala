@@ -206,6 +206,36 @@ class OlapOpsSpec extends SparkTestBase {
     li.unpersist()
   }
 
+  test("w18: cumulative distinct equals the expanding-distinct spec; final value = total distinct users") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = run("w18_cumulative_distinct").orderBy(col("d")).collect()
+    // two-phase ≡ the one global window (stated directly on the fixture)
+    val spec = out.map(_.getLong(2)).scanLeft(0L)(_ + _).drop(1)
+    assert(out.map(_.getLong(3)).sameElements(spec))
+    // the last cumulative value is the corpus-wide distinct user count
+    // (events.ts is nanos-int64 in raw parquet — go through Tables)
+    val events = graft.core.Tables(spark, sf001, "events")
+    val total = events.select("user_id").distinct().count()
+    assert(out.last.getLong(3) == total)
+    // and it truly is "distinct to date": recompute one mid-series day by
+    // brute force expanding distinct
+    val ev = events.select(col("user_id"), col("ts").cast("date").as("d"))
+    val mid = out(out.length / 2)
+    val brute = ev.filter(col("d") <= lit(mid.getTimestamp(0).toLocalDateTime.toLocalDate.toString).cast("date"))
+      .select("user_id").distinct().count()
+    assert(mid.getLong(3) == brute, s"day ${mid.getTimestamp(0)}: ${mid.getLong(3)} vs $brute")
+  }
+
+  test("dq1: all expectations pass on the clean fixture and violations are zero") {
+    val rows = run("dq1_quality_report").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"check ${r.getString(0)} failed on clean data")
+      assert(r.getLong(2) == 0L, r.toString)
+    }
+  }
+
   test("a20_chi_square: expected counts reproduce the marginals") {
     import org.apache.spark.sql.functions._
     val out = run("a20_chi_square").cache()
