@@ -636,15 +636,22 @@ object OlapOps {
                CAST(SUM(COALESCE(p.new_users, 0)) OVER (ORDER BY a.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
         FROM activity a LEFT JOIN per_day p ON a.d = p.d
       """)) { (s, dir) =>
-      val ev = t(s, dir, "events")
+      // ONE event scan: both the DAU and the first-seen aggregates read the
+      // cached distinct (user, day) relation — user-day-bounded, far
+      // smaller than the raw log
+      val ud = t(s, dir, "events")
         .select(col("user_id"), col("ts").cast("date").as("d"))
-      val firsts = ev.groupBy(col("user_id")).agg(min(col("d")).as("d"))
+        .distinct().cache()
+      val firsts = ud.groupBy(col("user_id")).agg(min(col("d")).as("d"))
         .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
-      val activity = ev.distinct().groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val activity = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      // day-bounded from here on — cache the spine the window and the
+      // year-offset aggregate both read
       val daily = activity.join(firsts, Seq("d"), "left")
         .select(col("d"), col("dau"),
           coalesce(col("new_users"), lit(0L)).as("new_users"),
           year(col("d")).as("y"))
+        .cache()
       // two-phase global cumsum (dd40's shape on the calendar): within-year
       // running sum rides a year-partitioned window; year offsets come from
       // the tiny year-level inequality join and broadcast
@@ -695,22 +702,25 @@ object OlapOps {
         SELECT 'status_in_domain', dom.bad_status = 0, dom.bad_status FROM dom
       """)) { (s, dir) =>
       val o = t(s, dir, "orders")
-      def report(name: String, agg: DataFrame): DataFrame =
-        agg.select(lit(name).as("check_name"),
-          (col("v") === 0L).as("passed"), col("v").as("n_violations"))
-      val uniq = o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))
+      def report(name: String, v: org.apache.spark.sql.Column): DataFrame => DataFrame =
+        df => df.select(lit(name).as("check_name"),
+          (v === 0L).as("passed"), v.as("n_violations"))
+      // the four table-wide expectations fold into ONE aggregate pass over
+      // one scan; only the FK check needs its own (anti-join) scan
+      val wide = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_dates"),
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+          .otherwise(0L)).as("bad_prices"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status")).cache()
       val fk = o.join(broadcast(t(s, dir, "customer").select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("v"))
-      val nullDates = o.agg(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v"))
-      val badPrices = o.agg(sum(when(col("o_totalprice").isNull ||
-        col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v"))
-      val badStatus = o.filter(!col("o_orderstatus").isin("O", "F", "P"))
-        .agg(count(lit(1)).as("v"))
-      report("orderkey_unique", uniq)
-        .unionByName(report("custkey_fk_integrity", fk))
-        .unionByName(report("orderdate_not_null", nullDates))
-        .unionByName(report("totalprice_positive", badPrices))
-        .unionByName(report("status_in_domain", badStatus))
+        .agg(count(lit(1)).as("n_orphan"))
+      report("orderkey_unique", col("dup_keys"))(wide)
+        .unionByName(report("custkey_fk_integrity", col("n_orphan"))(fk))
+        .unionByName(report("orderdate_not_null", col("null_dates"))(wide))
+        .unionByName(report("totalprice_positive", col("bad_prices"))(wide))
+        .unionByName(report("status_in_domain", col("bad_status"))(wide))
     })
 }
