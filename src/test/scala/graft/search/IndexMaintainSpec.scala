@@ -58,6 +58,39 @@ class IndexMaintainSpec extends SparkTestBase {
     Seq(base, basePostings, baseIndex, delta).foreach(_.unpersist())
   }
 
+  test("property: incremental refresh ≡ rebuild for random corpora and random deltas") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val genDoc: Gen[String] =
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+        .map(_.mkString(" "))
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.chooseNum(2, 8)
+      texts <- Gen.listOfN(n, genDoc)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // delta: a mix of replacements (ids from 0..7, may or may not exist)
+    // and brand-new ids
+    val genDelta: Gen[List[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 5)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0L, 12L))
+      texts <- Gen.listOfN(n, genDoc)
+    } yield ids.distinct.zip(texts)
+    val prop = Prop.forAll(genCorpus, genDelta) { (corpus, delta) =>
+      val baseDf = corpus.toDF("doc_id", "text")
+      val deltaDf = delta.toDF("doc_id", "text")
+      val p0 = IndexMaintain.postings(baseDf)
+      val i0 = IndexMaintain.buildIndex(p0)
+      val (p1, i1) = IndexMaintain.refresh(p0, i0, deltaDf)
+      val deltaIds = delta.map(_._1).toSet
+      val after = corpus.filterNot(d => deltaIds(d._1)).++(delta).toDF("doc_id", "text")
+      sameRows(p1, IndexMaintain.postings(after)) &&
+        sameRows(i1, IndexMaintain.buildIndex(IndexMaintain.postings(after)))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("df threshold crossings: a term can leave the index when its last-but-one doc is replaced") {
     import spark.implicits._
     val tiny = Seq(
