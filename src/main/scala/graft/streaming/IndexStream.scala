@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.search.IndexMaintain
+
+/** Streaming inverted-index maintenance: document micro-batches (new
+  * docs and whole-document updates; one row per doc_id per batch) drive
+  * [[IndexMaintain.refresh]] via foreachBatch — each batch touches only
+  * its own vocabulary, so the per-batch cost tracks the batch, not the
+  * corpus.
+  *
+  * State lives in parquet (versioned postings + index tables), same as
+  * [[FunnelMaintainer]]/[[GoldMaintainer]]: no pinned executor memory,
+  * restart-safe, drops onto a transactional table format unchanged.
+  */
+final class IndexMaintainer(spark: SparkSession, workDir: String) {
+
+  private var version = 0
+  private def postingsPath(v: Int) = s"$workDir/postings_v$v"
+  private def indexPath(v: Int) = s"$workDir/index_v$v"
+
+  def init(docs0: DataFrame): Unit = synchronized {
+    val p0 = IndexMaintain.postings(docs0)
+    p0.write.mode("overwrite").parquet(postingsPath(0))
+    IndexMaintain.buildIndex(spark.read.parquet(postingsPath(0)))
+      .write.mode("overwrite").parquet(indexPath(0))
+    version = 0
+  }
+
+  def postingsState: DataFrame = spark.read.parquet(postingsPath(version))
+  def index: DataFrame = spark.read.parquet(indexPath(version))
+
+  /** One micro-batch of documents(doc_id, text): splice postings, refresh
+    * only the touched terms' index rows. */
+  def applyBatch(batch: DataFrame): Unit = synchronized {
+    if (batch.isEmpty) return
+    val delta = batch.select(col("doc_id"), col("text"))
+    val (p1, i1) = IndexMaintain.refresh(postingsState, index, delta)
+    val next = version + 1
+    p1.write.mode("overwrite").parquet(postingsPath(next))
+    // the index read must not race the postings overwrite of the SAME
+    // version — both new tables derive from version `version` reads
+    i1.write.mode("overwrite").parquet(indexPath(next))
+    version = next
+  }
+
+  def start(docs: DataFrame, queryName: String): StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
+      .start()
+}
