@@ -668,6 +668,38 @@ object OlapOps {
             .as("cum_distinct_users"))
     },
 
+    // ---- W19: distribution ranks (percent_rank / cume_dist / ntile) ------
+    QueryDef(
+      "w19_distribution_ranks",
+      "Customer-spend distribution position within each market segment: percent_rank, cume_dist, and ntile(4) quartile over ONE segment-keyed window — the ORDER includes the key (spend, custkey) so ntile's position-based buckets are total-order deterministic across engines; spend accumulates in DECIMAL before the double render",
+      Some("""
+        WITH spend AS (
+          SELECT c.c_custkey, c.c_mktsegment,
+                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY 1,2
+        )
+        SELECT c_custkey, c_mktsegment, spend,
+               round(percent_rank() OVER w, 9) AS pr,
+               round(cume_dist() OVER w, 9) AS cd,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM spend WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)
+      """)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val spend = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("spend"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("spend"), col("c_custkey"))
+      spend.select(col("c_custkey"), col("c_mktsegment"), col("spend"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        ntile(4).over(w).cast("int").as("quartile"))
+    },
+
     // ---- DQ1: data-quality expectations report ---------------------------
     QueryDef(
       "dq1_quality_report",

@@ -227,6 +227,20 @@ class OlapOpsSpec extends SparkTestBase {
     assert(mid.getLong(3) == brute, s"day ${mid.getTimestamp(0)}: ${mid.getLong(3)} vs $brute")
   }
 
+  test("w19: quartiles balance within 1 and rank fractions stay in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val out = run("w19_distribution_ranks").cache()
+    assert(out.filter(col("pr") < 0 || col("pr") > 1 ||
+      col("cd") <= 0 || col("cd") > 1).count() == 0)
+    // ntile(4) bucket sizes within a segment differ by at most 1
+    val spread = out.groupBy("c_mktsegment", "quartile").count()
+      .groupBy("c_mktsegment")
+      .agg((max(col("count")) - min(col("count"))).as("spread"),
+        countDistinct(col("quartile")).as("nq"))
+    assert(spread.filter(col("spread") > 1 || col("nq") =!= 4).count() == 0)
+    out.unpersist()
+  }
+
   test("dq1: all expectations pass on the clean fixture and violations are zero") {
     val rows = run("dq1_quality_report").collect()
     assert(rows.length == 5)
