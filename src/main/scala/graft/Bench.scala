@@ -79,7 +79,16 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'").replaceAll("[\\n\\r\\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"sf":"$sfDir"}"""
+    println(line)
+    // Persist alongside stdout: the driver keeps only a 2000-char output
+    // tail, which has truncated the JSON every round. The committed copy
+    // makes round-over-round per-query diffs possible from the repo alone.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist JSON: ${e.getMessage}") }
     spark.stop()
   }
 }

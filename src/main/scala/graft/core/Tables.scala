@@ -15,8 +15,8 @@ object Tables {
 
   // Memoize the loaded DataFrame per (session, dir, table): the object
   // holds only the analyzed plan (no data), but building it costs a file
-  // listing + parquet footer read — a fixed driver-side job that a
-  // 157-query inventory otherwise pays hundreds of times over.
+  // listing + parquet footer read — a fixed driver-side job that the full
+  // query inventory otherwise pays hundreds of times over.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
@@ -24,16 +24,25 @@ object Tables {
     cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses natively.
-    // Sessions set spark.sql.legacy.parquet.nanosAsLong=true; restore a
-    // microsecond TimestampType here (DuckDB likewise truncates ns→us).
+    // events.ts has shipped as TIMESTAMP(NANOS) parquet (read as Long under
+    // spark.sql.legacy.parquet.nanosAsLong=true) and as timestamp[us]
+    // (read as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ). Normalize
+    // BOTH to session-local TimestampType, gated on the type the footer
+    // actually delivered — never assume the physical encoding. Sessions run
+    // UTC, so the NTZ→LTZ cast is value-preserving, and event-time
+    // functions (unix_micros, window()) require the LTZ type.
     // `ts div 1000` stays integral; `ts / 1000` promotes to double, whose
     // 256-ns ulp at 1.7e18 can truncate to the wrong microsecond.
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 
@@ -45,6 +54,16 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (lastDir.put(spark, dir) != dir)
-      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    if (lastDir.get(spark) != dir) {
+      // Failure-atomic: register every view FIRST, then record the dir.
+      // If one table fails to load, the next call retries all of them —
+      // a single broken table must not poison the other nine views.
+      var failure: Throwable = null
+      all.foreach { n =>
+        try apply(spark, dir, n).createOrReplaceTempView(n)
+        catch { case e: Throwable => if (failure == null) failure = e }
+      }
+      if (failure != null) throw failure
+      lastDir.put(spark, dir)
+    }
 }

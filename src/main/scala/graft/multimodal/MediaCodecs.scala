@@ -1,0 +1,151 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real, dependency-free codecs for two simple public container formats:
+  * RIFF/WAVE (PCM) and BMP (BITMAPINFOHEADER). These replace one notch of
+  * the `fakeDecode` stub with a genuine decode branch — header fields
+  * (sample rate, channel count, dimensions) are parsed from actual bytes,
+  * so the oracle gate checks a real parser, not an assumption.
+  *
+  * The full image/audio codec stack (JPEG, MP3, H.264…) still needs
+  * external libraries that are not in this container; WAV/BMP are chosen
+  * because their containers are fully specified by public byte layouts and
+  * parseable with ByteBuffer alone.
+  */
+object MediaCodecs {
+
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long, peakAbs: Int)
+
+  final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int)
+
+  /** Sniff the container from magic bytes — the mime is DERIVED from the
+    * blob, never trusted from metadata. */
+  def sniffMime(blob: Array[Byte]): String =
+    if (blob == null || blob.length < 12) "application/octet-stream"
+    else if (blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+             blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'A' &&
+             blob(10) == 'V' && blob(11) == 'E') "audio/wav"
+    else if (blob(0) == 'B' && blob(1) == 'M') "image/bmp"
+    else "application/octet-stream"
+
+  // ---- WAV (RIFF + fmt + data, PCM16 little-endian) ----------------------
+
+  /** Encode interleaved PCM16 frames into a canonical WAV container. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a WAV header by walking RIFF chunks (fmt may not be first —
+    * LIST/INFO chunks are legal before it). Returns None on anything that
+    * is not a PCM16 RIFF/WAVE. */
+  def decodeWav(blob: Array[Byte]): Option[WavInfo] = {
+    if (sniffMime(blob) != "audio/wav") return None
+    val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(12) // past RIFF<size>WAVE
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var blockAlign = -1; var dataSize = -1L
+    var dataPos = -1
+    while (buf.remaining() >= 8) {
+      val id = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()),
+        "US-ASCII")
+      val size = buf.getInt()
+      id match {
+        case "fmt " if size >= 16 =>
+          val fmtStart = buf.position()
+          val audioFormat = buf.getShort()
+          channels = buf.getShort().toInt
+          sampleRate = buf.getInt()
+          buf.getInt() // byte rate
+          blockAlign = buf.getShort().toInt
+          bits = buf.getShort().toInt
+          if (audioFormat != 1) return None // PCM only
+          buf.position(fmtStart + size + (size & 1)) // chunks pad to even
+        case "data" =>
+          dataSize = size.toLong & 0xffffffffL
+          dataPos = buf.position()
+          buf.position(math.min(blob.length,
+            buf.position() + size + (size & 1)))
+        case _ =>
+          buf.position(math.min(blob.length,
+            buf.position() + size + (size & 1)))
+      }
+    }
+    if (sampleRate < 0 || dataSize < 0 || blockAlign <= 0) return None
+    val nFrames = dataSize / blockAlign
+    // Peak |amplitude| over the PCM16 payload — a real sample-level pass.
+    var peak = 0
+    if (bits == 16 && dataPos >= 0) {
+      val end = math.min(blob.length.toLong, dataPos + dataSize).toInt
+      var i = dataPos
+      while (i + 1 < end) {
+        val s = ((blob(i) & 0xff) | (blob(i + 1) << 8)).toShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 2
+      }
+    }
+    Some(WavInfo(sampleRate, channels, bits, nFrames, peak))
+  }
+
+  // ---- BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp bottom-up) --------
+
+  /** Encode a 24bpp BMP; pixel(x, y) returns packed 0xRRGGBB. Rows are
+    * bottom-up and padded to 4-byte boundaries per the spec. */
+  def encodeBmp24(width: Int, height: Int,
+                  pixel: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * height
+    val buf = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + imageSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(imageSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < width) {
+        val p = pixel(x, y)
+        buf.put((p & 0xff).toByte)          // B
+          .put(((p >> 8) & 0xff).toByte)    // G
+          .put(((p >> 16) & 0xff).toByte)   // R
+        x += 1
+      }
+      var k = 0
+      while (k < pad) { buf.put(0.toByte); k += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse BMP dimensions from a BITMAPINFOHEADER (the universal core
+    * header; height may be negative = top-down, we report magnitude). */
+  def decodeBmp(blob: Array[Byte]): Option[BmpInfo] = {
+    if (sniffMime(blob) != "image/bmp" || blob.length < 54) return None
+    val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = buf.getInt(14)
+    if (headerSize < 40) return None
+    val width = buf.getInt(18)
+    val height = math.abs(buf.getInt(22))
+    val bpp = buf.getShort(28).toInt
+    Some(BmpInfo(width, height, bpp))
+  }
+}

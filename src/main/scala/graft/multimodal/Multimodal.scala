@@ -67,6 +67,89 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         expr(s"substring(blob, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
 
+  // ---- real-format decode branch (WAV/BMP, see MediaCodecs) --------------
+
+  private val mediaBlobSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("blob", BinaryType)))
+
+  /** Deterministic media synthesis: even doc_ids become real PCM16 WAV
+    * files, odd doc_ids become real 24bpp BMPs, with header parameters
+    * derived arithmetically from doc_id — so an external oracle can
+    * predict every decoded field without parsing bytes itself. */
+  def synthesizeMedia(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaBlobSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val blob =
+          if (id % 2 == 0) {
+            val sampleRate = (8000 + (id % 5) * 1000).toInt
+            val channels = (1 + (id / 2) % 2).toInt
+            val nFrames = (16 + id % 32).toInt
+            val amp = ((id % 100) * 300 + 100).toShort
+            val samples = new Array[Short](nFrames * channels)
+            var i = 0
+            while (i < samples.length) {
+              // square wave: alternate +amp/-amp per frame, all channels
+              samples(i) = if ((i / channels) % 2 == 0) amp
+                           else (-amp).toShort
+              i += 1
+            }
+            MediaCodecs.encodeWavPcm16(sampleRate, channels, samples)
+          } else {
+            val w = (4 + id % 16).toInt
+            val h = (2 + id % 8).toInt
+            MediaCodecs.encodeBmp24(w, h,
+              (x, y) => { val g = ((x * 31 + y * 17 + id) % 256).toInt
+                (g << 16) | (g << 8) | g })
+          }
+        Row(id, blob)
+      }
+    }(enc)
+  }
+
+  private val mediaProbeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("peak_abs", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Decode media headers with the REAL parsers: mime is sniffed from
+    * magic bytes, WAV fields walk RIFF chunks, BMP fields read the
+    * BITMAPINFOHEADER, and peak_abs is a genuine sample-level pass over
+    * the PCM payload. Same mapPartitions batch shape as extractFeatures —
+    * blobs never cross a shuffle. */
+  def probeMedia(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaProbeSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        // positional access: upstream mapPartitions rows carry no schema
+        val blob = r.get(1).asInstanceOf[Array[Byte]]
+        MediaCodecs.sniffMime(blob) match {
+          case m @ "audio/wav" =>
+            MediaCodecs.decodeWav(blob) match {
+              case Some(w) => Row(id, m, w.sampleRate, w.channels,
+                w.nFrames, w.peakAbs, null, null)
+              case None => Row(id, m, null, null, null, null, null, null)
+            }
+          case m @ "image/bmp" =>
+            MediaCodecs.decodeBmp(blob) match {
+              case Some(b) => Row(id, m, null, null, null, null,
+                b.width, b.height)
+              case None => Row(id, m, null, null, null, null, null, null)
+            }
+          case m => Row(id, m, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false)),

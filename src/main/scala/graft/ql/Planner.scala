@@ -178,9 +178,11 @@ object Planner {
   }
 
   /** Q2 — table matcher: first table whose keyword list hits; ties go to
-    * the longest matched keyword (most specific). */
+    * the longest matched keyword (most specific). Ordering phrases are
+    * stripped first — "events ordered by time" must not match the orders
+    * table through the substring "order" in "ordered". */
   def matchTable(q: String): String = {
-    val s = q.toLowerCase
+    val s = q.toLowerCase.replaceAll("(?:ordered|sorted|order)\\s+by\\s+", " ")
     val hits = for {
       (table, kws) <- tableKeywords.toSeq
       kw <- kws if s.contains(kw)

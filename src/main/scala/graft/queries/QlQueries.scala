@@ -354,5 +354,112 @@ object QlQueries {
       "NL top-k raw corpus rows by document length",
       "top 3 documents by length",
       """SELECT * FROM documents
-         ORDER BY n_chars DESC, doc_id LIMIT 3""")())
+         ORDER BY n_chars DESC, doc_id LIMIT 3""")(),
+
+    // ---- event-type category filter composed with a month range ---------------
+    planned(
+      "ql_events_clicks_month",
+      "NL event-category filter composed with an 'in <month> YYYY' range on ts",
+      "how many click events in january 2024",
+      """SELECT COUNT(*) AS n FROM events
+         WHERE CAST(ts AS DATE)
+           BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
+           AND event_type = 'click'""")(),
+
+    // ---- negated event-category filter ------------------------------------------
+    planned(
+      "ql_events_not_click",
+      "NL negated category on the event log ('not click' must NOT count clicks)",
+      "how many events are not click",
+      "SELECT COUNT(*) AS n FROM events WHERE NOT (event_type = 'click')")(),
+
+    // ---- AVG metric grouped by the event-type dimension --------------------------
+    planned(
+      "ql_avg_value_by_event_type",
+      "NL AVG metric on the event log grouped by its type dimension",
+      "average value by event type",
+      """SELECT event_type AS grp, COUNT(*) AS n,
+                round(AVG(value), 4) AS avg_value
+         FROM events GROUP BY event_type""")(
+      _.withColumn("avg_value", round(col("avg_value"), 4))),
+
+    // ---- which-group superlative on the event log ---------------------------------
+    planned(
+      "ql_which_event_type",
+      "NL 'which <dim> has the most <entity>' on the event log, tie-broken",
+      "which event type has the most events",
+      """SELECT event_type AS grp, COUNT(*) AS n, round(SUM(value), 2) AS total
+         FROM events GROUP BY event_type
+         ORDER BY COUNT(*) DESC, grp LIMIT 1""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- which-group superlative on the corpus table -------------------------------
+    planned(
+      "ql_which_language",
+      "NL 'which <dim> has the most <entity>' on the corpus table (exact long SUM)",
+      "which language has the most documents",
+      """SELECT lang AS grp, COUNT(*) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS total
+         FROM documents GROUP BY lang
+         ORDER BY COUNT(*) DESC, grp LIMIT 1""")(),
+
+    // ---- event-category filter composed with a numeric threshold --------------------
+    planned(
+      "ql_events_threshold",
+      "NL event-category filter composed with a numeric threshold on value",
+      "how many purchase events over 400",
+      """SELECT COUNT(*) AS n FROM events
+         WHERE event_type = 'purchase' AND value > 400""")(),
+
+    // ---- top-k events by the log's own numeric column --------------------------------
+    planned(
+      "ql_topk_events_by_value",
+      "NL top-k raw event rows by the log's own numeric column",
+      "top 5 events by value",
+      """SELECT * FROM events
+         ORDER BY value DESC, event_id LIMIT 5""")(),
+
+    // ---- top-k-per-group window over the event log --------------------------------------
+    planned(
+      "ql_events_topk_per_type",
+      "NL top-k rows inside each event-type group via ROW_NUMBER",
+      "top 2 events per event type",
+      """SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY event_type
+             ORDER BY value DESC, event_id) AS rnk
+           FROM events) ranked
+         WHERE rnk <= 2""")(
+      _.withColumn("rnk", col("rnk").cast("long"))),
+
+    // ---- distinct-cardinality count resolved onto the corpus dim's owner -------------
+    planned(
+      "ql_docs_distinct_sources",
+      "NL distinct-cardinality question resolved onto the documents table",
+      "how many unique sources are there",
+      "SELECT COUNT(DISTINCT source) AS n FROM documents")(),
+
+    // ---- single-day DD-MM-YYYY filter on the event timestamp -------------------------
+    planned(
+      "ql_events_on_day",
+      "NL single-day 'on DD-MM-YYYY' filter resolved onto the events timestamp",
+      "how many events on 15-01-2024",
+      """SELECT COUNT(*) AS n FROM events
+         WHERE CAST(ts AS DATE)
+           BETWEEN DATE '2024-01-15' AND DATE '2024-01-15'""")(),
+
+    // ---- search intent over the corpus text column -------------------------------------
+    planned(
+      "ql_docs_search_dup",
+      "NL search with sanitized LIKE term over the corpus text (result under the cap)",
+      "find documents about dup",
+      "SELECT * FROM documents WHERE lower(text) LIKE '%dup%'")(),
+
+    // ---- explicit 'ordered by time' list on the event log -------------------------------
+    planned(
+      "ql_events_list_ordered",
+      "NL ordered list: explicit time sort resolved onto ts, LIMIT from 'first N'",
+      "first 10 events ordered by time",
+      """SELECT * FROM events
+         ORDER BY ts ASC, event_id LIMIT 10""")())
 }

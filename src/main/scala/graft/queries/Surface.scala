@@ -88,6 +88,39 @@ object Surface {
           length(col("frame")).cast("long").as("frame_len"))
     },
 
+    // ---- multimodal: REAL format decode (WAV/BMP headers + PCM peak) ----
+    // Even doc_ids are synthesized as genuine PCM16 WAV files, odd as
+    // genuine 24bpp BMPs, with parameters derived arithmetically from
+    // doc_id; the Spark side round-trips encode→decode through the real
+    // MediaCodecs parsers (magic-byte sniff, RIFF chunk walk, BMP header,
+    // sample-level peak scan), and the oracle predicts every decoded field
+    // from the same arithmetic — an end-to-end gate on a real decode
+    // branch, not the stub.
+    QueryDef(
+      "mm_media_decode",
+      "Real WAV/BMP encode→decode round trip: sniffed mime + parsed header fields + PCM peak",
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                    ELSE 'image/bmp' END AS mime,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) END AS sample_rate,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER) END AS channels,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(16 + doc_id % 32 AS BIGINT) END AS n_frames,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST((doc_id % 100) * 300 + 100 AS INTEGER) END AS peak_abs,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(4 + doc_id % 16 AS INTEGER) END AS width,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(2 + doc_id % 8 AS INTEGER) END AS height
+        FROM documents
+      """)) { (s, dir) =>
+      Multimodal.probeMedia(
+        Multimodal.synthesizeMedia(Tables(s, dir, "documents")))
+    },
+
     // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
     //      exact vectors pinned in UdfsSpec) -------------------------------
     QueryDef(

@@ -30,6 +30,70 @@ class MultimodalSpec extends SparkTestBase {
       f2.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
   }
 
+  test("WAV codec: encode→decode round-trips header fields and PCM peak") {
+    val samples = Array[Short](1000, -2000, 3000, -3000, 500, 0)
+    val wav = MediaCodecs.encodeWavPcm16(44100, 2, samples)
+    assert(MediaCodecs.sniffMime(wav) == "audio/wav")
+    val info = MediaCodecs.decodeWav(wav).get
+    assert(info.sampleRate == 44100)
+    assert(info.channels == 2)
+    assert(info.bitsPerSample == 16)
+    assert(info.nFrames == 3) // 6 samples / 2 channels
+    assert(info.peakAbs == 3000)
+  }
+
+  test("WAV decode walks chunks: LIST chunk before fmt is handled") {
+    // RIFF spec allows metadata chunks before fmt — splice one in.
+    val base = MediaCodecs.encodeWavPcm16(8000, 1, Array[Short](7, -9))
+    val list = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 'I', 'N', 'F', 'O')
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    // fix RIFF size (bytes 4-7, LE) to cover the extra 12 bytes
+    val sz = java.nio.ByteBuffer.wrap(spliced, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sz.putInt(spliced.length - 8)
+    val info = MediaCodecs.decodeWav(spliced).get
+    assert(info.sampleRate == 8000 && info.channels == 1 &&
+      info.nFrames == 2 && info.peakAbs == 9)
+  }
+
+  test("BMP codec: encode→decode round-trips dimensions incl. row padding") {
+    // width 5 → rowBytes 15 → 1 pad byte per row: exercises the pad path
+    val bmp = MediaCodecs.encodeBmp24(5, 3, (x, y) => (x * 40 + y) << 16)
+    assert(MediaCodecs.sniffMime(bmp) == "image/bmp")
+    val info = MediaCodecs.decodeBmp(bmp).get
+    assert(info.width == 5 && info.height == 3 && info.bitsPerPixel == 24)
+    assert(bmp.length == 54 + (15 + 1) * 3)
+  }
+
+  test("non-media bytes sniff as octet-stream and decode to None") {
+    val junk = "definitely not media".getBytes
+    assert(MediaCodecs.sniffMime(junk) == "application/octet-stream")
+    assert(MediaCodecs.decodeWav(junk).isEmpty)
+    assert(MediaCodecs.decodeBmp(junk).isEmpty)
+  }
+
+  test("synthesizeMedia→probeMedia matches the arithmetic contract") {
+    val probed = Multimodal.probeMedia(Multimodal.synthesizeMedia(docs))
+      .orderBy("doc_id").collect()
+    assert(probed.length == docs.count())
+    probed.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "audio/wav", s"doc $id mime")
+        assert(r.getInt(2) == 8000 + (id % 5) * 1000, s"doc $id rate")
+        assert(r.getInt(3) == 1 + (id / 2) % 2, s"doc $id channels")
+        assert(r.getLong(4) == 16 + id % 32, s"doc $id frames")
+        assert(r.getInt(5) == (id % 100) * 300 + 100, s"doc $id peak")
+        assert(r.isNullAt(6) && r.isNullAt(7))
+      } else {
+        assert(r.getString(1) == "image/bmp", s"doc $id mime")
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+        assert(r.getInt(6) == 4 + id % 16, s"doc $id width")
+        assert(r.getInt(7) == 2 + id % 8, s"doc $id height")
+      }
+    }
+  }
+
   test("metadata-only reads do not require decoding the blob") {
     val meta = Multimodal.pack(docs).select("doc_id", "meta.mime", "meta.lang")
     assert(meta.distinct().count() >= 5) // one row per (doc, mime, lang) combo

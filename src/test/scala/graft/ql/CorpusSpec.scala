@@ -508,7 +508,17 @@ class CorpusSpec extends SparkTestBase {
     "top 2 orders per status since 1997",
     "which segment has the most customers with balance above 0",
     "count open orders over 100000 since 1996",
-    "average value of finished orders by nation")
+    "average value of finished orders by nation",
+    // events/documents phrasings twinned with the r6 oracle gates
+    "how many click events in january 2024",
+    "how many events are not click",
+    "average value by event type",
+    "how many purchase events over 400",
+    "top 5 events by value",
+    "how many unique sources are there",
+    "how many events on 15-01-2024",
+    "find documents about dup",
+    "first 10 events ordered by time")
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++

@@ -69,6 +69,11 @@ class PlannerSpec extends SparkTestBase {
     // unknown target falls through to the superlative rules, not an error
     val t0 = Planner.plan("list orders ordered by priority")
     assert(!t0.sql.contains("ORDER BY"), t0.sql)
+    // "ordered by" must not hijack table matching via the substring
+    // "order": "events ordered by time" is an events question
+    val e0 = Planner.plan("first 10 events ordered by time")
+    assert(e0.table == "events", e0.sql)
+    assert(e0.sql.contains("ORDER BY ts ASC, event_id"), e0.sql)
   }
 
   test("generated SQL for a count intent runs through the guard end-to-end") {
