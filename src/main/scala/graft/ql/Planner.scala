@@ -556,7 +556,13 @@ object Planner {
             s"SELECT COUNT(*) AS n, $fn($num) AS $alias FROM $from$where"
         }
       case _ =>
-        val ob = order.map(o => s" ORDER BY $o").getOrElse("")
+        // A LIMIT without ORDER BY returns an arbitrary subset once the
+        // match set exceeds the cap — list/search plans always carry at
+        // least the key column as a deterministic order (Spark executes
+        // ORDER BY+LIMIT as TakeOrdered, not a global sort).
+        val ob = order.map(o => s" ORDER BY $o")
+          .orElse(keyCols.get(table).map(k => s" ORDER BY $k"))
+          .getOrElse("")
         s"SELECT * FROM $from$where$ob LIMIT $limit"
     }
     Plan(intent, table, needsAggregation(q), limit, sql,

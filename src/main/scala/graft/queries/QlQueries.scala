@@ -451,9 +451,10 @@ object QlQueries {
     // ---- search intent over the corpus text column -------------------------------------
     planned(
       "ql_docs_search_dup",
-      "NL search with sanitized LIKE term over the corpus text (result under the cap)",
+      "NL search with sanitized LIKE term over the corpus text; the planner's default key order makes the LIMIT deterministic at every scale",
       "find documents about dup",
-      "SELECT * FROM documents WHERE lower(text) LIKE '%dup%'")(),
+      """SELECT * FROM documents WHERE lower(text) LIKE '%dup%'
+         ORDER BY doc_id LIMIT 100""")(),
 
     // ---- explicit 'ordered by time' list on the event log -------------------------------
     planned(

@@ -66,9 +66,11 @@ class PlannerSpec extends SparkTestBase {
     assert(q.sql.contains("ORDER BY l_extendedprice DESC, l_orderkey"), q.sql)
     val r = Planner.plan("list customers ordered by name")
     assert(r.sql.contains("ORDER BY c_name ASC, c_custkey"), r.sql)
-    // unknown target falls through to the superlative rules, not an error
+    // unknown target falls through to the deterministic key order,
+    // never to an ORDER BY on the unresolvable word
     val t0 = Planner.plan("list orders ordered by priority")
-    assert(!t0.sql.contains("ORDER BY"), t0.sql)
+    assert(t0.sql.contains("ORDER BY o_orderkey"), t0.sql)
+    assert(!t0.sql.contains("priority DESC") && !t0.sql.contains("priority ASC"), t0.sql)
     // "ordered by" must not hijack table matching via the substring
     // "order": "events ordered by time" is an events question
     val e0 = Planner.plan("first 10 events ordered by time")
