@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the full-inventory bench at local[32]/sf0.1 accumulates
+  // broadcast + shuffle-tracking state across hundreds of queries, and an
+  // 8g heap GC-thrashes the heavy ones (measured: mv_firs_full 14.6s at
+  // 8g vs 4.7s at 48g on the same 40-query run). The host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -36,10 +36,19 @@ object Bench {
     // pinned blocks across the 4 passes (warmup + 3) of all ~100 queries,
     // and queries benched late read from a memory-starved executor —
     // their numbers then depend on bench ORDER, not on their plan.
+    var execCount = 0
     def dropLeftoverBlocks(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Spark's ContextCleaner reaps unreferenced broadcast/shuffle state
+      // only when the JVM GCs — and a large heap GCs rarely, so hundreds
+      // of queries accumulate driver bookkeeping and queries benched LATE
+      // inflate (measured: e5_ann_quantized 0.49s isolated vs 3.96s at
+      // inventory position ~190). A periodic full GC bounds that
+      // accumulation at a fixed, amortized cost.
+      execCount += 1
+      if (execCount % 25 == 0) System.gc()
     }
 
     // optional filter for isolated reruns: comma-separated query names

@@ -86,5 +86,73 @@ object TrainPrep {
       t(s, dir, "documents").select(col("lang"), col("doc_id"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
+    },
+
+    // ---- dd45: Bloom-prefiltered incremental dedup ------------------------
+    QueryDef(
+      "dd45_bloom_dedup",
+      "Incremental dedup with a Bloom pre-filter (dd24's scale twin for a batch too big to broadcast): bloom_filter_agg over the corpus keys builds a fixed-size bitmap that broadcasts to the batch scan, might_contain prunes definite-new rows for free, and only the bloom-positive sliver pays the exact semi-join — final result is EXACT (no false negatives; positives are verified), so the oracle is the plain anti-join semantics",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 10 <> 7
+        ),
+        batch AS (
+          SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 10 = 7
+        )
+        SELECT b.doc_id,
+               CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.k = b.k)
+                    THEN 'duplicate' ELSE 'new' END AS status
+        FROM batch b
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("k"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      // distributed bitmap build (each task ORs a local bitmap; only
+      // fixed-size bitmaps merge — the corpus never shuffles rows), sized
+      // for ~3% fpp; the bitmap broadcasts once and the membership probe
+      // is the justified UDF (bloom_filter_agg/might_contain are not in
+      // Spark's public registry)
+      val bf = corpus.stat.bloomFilter(col("k"), 5000L, 0.03)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: String) => bfB.value.mightContainString(k))
+      val candidates = batch.filter(mightContain(col("k")))
+        .select(col("doc_id"), col("k"))
+      // exact verify only the bloom-positive sliver (false positives die
+      // here); bloom-negative rows are definitely new — no second look
+      val dups = candidates
+        .join(corpus.select(col("k")).distinct(), Seq("k"), "left_semi")
+        .select(col("doc_id")).withColumn("status", lit("duplicate"))
+      batch.select(col("doc_id"))
+        .join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("status", lit("new"))
+        .unionByName(dups)
+    },
+
+    // ---- dd46: deterministic weighted sampling (Efraimidis–Spirakis) -----
+    QueryDef(
+      "dd46_weighted_sample",
+      "Weighted sampling without replacement (Efraimidis–Spirakis 2006): key = u^(1/w) with u derived from md5(doc_id) — deterministic across runs and engines — and w = n_chars, so longer docs are proportionally likelier; global top-k by key rides TakeOrdered (each partition keeps k, the driver merges k×partitions rows), never a global sort or single-partition window",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 pow(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                     / 4503599627370496.0, 1.0 / n_chars) AS sk
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keyed ORDER BY sk DESC, doc_id LIMIT 50
+      """)) { (s, dir) =>
+      // u in [0,1): 13 hex digits = 52 bits, exact in a double; division
+      // by 2^52 is exact, so u is bit-identical in both engines
+      val u = conv(substring(
+        md5(concat(lit("ws#"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0)
+      t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .withColumn("sk", pow(u, lit(1.0) / col("n_chars")))
+        .orderBy(col("sk").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
     })
 }
