@@ -54,8 +54,13 @@ object MediaCodecs {
 
   /** Parse a WAV header by walking RIFF chunks (fmt may not be first —
     * LIST/INFO chunks are legal before it). Returns None on anything that
-    * is not a PCM16 RIFF/WAVE. */
-  def decodeWav(blob: Array[Byte]): Option[WavInfo] = {
+    * is not a PCM16 RIFF/WAVE — including truncated or corrupt blobs
+    * whose declared chunk sizes overrun the buffer (a decoder running
+    * over 100 TB of scraped bytes must never throw on malformed input). */
+  def decodeWav(blob: Array[Byte]): Option[WavInfo] =
+    try decodeWavUnsafe(blob) catch { case _: RuntimeException => None }
+
+  private def decodeWavUnsafe(blob: Array[Byte]): Option[WavInfo] = {
     if (sniffMime(blob) != "audio/wav") return None
     val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(12) // past RIFF<size>WAVE
@@ -66,8 +71,10 @@ object MediaCodecs {
       val id = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()),
         "US-ASCII")
       val size = buf.getInt()
+      if (size < 0) return None // corrupt declared size
       id match {
         case "fmt " if size >= 16 =>
+          if (buf.remaining() < 16) return None // truncated fmt chunk
           val fmtStart = buf.position()
           val audioFormat = buf.getShort()
           channels = buf.getShort().toInt
@@ -76,10 +83,13 @@ object MediaCodecs {
           blockAlign = buf.getShort().toInt
           bits = buf.getShort().toInt
           if (audioFormat != 1) return None // PCM only
-          buf.position(fmtStart + size + (size & 1)) // chunks pad to even
+          buf.position(math.min(blob.length,
+            fmtStart + size + (size & 1))) // chunks pad to even
         case "data" =>
-          dataSize = size.toLong & 0xffffffffL
+          // clamp the declared payload to the bytes actually present
           dataPos = buf.position()
+          dataSize = math.min(size.toLong & 0xffffffffL,
+            (blob.length - dataPos).toLong)
           buf.position(math.min(blob.length,
             buf.position() + size + (size & 1)))
         case _ =>

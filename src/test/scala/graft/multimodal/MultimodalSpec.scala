@@ -72,6 +72,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodecs.decodeBmp(junk).isEmpty)
   }
 
+  test("decoders never throw on fuzzed or truncated blobs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // arbitrary bytes, plus adversarial variants that keep valid magics
+    // but corrupt everything after (declared chunk sizes overrunning the
+    // buffer, truncated fmt chunks, negative sizes)
+    val wav = MediaCodecs.encodeWavPcm16(8000, 1, Array[Short](1, -2, 3))
+    val genBlob: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      // valid prefix, truncated anywhere
+      Gen.choose(0, wav.length).map(wav.take),
+      // valid magic + random tail
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(tail => wav.take(12) ++ tail),
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(tail => "BM".getBytes ++ tail))
+    val prop = Prop.forAll(genBlob) { blob =>
+      MediaCodecs.sniffMime(blob) // must not throw
+      MediaCodecs.decodeWav(blob) // None or value, never an exception
+      MediaCodecs.decodeBmp(blob)
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("synthesizeMedia→probeMedia matches the arithmetic contract") {
     val probed = Multimodal.probeMedia(Multimodal.synthesizeMedia(docs))
       .orderBy("doc_id").collect()
