@@ -103,7 +103,30 @@ object Planner {
     DimRule("event type", "event_type", "events", "events", "events"),
     DimRule("language", "lang", "documents", "documents", "documents"),
     DimRule("source", "source", "documents", "documents", "documents"),
-    DimRule("year", "", "orders", "orders", "orders")) // col resolved from the date column
+    // col resolved from the date column for the derived time dims
+    DimRule("month", "", "orders", "orders", "orders"),
+    DimRule("year", "", "orders", "orders", "orders"))
+
+  /** Grouping expression for a dim on `table` — time dims derive from the
+    * table's date column ("year" → year(dc), "month" → 'yyyy-MM'). */
+  private def groupExpr(d: DimRule, table: String): String = d.kw match {
+    case "year" => s"year(${dateCols.getOrElse(table, "o_orderdate")})"
+    case "month" =>
+      s"date_format(${dateCols.getOrElse(table, "o_orderdate")}, 'yyyy-MM')"
+    case _ => d.col
+  }
+
+  /** Fact table + FROM clause for a grouped plan: time dims ("by month",
+    * "per year") group whatever table the QUESTION names — their DimRule
+    * fact is only the no-table-mentioned default — while entity dims own
+    * their fact/join chain. */
+  private def dimFactFrom(q: String, d: DimRule): (String, String) =
+    if (d.kw == "year" || d.kw == "month") {
+      val t = matchTable(q)
+      // a dateless table ("nations by year") falls back to the dim's
+      // default fact rather than planning year() over a missing column
+      if (dateCols.contains(t)) (t, t) else (d.fact, d.from)
+    } else (d.fact, d.from)
 
   /** Status / category filters: keyword → (table it applies to, predicate). */
   private val statusRules = Seq(
@@ -359,7 +382,8 @@ object Planner {
       // table-match on the text before the group clause so the dim noun
       // ("nation" in "per nation") cannot hijack the entity table
       entity = matchTable(s.substring(0, m.start(2)))
-      if d.kw == "year" || d.table == entity || joinPaths.contains((entity, d.table))
+      if d.kw == "year" || d.kw == "month" || d.table == entity ||
+        joinPaths.contains((entity, d.table))
     } yield (entity, d, m.group(1).toInt)
   }
 
@@ -435,9 +459,58 @@ object Planner {
     }
   }
 
+  /** "share of <metric> by <dim>" / "what percentage of <entity> are
+    * <status>" — proportions of a whole. Grouped shares divide by a
+    * scalar-subquery grand total (compiles to a reused 1-row subquery
+    * plan, never a cartesian or a window over one partition); filtered
+    * percentages keep the predicate OUT of the WHERE and count it
+    * conditionally, so the denominator stays the full population. */
+  private def extractShare(q: String): Option[Plan] = {
+    val s = q.toLowerCase
+    val cues = Seq("share of", "percentage of", "percent of",
+      "what percentage", "what percent", "proportion of")
+    if (!cues.exists(s.contains)) return None
+    val dim = extractGroupDim(q)
+    dim match {
+      case Some(d) =>
+        val (table, from) = dimFactFrom(q, d)
+        val joined = if (d.table == table || from == table) Nil else Seq(d.table)
+        val (where, years, status, yearApplied, negated) =
+          buildWhere(q, "aggregate", table, joined)
+        val g = groupExpr(d, table)
+        // value phrasings share the SUM; everything else shares the COUNT
+        val byValue = Seq("revenue", "value", "worth", "spend", "balance",
+          "size").exists(s.contains)
+        val num = numericCols.getOrElse(table, "1")
+        val metric = if (byValue) s"SUM($num)" else "COUNT(*)"
+        val grand = s"SELECT $metric FROM $from$where"
+        val sql = s"SELECT $g AS grp, COUNT(*) AS n, " +
+          s"round($metric / ($grand), 6) AS share " +
+          s"FROM $from$where GROUP BY $g"
+        Some(Plan("share", table, needsAggregation = true, limit = 100, sql,
+          yearRange = years, statusFilter = status, groupDim = Some(d.kw),
+          joined = joined, yearApplied = yearApplied, negated = negated))
+      case None =>
+        val table = matchTable(q)
+        extractStatusFilterN(q, table).map { case (pred, neg) =>
+          // integer 100, not 100.0: a decimal literal drags Spark into
+          // DECIMAL arithmetic while DuckDB stays DOUBLE — int*bigint /
+          // bigint is double division in both engines
+          val sql = s"SELECT COUNT(*) AS n, " +
+            s"round(100 * SUM(CASE WHEN $pred THEN 1 ELSE 0 END) / COUNT(*), 4) AS pct " +
+            s"FROM $table"
+          Plan("share", table, needsAggregation = true, limit = 100, sql,
+            statusFilter = Some(pred), negated = neg)
+        }
+    }
+  }
+
   /** Q4 — deterministic SQL generation for the supported intents. */
   def plan(q: String): Plan = {
-    extractTopKGroup(q).map { case (entity, d, k) => planTopKGroup(q, entity, d, k) }
+    extractShare(q)
+      .orElse(extractTopKGroup(q).map { case (entity, d, k) =>
+        planTopKGroup(q, entity, d, k)
+      })
       .orElse(extractTopKBy(q).map { case (entity, fact, k) =>
         planTopKBy(q, entity, fact, k)
       })
@@ -486,13 +559,12 @@ object Planner {
 
   private def planTopKGroup(q: String, entity: String, d: DimRule, k: Int): Plan = {
     val from =
-      if (d.kw == "year" || d.table == entity) entity
+      if (d.kw == "year" || d.kw == "month" || d.table == entity) entity
       else joinPaths((entity, d.table))
     val joined = if (from == entity) Nil else Seq(d.table)
     val (where, years, status, yearApplied, negated) =
       buildWhere(q, "topk", entity, joined)
-    val g = if (d.kw == "year")
-      s"year(${dateCols.getOrElse(entity, "o_orderdate")})" else d.col
+    val g = groupExpr(d, entity)
     val num = numericCols.getOrElse(entity, "1")
     val key = keyCols.getOrElse(entity, "1")
     val sql = s"SELECT * FROM (SELECT *, ROW_NUMBER() OVER " +
@@ -524,9 +596,9 @@ object Planner {
     val limit = extractLimit(q)
     val dim =
       if (intent == "aggregate" || intent == "count") extractGroupDim(q) else None
-    val table = dim.map(_.fact).getOrElse(matchTable(q))
+    val table = dim.map(d => dimFactFrom(q, d)._1).getOrElse(matchTable(q))
     val secondary = if (dim.isEmpty) detectSecondary(q, table) else None
-    val from = dim.map(_.from)
+    val from = dim.map(d => dimFactFrom(q, d)._2)
       .orElse(secondary.map(sec => joinPaths((table, sec))))
       .getOrElse(table)
     val (where, years, status, yearApplied, negated) =
@@ -539,8 +611,7 @@ object Planner {
       case "count" =>
         dim match {
           case Some(d) =>
-            val g = if (d.kw == "year")
-              s"year(${dateCols.getOrElse(table, "o_orderdate")})" else d.col
+            val g = groupExpr(d, table)
             s"SELECT $g AS grp, COUNT(*) AS n FROM $from$where GROUP BY $g"
           case None => s"SELECT COUNT(*) AS n FROM $from$where"
         }
@@ -549,8 +620,7 @@ object Planner {
         val (fn, alias) = extractMetric(q)
         dim match {
           case Some(d) =>
-            val g = if (d.kw == "year")
-              s"year(${dateCols.getOrElse(table, "o_orderdate")})" else d.col
+            val g = groupExpr(d, table)
             s"SELECT $g AS grp, COUNT(*) AS n, $fn($num) AS $alias FROM $from$where GROUP BY $g"
           case None =>
             s"SELECT COUNT(*) AS n, $fn($num) AS $alias FROM $from$where"

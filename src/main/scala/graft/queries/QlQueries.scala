@@ -462,5 +462,65 @@ object QlQueries {
       "NL ordered list: explicit time sort resolved onto ts, LIMIT from 'first N'",
       "first 10 events ordered by time",
       """SELECT * FROM events
-         ORDER BY ts ASC, event_id LIMIT 10""")())
+         ORDER BY ts ASC, event_id LIMIT 10""")(),
+
+    // ---- month dimension derived from the date column -----------------------------------
+    planned(
+      "ql_orders_per_month",
+      "NL grouped count by the derived MONTH dimension composed with a year filter",
+      "count of orders by month in 1996",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS grp, COUNT(*) AS n
+         FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1""")(),
+
+    // ---- AVG metric grouped by month -----------------------------------------------------
+    planned(
+      "ql_avg_value_by_month",
+      "NL AVG metric grouped by the derived month dimension with a year filter",
+      "average order value by month in 1997",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS grp, COUNT(*) AS n,
+                round(AVG(o_totalprice), 4) AS avg_value
+         FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1""")(
+      _.withColumn("avg_value", round(col("avg_value"), 4))),
+
+    // ---- share-of-total: grouped count share ----------------------------------------------
+    planned(
+      "ql_share_by_segment",
+      "NL share-of-total: per-segment count share of the whole population (scalar-subquery grand total, no cartesian, no one-partition window)",
+      "share of customers by segment",
+      """SELECT c_mktsegment AS grp, COUNT(*) AS n,
+                round(COUNT(*) / (SELECT COUNT(*) FROM customer), 6) AS share
+         FROM customer GROUP BY c_mktsegment""")(),
+
+    // ---- share-of-total: joined SUM share ---------------------------------------------------
+    planned(
+      "ql_share_revenue_by_nation",
+      "NL share-of-total on a joined SUM metric: each nation's fraction of total revenue",
+      "share of revenue by nation",
+      """SELECT n_name AS grp, COUNT(*) AS n,
+                round(SUM(o_totalprice) /
+                  (SELECT SUM(o_totalprice)
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey), 6) AS share
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""")(),
+
+    // ---- filtered percentage: predicate OUT of the WHERE ------------------------------------
+    planned(
+      "ql_pct_open_orders",
+      "NL filtered percentage: open orders as a share of ALL orders (the predicate counts conditionally, never filters the denominator)",
+      "what percentage of orders are open",
+      """SELECT COUNT(*) AS n,
+                round(100 * SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                      / COUNT(*), 4) AS pct
+         FROM orders""")(),
+
+    // ---- share-of-total on the corpus table ---------------------------------------------------
+    planned(
+      "ql_docs_share_by_language",
+      "NL share-of-total: per-language count share of the corpus",
+      "share of documents by language",
+      """SELECT lang AS grp, COUNT(*) AS n,
+                round(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS share
+         FROM documents GROUP BY lang""")())
 }

@@ -518,7 +518,18 @@ class CorpusSpec extends SparkTestBase {
     "how many unique sources are there",
     "how many events on 15-01-2024",
     "find documents about dup",
-    "first 10 events ordered by time")
+    "first 10 events ordered by time",
+    // month dimension + share/percentage intents (r6)
+    "count of orders by month in 1996",
+    "average order value by month in 1997",
+    "how many line items per month",
+    "top 2 orders per month",
+    "share of customers by segment",
+    "share of revenue by nation",
+    "what percentage of orders are open",
+    "share of documents by language",
+    "proportion of orders by priority",
+    "what percentage of line items are returned")
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++

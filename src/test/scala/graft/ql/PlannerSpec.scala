@@ -78,6 +78,29 @@ class PlannerSpec extends SparkTestBase {
     assert(e0.sql.contains("ORDER BY ts ASC, event_id"), e0.sql)
   }
 
+  test("month dimension derives from the table's date column") {
+    val p = Planner.plan("count of orders by month in 1996")
+    assert(p.sql.contains("date_format(o_orderdate, 'yyyy-MM')"), p.sql)
+    assert(p.sql.contains("year(o_orderdate) BETWEEN 1996 AND 1996"), p.sql)
+    val e = Planner.plan("count of events by month")
+    assert(e.sql.contains("date_format(ts, 'yyyy-MM')"), e.sql)
+  }
+
+  test("share intent: grouped shares divide by a scalar-subquery grand total") {
+    val p = Planner.plan("share of revenue by nation")
+    assert(p.intent == "share", p.sql)
+    assert(p.sql.contains("SUM(o_totalprice) / (SELECT SUM(o_totalprice)"), p.sql)
+    val c = Planner.plan("share of customers by segment")
+    assert(c.sql.contains("COUNT(*) / (SELECT COUNT(*)"), c.sql)
+  }
+
+  test("filtered percentage keeps the predicate out of the WHERE") {
+    val p = Planner.plan("what percentage of orders are open")
+    assert(p.intent == "share", p.sql)
+    assert(p.sql.contains("CASE WHEN o_orderstatus = 'O'"), p.sql)
+    assert(!p.sql.toLowerCase.contains("where"), p.sql)
+  }
+
   test("generated SQL for a count intent runs through the guard end-to-end") {
     val p = Planner.plan("how many nations are there")
     assert(p.intent == "count" && p.table == "nation")
