@@ -336,6 +336,114 @@ object Planner {
       .exists(sep => s.contains(sep + d.kw)))
   }
 
+  /** Two-dimension grouping: "by <dim1> and <dim2>" ("orders by status
+    * and year", "documents by language and source"). Both dims must land
+    * on ONE fact table — entity dims must own their fact (no join chains
+    * in two-dim mode), time dims ride the other dim's fact — otherwise
+    * the caller falls back to the single-dim path. */
+  private def extractDimPair(q: String): Option[(DimRule, DimRule, String)] = {
+    val s = q.toLowerCase
+    val pair = (for {
+      sep <- Seq("by ", "per ", "in each ", "for each ", "of each ").iterator
+      i = s.indexOf(sep) if i >= 0
+      rest = s.substring(i + sep.length)
+      d1 <- dims.find(d => rest.startsWith(d.kw)).iterator
+      m <- "^\\s+and\\s+(.+)$".r.findFirstMatchIn(rest.substring(d1.kw.length)).iterator
+      d2 <- dims.find(d => m.group(1).startsWith(d.kw)).iterator
+      if d2.kw != d1.kw
+    } yield (d1, d2)).nextOption()
+    pair.flatMap { case (d1, d2) =>
+      val timeKw = Set("year", "month")
+      val entityDims = Seq(d1, d2).filterNot(d => timeKw(d.kw))
+      val fact = entityDims match {
+        case Seq() => None // "by year and month" — no fact anchor, skip
+        case ds if ds.forall(d => d.table == d.fact) &&
+          ds.map(_.fact).distinct.size == 1 => Some(ds.head.fact)
+        case _ => None
+      }
+      fact
+        .filter(f => entityDims.size == 2 || dateCols.contains(f))
+        .map(f => (d1, d2, f))
+    }
+  }
+
+  /** Per-entity fact group keys for the avg-count-per-entity intent:
+    * (fact table, "per <kw>") → grouping column on the fact. These are
+    * the FK columns, so the two-level aggregate never joins. */
+  private val perKeys: Map[(String, String), String] = Map(
+    ("orders", "customer") -> "o_custkey",
+    ("lineitem", "order") -> "l_orderkey",
+    ("lineitem", "supplier") -> "l_suppkey",
+    ("lineitem", "part") -> "l_partkey",
+    ("events", "user") -> "user_id",
+    ("documents", "source") -> "source",
+    ("documents", "language") -> "lang")
+
+  /** Average-count-per-entity: "average number of orders per customer" —
+    * a two-level aggregate (COUNT per entity key, then AVG over the
+    * per-entity counts). Distinct from the grouped-AVG intent ("average
+    * order value by month" = one row per group); this answers with ONE
+    * row. The counted noun is whitelisted (or introduced by "number
+    * of"/"count of") so value phrasings like "average order value per
+    * customer" never land here. Entities with zero fact rows don't
+    * contribute a group — the same semantics as the reference's
+    * AVG-over-GROUP-BY subquery answers. */
+  private def extractAvgPerEntity(q: String): Option[Plan] = {
+    val s = q.toLowerCase
+    val explicit =
+      "(?:average|avg|mean)\\s+(?:number|count)\\s+of\\s+([a-z ]+?)\\s+per\\s+([a-z ]+?)\\s*\\??\\s*$".r
+    val bare =
+      "(?:average|avg|mean)\\s+(orders|purchases|events|clicks|items|line items|shipments|documents)\\s+per\\s+([a-z ]+?)\\s*\\??\\s*$".r
+    explicit.findFirstMatchIn(s).orElse(bare.findFirstMatchIn(s)).flatMap { m =>
+      val fact = matchTable(m.group(1))
+      val per = m.group(2).trim
+      val keyOpt =
+        if (per.startsWith("year") || per.startsWith("month"))
+          dateCols.get(fact).map(dc =>
+            if (per.startsWith("year")) s"year($dc)"
+            else s"date_format($dc, 'yyyy-MM')")
+        else perKeys.collectFirst {
+          case ((f, kw), key) if f == fact && per.startsWith(kw) => key
+        }
+      keyOpt.map { key =>
+        val (where, years, status, yearApplied, negated) =
+          buildWhere(q, "aggregate", fact, Nil)
+        val sql = s"SELECT round(AVG(n), 6) AS avg_n, COUNT(*) AS n_groups " +
+          s"FROM (SELECT COUNT(*) AS n FROM $fact$where GROUP BY $key) t"
+        Plan("avg_per_entity", fact, needsAggregation = true, limit = 100, sql,
+          yearRange = years, statusFilter = status, groupDim = Some(per),
+          yearApplied = yearApplied, negated = negated)
+      }
+    }
+  }
+
+  /** Date-extremum metric: "what is the earliest order date", "when was
+    * the latest event" → MIN/MAX over the table's date column, one row.
+    * Requires a date-ish cue (" date" or a "when ..." question) so
+    * superlative LIST phrasings ("show the 10 newest orders") keep their
+    * ORDER BY treatment in [[extractOrder]]. */
+  private def extractDateMetric(q: String): Option[Plan] = {
+    val s = q.toLowerCase
+    val minCue = Seq("earliest", "oldest").exists(s.contains) ||
+      "when\\s+was\\s+the\\s+first\\b".r.findFirstIn(s).isDefined
+    val maxCue = Seq("latest", "newest", "most recent").exists(s.contains) ||
+      "when\\s+was\\s+the\\s+last\\b".r.findFirstIn(s).isDefined
+    val dateish = s.contains(" date") || s.startsWith("when ")
+    if (!dateish || !(minCue ^ maxCue)) None
+    else {
+      val table = matchTable(q)
+      dateCols.get(table).map { dc =>
+        val (fn, alias) = if (minCue) ("MIN", "earliest") else ("MAX", "latest")
+        val (where, years, status, yearApplied, negated) =
+          buildWhere(q, "aggregate", table, Nil)
+        val sql = s"SELECT $fn($dc) AS $alias FROM $table$where"
+        Plan("date_metric", table, needsAggregation = true, limit = 100, sql,
+          yearRange = years, statusFilter = status,
+          yearApplied = yearApplied, negated = negated)
+      }
+    }
+  }
+
   /** Superlative or explicit "ordered/sorted by" phrasing → deterministic
     * ORDER BY on the table's numeric, date, or name column, with the key
     * column as tie-break (reference corpus: "first 10 crimes ordered by
@@ -508,6 +616,8 @@ object Planner {
   /** Q4 — deterministic SQL generation for the supported intents. */
   def plan(q: String): Plan = {
     extractShare(q)
+      .orElse(extractAvgPerEntity(q))
+      .orElse(extractDateMetric(q))
       .orElse(extractTopKGroup(q).map { case (entity, d, k) =>
         planTopKGroup(q, entity, d, k)
       })
@@ -594,36 +704,51 @@ object Planner {
   private def planBasic(q: String): Plan = {
     val intent = detectIntent(q)
     val limit = extractLimit(q)
+    val aggish = intent == "aggregate" || intent == "count"
+    val pair = if (aggish) extractDimPair(q) else None
     val dim =
-      if (intent == "aggregate" || intent == "count") extractGroupDim(q) else None
-    val table = dim.map(d => dimFactFrom(q, d)._1).getOrElse(matchTable(q))
-    val secondary = if (dim.isEmpty) detectSecondary(q, table) else None
-    val from = dim.map(d => dimFactFrom(q, d)._2)
+      if (aggish && pair.isEmpty) extractGroupDim(q) else None
+    val table = pair.map(_._3)
+      .orElse(dim.map(d => dimFactFrom(q, d)._1)).getOrElse(matchTable(q))
+    val secondary =
+      if (dim.isEmpty && pair.isEmpty) detectSecondary(q, table) else None
+    val from = pair.map(_._3)
+      .orElse(dim.map(d => dimFactFrom(q, d)._2))
       .orElse(secondary.map(sec => joinPaths((table, sec))))
       .getOrElse(table)
     val (where, years, status, yearApplied, negated) =
       buildWhere(q, intent, table, secondary.toSeq)
     val order = extractOrder(q, table)
 
+    // two-dim grouping shares the count/aggregate SELECT shapes below,
+    // only the grouping list widens
+    def groupList: Seq[(String, String)] = pair match {
+      case Some((d1, d2, f)) =>
+        Seq(groupExpr(d1, f) -> "grp1", groupExpr(d2, f) -> "grp2")
+      case None => dim.toSeq.map(d => groupExpr(d, table) -> "grp")
+    }
+
     val sql = intent match {
       case "count" if isDistinctCount(q) =>
         distinctCountSql(q, table, from, where)
       case "count" =>
-        dim match {
-          case Some(d) =>
-            val g = groupExpr(d, table)
-            s"SELECT $g AS grp, COUNT(*) AS n FROM $from$where GROUP BY $g"
-          case None => s"SELECT COUNT(*) AS n FROM $from$where"
+        groupList match {
+          case Seq() => s"SELECT COUNT(*) AS n FROM $from$where"
+          case gs =>
+            val sel = gs.map { case (g, a) => s"$g AS $a" }.mkString(", ")
+            val grp = gs.map(_._1).mkString(", ")
+            s"SELECT $sel, COUNT(*) AS n FROM $from$where GROUP BY $grp"
         }
       case "aggregate" =>
         val num = numericCols.getOrElse(table, "1")
         val (fn, alias) = extractMetric(q)
-        dim match {
-          case Some(d) =>
-            val g = groupExpr(d, table)
-            s"SELECT $g AS grp, COUNT(*) AS n, $fn($num) AS $alias FROM $from$where GROUP BY $g"
-          case None =>
+        groupList match {
+          case Seq() =>
             s"SELECT COUNT(*) AS n, $fn($num) AS $alias FROM $from$where"
+          case gs =>
+            val sel = gs.map { case (g, a) => s"$g AS $a" }.mkString(", ")
+            val grp = gs.map(_._1).mkString(", ")
+            s"SELECT $sel, COUNT(*) AS n, $fn($num) AS $alias FROM $from$where GROUP BY $grp"
         }
       case _ =>
         // A LIMIT without ORDER BY returns an arbitrary subset once the
@@ -637,7 +762,9 @@ object Planner {
     }
     Plan(intent, table, needsAggregation(q), limit, sql,
       yearRange = years, statusFilter = status,
-      groupDim = dim.map(_.kw), joined = secondary.toSeq,
+      groupDim = pair.map { case (d1, d2, _) => s"${d1.kw}+${d2.kw}" }
+        .orElse(dim.map(_.kw)),
+      joined = secondary.toSeq,
       yearApplied = yearApplied, negated = negated, orderBy = order)
   }
 

@@ -522,5 +522,67 @@ object QlQueries {
       "share of documents by language",
       """SELECT lang AS grp, COUNT(*) AS n,
                 round(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS share
-         FROM documents GROUP BY lang""")())
+         FROM documents GROUP BY lang""")(),
+
+    // ---- avg-count-per-entity: two-level aggregate, no join -----------------------------------
+    planned(
+      "ql_avg_orders_per_customer",
+      "NL average-count-per-entity: COUNT per FK key, then AVG over the counts (two-phase aggregate, never a join)",
+      "average number of orders per customer",
+      """SELECT round(AVG(n), 6) AS avg_n, COUNT(*) AS n_groups
+         FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey) t""")(),
+
+    // ---- avg-count-per-entity on the event log -------------------------------------------------
+    planned(
+      "ql_avg_events_per_user",
+      "NL average events per user: per-user counts averaged into one row",
+      "average number of events per user",
+      """SELECT round(AVG(n), 6) AS avg_n, COUNT(*) AS n_groups
+         FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id) t""")(),
+
+    // ---- avg-count-per-entity, bare phrasing ---------------------------------------------------
+    planned(
+      "ql_avg_items_per_order",
+      "NL bare 'average <entities> per <entity>' phrasing resolved onto the lineitem fact",
+      "average items per order",
+      """SELECT round(AVG(n), 6) AS avg_n, COUNT(*) AS n_groups
+         FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey) t""")(),
+
+    // ---- date-extremum metric ------------------------------------------------------------------
+    planned(
+      "ql_earliest_order_date",
+      "NL date-extremum: MIN over the table's date column, one row",
+      "what is the earliest order date",
+      "SELECT MIN(o_orderdate) AS earliest FROM orders")(),
+
+    // ---- date-extremum on the event timestamp --------------------------------------------------
+    planned(
+      "ql_latest_event_time",
+      "NL 'when was the latest <entity>' resolved to MAX over the event timestamp",
+      "when was the latest event",
+      "SELECT MAX(ts) AS latest FROM events")(),
+
+    // ---- two-dimension grouping ----------------------------------------------------------------
+    planned(
+      "ql_count_by_status_year",
+      "NL two-dim grouped count: 'by <dim1> and <dim2>' widens the GROUP BY on one fact scan",
+      "count of orders by status and year",
+      """SELECT o_orderstatus AS grp1, year(o_orderdate) AS grp2, COUNT(*) AS n
+         FROM orders GROUP BY 1, 2""")(),
+
+    // ---- two-dimension grouping on the corpus table --------------------------------------------
+    planned(
+      "ql_docs_by_lang_source",
+      "NL two-dim grouped count over two entity dims owned by one table",
+      "count of documents by language and source",
+      """SELECT lang AS grp1, source AS grp2, COUNT(*) AS n
+         FROM documents GROUP BY 1, 2""")(),
+
+    // ---- two-dimension grouping: entity dim + derived month ------------------------------------
+    planned(
+      "ql_events_by_type_month",
+      "NL two-dim grouped count mixing an entity dim with the derived month dim",
+      "count of events by event type and month",
+      """SELECT event_type AS grp1, strftime(ts, '%Y-%m') AS grp2, COUNT(*) AS n
+         FROM events GROUP BY 1, 2""")())
 }

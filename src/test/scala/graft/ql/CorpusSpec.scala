@@ -529,7 +529,23 @@ class CorpusSpec extends SparkTestBase {
     "what percentage of orders are open",
     "share of documents by language",
     "proportion of orders by priority",
-    "what percentage of line items are returned")
+    "what percentage of line items are returned",
+    // avg-count-per-entity, date-extremum, two-dim grouping (r6)
+    "average number of orders per customer",
+    "average number of events per user",
+    "average items per order",
+    "average number of line items per supplier",
+    "average documents per source",
+    "average number of orders per year",
+    "what is the earliest order date",
+    "what is the latest shipment date",
+    "when was the latest event",
+    "when was the first event",
+    "count of orders by status and year",
+    "count of documents by language and source",
+    "count of events by event type and month",
+    "count of orders by priority and year",
+    "total order value by status and year")
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++

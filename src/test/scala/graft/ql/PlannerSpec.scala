@@ -101,6 +101,51 @@ class PlannerSpec extends SparkTestBase {
     assert(!p.sql.toLowerCase.contains("where"), p.sql)
   }
 
+  test("avg-per-entity plans a two-level aggregate on the FK key, never a join") {
+    val p = Planner.plan("average number of orders per customer")
+    assert(p.intent == "avg_per_entity", p.sql)
+    assert(p.sql.contains("GROUP BY o_custkey"), p.sql)
+    assert(!p.sql.toLowerCase.contains("join"), p.sql)
+    // bare phrasing with a whitelisted entity noun
+    val i = Planner.plan("average items per order")
+    assert(i.intent == "avg_per_entity" && i.sql.contains("GROUP BY l_orderkey"), i.sql)
+    // per-year falls back to the derived time key
+    val y = Planner.plan("average number of orders per year")
+    assert(y.sql.contains("GROUP BY year(o_orderdate)"), y.sql)
+    // a value phrasing must NOT land here — it's a grouped AVG
+    val v = Planner.plan("average order value per customer")
+    assert(v.intent != "avg_per_entity", v.sql)
+    // a filter phrase rides into the inner scan
+    val c = Planner.plan("average number of clicks per user")
+    assert(c.sql.contains("event_type = 'click'") && c.sql.contains("GROUP BY user_id"), c.sql)
+  }
+
+  test("date-extremum questions compile to MIN/MAX over the date column") {
+    val p = Planner.plan("what is the earliest order date")
+    assert(p.intent == "date_metric" && p.sql == "SELECT MIN(o_orderdate) AS earliest FROM orders", p.sql)
+    val q = Planner.plan("when was the latest event")
+    assert(q.sql == "SELECT MAX(ts) AS latest FROM events", q.sql)
+    // a superlative LIST phrasing keeps its ORDER BY treatment
+    val l = Planner.plan("show the 10 newest orders")
+    assert(l.intent != "date_metric" && l.sql.contains("ORDER BY o_orderdate DESC"), l.sql)
+    // a dateless table cannot answer a date-extremum question
+    assert(Planner.plan("what is the earliest customer date").intent != "date_metric")
+  }
+
+  test("two-dim grouping widens the GROUP BY on one fact scan") {
+    val p = Planner.plan("count of orders by status and year")
+    assert(p.sql.contains("o_orderstatus AS grp1") &&
+      p.sql.contains("year(o_orderdate) AS grp2"), p.sql)
+    assert(p.groupDim.contains("status+year"), p.groupDim.toString)
+    val d = Planner.plan("count of documents by language and source")
+    assert(d.sql.contains("lang AS grp1") && d.sql.contains("source AS grp2"), d.sql)
+    val a = Planner.plan("total order value by status and year")
+    assert(a.sql.contains("SUM(o_totalprice) AS total") && a.sql.contains("GROUP BY"), a.sql)
+    // dims on DIFFERENT facts must not pair — single-dim fallback
+    val x = Planner.plan("count of orders by status and language")
+    assert(x.groupDim.contains("status"), x.sql)
+  }
+
   test("generated SQL for a count intent runs through the guard end-to-end") {
     val p = Planner.plan("how many nations are there")
     assert(p.intent == "count" && p.table == "nation")
