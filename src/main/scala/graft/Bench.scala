@@ -74,6 +74,10 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200); Double.NaN }
       }.filterNot(_.isNaN).sorted
       val median = if (runs.isEmpty) Double.NaN else runs(runs.size / 2)
+      // per-run spread on stderr: a median hides bimodal runs (host
+      // noise, codegen-cache misses) — the spread tells WHICH
+      System.err.println(f"[bench] $name runs=${
+        runs.map(r => f"$r%.2f").mkString(",")}")
       dropLeftoverBlocks()
       name -> median
     }.filterNot(_._2.isNaN)

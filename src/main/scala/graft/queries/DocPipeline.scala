@@ -1517,5 +1517,77 @@ object DocPipeline {
           (sum(col("n_chars")) - max(when(col("rk") === 1, col("n_chars"))))
             .as("saved_chars"))
         .filter(col("n_members") > 1)
+    },
+
+    // ---- tokenizer vocabulary coverage (OOV rate) --------------------------
+    QueryDef(
+      "dd47_vocab_oov",
+      "Tokenizer vocabulary coverage: top-10 corpus vocab (freq-ranked, token tiebreak; 10 keeps the gate discriminating on the ~31-token synthetic vocabulary), per-doc OOV fraction via a broadcast vocab array — documents never shuffle; the only exchange is the token-bounded frequency groupBy. The per-doc check is a narrow higher-order filter against the 1-row broadcast vocab, so the doc scan is one codegen pass at any corpus size",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        vocab AS (
+          SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+            FROM tok GROUP BY w) WHERE rn <= 10
+        ),
+        per_doc AS (
+          SELECT t.doc_id, t.lang,
+                 COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM tok t LEFT JOIN vocab v ON t.w = v.w
+          GROUP BY t.doc_id, t.lang
+        )
+        SELECT lang, COUNT(*) AS docs,
+               CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               round(AVG(CAST(n_oov AS DOUBLE) / n_tokens), 6) AS avg_oov
+        FROM per_doc GROUP BY lang
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(10)
+        .agg(collect_list(col("w")).as("vocab"))
+      docs.select(col("lang"), split(col("text"), " ").as("toks"))
+        .crossJoin(broadcast(vocab))
+        .select(col("lang"), size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"),
+            x => not(array_contains(col("vocab"), x)))).as("n_oov"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_oov")).cast("long").as("oov_tokens"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(avg(col("n_oov").cast("double") / col("n_tokens")), 6)
+            .as("avg_oov"))
+    },
+
+    // ---- Zipf naturalness check per source ---------------------------------
+    QueryDef(
+      "dd48_zipf_slope",
+      "Corpus naturalness probe: OLS slope of log-frequency on log-rank over each source's top-100 tokens (natural text ~ -1; generated/templated text diverges). One token-bounded groupBy, a per-source window over <=vocabulary rows, regr_slope on <=100 points per group — round(6) sits ~7 orders above the accumulated float error",
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        freq AS (SELECT source, w, COUNT(*) AS n FROM tok GROUP BY source, w),
+        ranked AS (
+          SELECT source, n,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, w) AS rnk
+          FROM freq)
+        SELECT source, COUNT(*) AS n_terms,
+               round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope
+        FROM ranked WHERE rnk <= 100 GROUP BY source
+      """)) { (s, dir) =>
+      val freq = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy("source").orderBy(col("n").desc, col("w"))
+      freq.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 100)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_terms"),
+          round(regr_slope(log(col("n").cast("double")),
+            log(col("rnk").cast("double"))), 6).as("zipf_slope"))
     })
 }

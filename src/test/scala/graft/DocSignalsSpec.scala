@@ -44,6 +44,29 @@ class DocSignalsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("dd47: OOV fractions bounded, languages partition the corpus, vocab actually covers") {
+    val out = q("dd47_vocab_oov").cache()
+    // languages partition the corpus: per-lang doc counts sum to the total
+    assert(out.agg(sum(col("docs"))).collect()(0).getLong(0) == docs.count())
+    assert(out.filter(col("avg_oov") < 0 || col("avg_oov") > 1).count() == 0)
+    assert(out.filter(col("oov_tokens") > col("total_tokens")).count() == 0)
+    // a top-10 vocab over a ~31-token vocabulary must cover SOMETHING
+    // in every language (avg_oov strictly below 1) yet not everything
+    // (strictly above 0) — both degenerate ends would hide bugs
+    assert(out.filter(col("avg_oov") <= 0 || col("avg_oov") >= 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("dd48: Zipf slope is strictly negative for every source, ranks capped") {
+    val out = q("dd48_zipf_slope").cache()
+    // frequency is non-increasing in rank, so the log-log OLS slope of
+    // any real frequency profile is negative
+    assert(out.count() > 1)
+    assert(out.filter(col("zipf_slope") >= 0).count() == 0)
+    assert(out.filter(col("n_terms") > 100 || col("n_terms") < 2).count() == 0)
+    out.unpersist()
+  }
+
   test("dd20: per-domain counts match the planting schedule") {
     val out = q("dd20_url_stats").cache()
     val cdnDocs = docs.filter(col("doc_id") % 8 === 0).count()
