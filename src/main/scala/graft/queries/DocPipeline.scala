@@ -1589,5 +1589,98 @@ object DocPipeline {
           count(lit(1)).as("n_terms"),
           round(regr_slope(log(col("n").cast("double")),
             log(col("rnk").cast("double"))), 6).as("zipf_slope"))
+    },
+
+    // ---- contamination matrix: train shards x eval sets -------------------
+    QueryDef(
+      "dd49_contamination_matrix",
+      "Data-card contamination grid: two eval sets (doc_id%97 / doc_id%89) with planted 12-word excerpts in the train split, train sharded 4 ways — per (shard, eval_set) cell the contaminated-doc count, shared distinct 8-grams, and contamination rate. Same distinct-gram equi-join scale shape as dd15 (never all-pairs); the eval-gram side is benchmark-bounded so it broadcasts at any corpus size",
+      Some("""
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        bench AS (
+          SELECT 'evalA' AS eval_set, doc_id AS b_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 97 = 0
+          UNION ALL
+          SELECT 'evalB', doc_id, string_split(text, ' ')
+          FROM documents WHERE doc_id % 89 = 0
+        ),
+        train AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0
+          UNION ALL
+          SELECT b_id + (SELECT m + 1 FROM mx)
+                   * (CASE eval_set WHEN 'evalA' THEN 1 ELSE 2 END) AS doc_id,
+                 array_to_string(w[3:14], ' ') AS text
+          FROM bench
+        ),
+        bg AS (
+          SELECT DISTINCT eval_set,
+                 unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS gram
+          FROM bench
+        ),
+        tg AS (
+          SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w2[i:i+7], ' ') for i in range(1, len(w2) - 6)]) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS w2 FROM train)
+        ),
+        hits AS (
+          SELECT CAST(tg.doc_id % 4 AS INT) AS shard, bg.eval_set, tg.doc_id,
+                 COUNT(*) AS gram_hits
+          FROM tg JOIN bg ON tg.gram = bg.gram
+          GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT CAST(doc_id % 4 AS INT) AS shard, COUNT(*) AS shard_docs
+          FROM train GROUP BY 1
+        )
+        SELECT h.shard, h.eval_set,
+               CAST(COUNT(*) AS BIGINT) AS contaminated_docs,
+               CAST(SUM(h.gram_hits) AS BIGINT) AS gram_hits,
+               round(COUNT(*) / CAST(MAX(t.shard_docs) AS DOUBLE), 6) AS contamination_rate
+        FROM hits h JOIN tot t ON h.shard = t.shard
+        GROUP BY 1, 2
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def grams(words: Column): Column =
+        graft.functions.NativeExpressions.ngrams_native(words, 8)
+      val mx = docs.agg(max(col("doc_id")).as("m"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(lit("evalA").as("eval_set"), col("doc_id").as("b_id"),
+          split(col("text"), " ").as("w"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select(lit("evalB").as("eval_set"), col("doc_id").as("b_id"),
+            split(col("text"), " ").as("w")))
+      // planted excerpt ids: evalA lands in (m, 2m+1], evalB in
+      // (2m+1, 3m+2] — disjoint from the originals and from each other
+      val planted = bench.crossJoin(broadcast(mx))
+        .select((col("b_id") + (col("m") + 1) *
+            when(col("eval_set") === "evalA", 1).otherwise(2)).as("doc_id"),
+          array_join(slice(col("w"), 3, 12), " ").as("text"))
+      val train = docs
+        .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      // eval-side grams: within-doc distinct narrow, then a distinct over
+      // (eval_set, gram) — benchmark-bounded, stays tiny at any SF
+      val bg = bench
+        .select(col("eval_set"), explode(array_distinct(grams(col("w")))).as("gram"))
+        .distinct()
+      val tg = train.select(col("doc_id"),
+        explode(array_distinct(grams(split(col("text"), " ")))).as("gram"))
+      val hits = tg.join(bg, Seq("gram"))
+        .groupBy((col("doc_id") % 4).cast("int").as("shard"),
+          col("eval_set"), col("doc_id"))
+        .agg(count(lit(1)).as("gram_hits"))
+      val tot = train
+        .groupBy((col("doc_id") % 4).cast("int").as("shard"))
+        .agg(count(lit(1)).as("shard_docs"))
+      hits.groupBy(col("shard"), col("eval_set"))
+        .agg(count(lit(1)).cast("long").as("contaminated_docs"),
+          sum(col("gram_hits")).cast("long").as("gram_hits"))
+        .join(tot, Seq("shard"))
+        .select(col("shard"), col("eval_set"), col("contaminated_docs"),
+          col("gram_hits"),
+          round(col("contaminated_docs") / col("shard_docs").cast("double"), 6)
+            .as("contamination_rate"))
     })
 }

@@ -186,5 +186,74 @@ object SearchRank {
       val basePostings = IndexMaintain.postings(base).cache()
       val baseIndex = IndexMaintain.buildIndex(basePostings)
       IndexMaintain.refresh(basePostings, baseIndex, delta)._2
+    },
+
+    // ---- IR5: two-stage retrieval (BM25 recall + positional rerank) ------
+    QueryDef(
+      "ir5_positional_rerank",
+      "Two-stage retrieval: BM25 top-50 recall (ir2's pipeline), then rerank by first-position proximity — sum over query terms of each term's earliest position (lead/title matching), integer-exact so the rerank order is float-free. The expensive positional pass touches ONLY the 50 candidates: the candidate list and the query terms both broadcast into one posexplode over 50 docs — stage-2 cost is independent of corpus size, the shape a reranker on a 100 TB corpus needs",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        scored AS (
+          SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS matched,
+            round(CAST(SUM(CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+          FROM tf JOIN qterms q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+          GROUP BY tf.doc_id
+        ),
+        cand AS (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50),
+        pos AS (
+          SELECT d.doc_id, t.w, MIN(t.p) AS first_pos
+          FROM (SELECT doc_id, string_split(text,' ') AS arr FROM documents) d,
+               unnest([{'w': d.arr[i], 'p': i} for i in range(1, len(d.arr)+1)]) AS u(t)
+          WHERE t.w IN (SELECT w FROM qterms) AND d.doc_id IN (SELECT doc_id FROM cand)
+          GROUP BY d.doc_id, t.w
+        ),
+        prox AS (SELECT doc_id, CAST(SUM(first_pos) AS BIGINT) AS first_pos_sum
+                 FROM pos GROUP BY doc_id)
+        SELECT c.doc_id, c.matched, c.bm25, p.first_pos_sum
+        FROM cand c JOIN prox p ON c.doc_id = p.doc_id
+        ORDER BY p.first_pos_sum ASC, c.bm25 DESC, c.doc_id LIMIT 10
+      """)) { (s, dir) =>
+      val tf = tok(s, dir).groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = dfRel.orderBy(col("df").desc, col("w")).limit(3)
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val scored = tf.join(broadcast(qterms), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("matched"),
+          round(sum(col("c")).cast("double"), 6).as("bm25"))
+      // cand is consumed twice (positional filter + final join): cache the
+      // 50-row result instead of recomputing the whole scoring pipeline
+      val cand = scored.orderBy(col("bm25").desc, col("doc_id")).limit(50).cache()
+      // stage 2: positions computed only for candidate docs — candidate
+      // ids and query terms broadcast, the corpus scan is semi-join-pruned
+      val pos = t(s, dir, "documents")
+        .join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+        .join(broadcast(qterms.select(col("w"))), Seq("w"))
+        // DuckDB list positions are 1-based; posexplode is 0-based
+        .groupBy(col("doc_id"), col("w")).agg(min(col("p0") + 1).as("first_pos"))
+      val prox = pos.groupBy(col("doc_id"))
+        .agg(sum(col("first_pos")).cast("long").as("first_pos_sum"))
+      cand.join(prox, Seq("doc_id"))
+        .select(col("doc_id"), col("matched"), col("bm25"), col("first_pos_sum"))
+        .orderBy(col("first_pos_sum").asc, col("bm25").desc, col("doc_id"))
+        .limit(10)
     })
 }

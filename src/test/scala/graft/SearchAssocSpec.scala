@@ -173,4 +173,35 @@ class SearchAssocSpec extends SparkTestBase {
       assert(math.abs(gi - intercept) < 1e-2, s"$k intercept $gi vs $intercept")
     }
   }
+
+  test("ir5: rerank output is a subset of the BM25 top-50 and proximity-ordered") {
+    import org.apache.spark.sql.functions.col
+    val rer = run("ir5_positional_rerank").collect()
+    assert(rer.length == 10)
+    // ordered by first_pos_sum ASC (bm25 DESC tiebreak)
+    val sums = rer.map(_.getAs[Long]("first_pos_sum"))
+    assert(sums.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    // every term's first position is >= 1, so the sum >= matched count
+    rer.foreach(r => assert(r.getAs[Long]("first_pos_sum") >=
+      r.getAs[Long]("matched"), r.toString))
+    val bm25Top10 = run("ir2_bm25_topk").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // the rerank must actually REORDER: stage-2 output differs from the
+    // plain BM25 top-10 (first-position info is orthogonal to tf)
+    val rerIds = rer.map(_.getAs[Long]("doc_id")).toSet
+    assert(rerIds != bm25Top10, "rerank did not change the BM25 order")
+  }
+
+  test("dd49: full 4x2 contamination grid, rates bounded, planted hits present") {
+    val out = run("dd49_contamination_matrix").collect()
+    assert(out.length == 8, s"expected 4 shards x 2 eval sets, got ${out.length}")
+    val cells = out.map(r => (r.getAs[Int]("shard"), r.getAs[String]("eval_set"))).toSet
+    assert(cells == (for (s0 <- 0 to 3; e <- Seq("evalA", "evalB")) yield (s0, e)).toSet)
+    out.foreach { r =>
+      assert(r.getAs[Long]("contaminated_docs") >= 1, r.toString)
+      assert(r.getAs[Long]("gram_hits") >= r.getAs[Long]("contaminated_docs"), r.toString)
+      val rate = r.getAs[Double]("contamination_rate")
+      assert(rate > 0 && rate <= 1, r.toString)
+    }
+  }
 }
