@@ -184,19 +184,36 @@ object Planner {
     val s = q.toLowerCase.replace(",", "")
     val over = "(?:over|above|more than|greater than|exceeds?|exceeding|at least)\\s+\\$?(\\d+(?:\\.\\d+)?)".r
     val under = "(?:under|below|less than|at most|cheaper than)\\s+\\$?(\\d+(?:\\.\\d+)?)".r
-    over.findFirstMatchIn(s).map((_, ">"))
-      .orElse(under.findFirstMatchIn(s).map((_, "<")))
-      .flatMap { case (m, op) =>
-        val byProximity = tables.distinct.flatMap { t =>
-          numericCols.get(t).flatMap { num =>
-            tableKeywords.getOrElse(t, Nil)
-              .map(kw => s.lastIndexOf(kw, m.start)).filter(_ >= 0)
-              .maxOption.map(i => (m.start - i, num))
-          }
+    // numeric BETWEEN: "orders between 50000 and 150000". Two 4-digit
+    // numbers in the plausible-year band stay a DATE range (the year
+    // extractor's contract); anything else is a value range.
+    val between = "between\\s+\\$?(\\d+(?:\\.\\d+)?)\\s+and\\s+\\$?(\\d+(?:\\.\\d+)?)".r
+    def isYearish(v: String): Boolean =
+      v.length == 4 && !v.contains(".") && {
+        val y = v.toInt; y >= 1900 && y <= 2100
+      }
+    def bind(start: Int, render: String => String): Option[String] = {
+      val byProximity = tables.distinct.flatMap { t =>
+        numericCols.get(t).flatMap { num =>
+          tableKeywords.getOrElse(t, Nil)
+            .map(kw => s.lastIndexOf(kw, start)).filter(_ >= 0)
+            .maxOption.map(i => (start - i, num))
         }
-        byProximity.sortBy(_._1).headOption.map(_._2)
-          .orElse(tables.flatMap(numericCols.get).headOption)
-          .map(num => s"$num $op ${m.group(1)}")
+      }
+      byProximity.sortBy(_._1).headOption.map(_._2)
+        .orElse(tables.flatMap(numericCols.get).headOption)
+        .map(render)
+    }
+    between.findFirstMatchIn(s)
+      .filterNot(m => isYearish(m.group(1)) && isYearish(m.group(2)))
+      .flatMap(m => bind(m.start,
+        num => s"$num BETWEEN ${m.group(1)} AND ${m.group(2)}"))
+      .orElse {
+        over.findFirstMatchIn(s).map((_, ">"))
+          .orElse(under.findFirstMatchIn(s).map((_, "<")))
+          .flatMap { case (m, op) =>
+            bind(m.start, num => s"$num $op ${m.group(1)}")
+          }
       }
   }
 
@@ -567,6 +584,46 @@ object Planner {
     }
   }
 
+  /** HAVING-filtered groups: "which segments have more than 300
+    * customers" → grouped count filtered on the AGGREGATE (HAVING), not
+    * on rows. The numeral is the having bound, so the WHERE assembly
+    * here deliberately carries only date/status features — routing it
+    * through the threshold extractor would leak "more than 300" into
+    * the WHERE as a value filter and silently change the denominator. */
+  private def extractHaving(q: String): Option[Plan] = {
+    val s = q.toLowerCase
+    for {
+      m <- ("which\\s+([a-z ]+?)\\s+have\\s+" +
+        "(more|fewer|less)\\s+than\\s+(\\d+)\\s+([a-z ]+)").r.findFirstMatchIn(s)
+      // "-ies" plurals don't contain their "-y" singular ("priorities")
+      d <- dims.find(dr => m.group(1).replaceAll("ies\\b", "y").contains(dr.kw))
+      entity = matchTable(m.group(4))
+      if d.table == entity || joinPaths.contains((entity, d.table))
+    } yield {
+      val from = if (d.table == entity) entity else joinPaths((entity, d.table))
+      val joined = if (from == entity) Nil else Seq(d.table)
+      val op = if (m.group(2) == "more") ">" else "<"
+      val days = extractDateRange(q)
+      val years = if (days.isDefined) None else extractYearRange(q)
+      val statusN = extractStatusFilterN(q, entity)
+      val dc = (entity +: joined).flatMap(dateCols.get).headOption
+      val dateCond = days.flatMap { case (a, b) =>
+        dc.map(c => s"CAST($c AS DATE) BETWEEN DATE '$a' AND DATE '$b'")
+      }.orElse(years.flatMap { case (a, b) =>
+        dc.map(c => s"year($c) BETWEEN $a AND $b")
+      })
+      val conds = dateCond.toSeq ++ statusN.map(_._1).toSeq
+      val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      val sql = s"SELECT ${d.col} AS grp, COUNT(*) AS n FROM $from$where " +
+        s"GROUP BY ${d.col} HAVING COUNT(*) $op ${m.group(3)}"
+      Plan("having", entity, needsAggregation = true, limit = 100, sql,
+        yearRange = years, statusFilter = statusN.map(_._1),
+        groupDim = Some(d.kw), joined = joined,
+        yearApplied = (years.isEmpty && days.isEmpty) || dateCond.isDefined,
+        negated = statusN.exists(_._2))
+    }
+  }
+
   /** "share of <metric> by <dim>" / "what percentage of <entity> are
     * <status>" — proportions of a whole. Grouped shares divide by a
     * scalar-subquery grand total (compiles to a reused 1-row subquery
@@ -627,6 +684,7 @@ object Planner {
       .orElse(extractWhichGroup(q).map { case (d, entity, metric, dir) =>
         planWhichGroup(q, d, entity, metric, dir)
       })
+      .orElse(extractHaving(q))
       .getOrElse(planBasic(q))
   }
 

@@ -584,5 +584,38 @@ object QlQueries {
       "NL two-dim grouped count mixing an entity dim with the derived month dim",
       "count of events by event type and month",
       """SELECT event_type AS grp1, strftime(ts, '%Y-%m') AS grp2, COUNT(*) AS n
-         FROM events GROUP BY 1, 2""")())
+         FROM events GROUP BY 1, 2""")(),
+
+    // ---- HAVING: aggregate-filtered groups -----------------------------------------------------
+    planned(
+      "ql_having_segments",
+      "NL HAVING intent: the numeral filters the AGGREGATE, never the rows",
+      "which segments have more than 300 customers",
+      """SELECT c_mktsegment AS grp, COUNT(*) AS n
+         FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 300""")(),
+
+    // ---- HAVING over a join dimension ----------------------------------------------------------
+    planned(
+      "ql_having_nations",
+      "NL HAVING over the customer->nation join dimension",
+      "which nations have more than 60 customers",
+      """SELECT n_name AS grp, COUNT(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name HAVING COUNT(*) > 60""")(),
+
+    // ---- numeric BETWEEN range -----------------------------------------------------------------
+    planned(
+      "ql_value_between",
+      "NL numeric BETWEEN on the table's value column (non-year numbers stay a value range, 4-digit years stay a date range)",
+      "how many orders between 50000 and 150000",
+      """SELECT COUNT(*) AS n FROM orders
+         WHERE o_totalprice BETWEEN 50000 AND 150000""")(),
+
+    // ---- numeric BETWEEN on the event log ------------------------------------------------------
+    planned(
+      "ql_events_value_between",
+      "NL numeric BETWEEN bound to the event log's value column",
+      "count events with value between 100 and 200",
+      """SELECT COUNT(*) AS n FROM events
+         WHERE value BETWEEN 100 AND 200""")())
 }

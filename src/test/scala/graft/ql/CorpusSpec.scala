@@ -545,7 +545,15 @@ class CorpusSpec extends SparkTestBase {
     "count of documents by language and source",
     "count of events by event type and month",
     "count of orders by priority and year",
-    "total order value by status and year")
+    "total order value by status and year",
+    // HAVING + numeric BETWEEN (r6)
+    "which segments have more than 25 customers",
+    "which nations have more than 5 customers",
+    "which languages have more than 10 documents",
+    "which sources have fewer than 50 documents",
+    "how many orders between 50000 and 150000",
+    "list events with value between 100 and 200",
+    "count line items between 2000 and 60000")
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++

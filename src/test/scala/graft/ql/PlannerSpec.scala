@@ -146,6 +146,30 @@ class PlannerSpec extends SparkTestBase {
     assert(x.groupDim.contains("status"), x.sql)
   }
 
+  test("HAVING intent filters the aggregate, never the rows") {
+    val p = Planner.plan("which segments have more than 300 customers")
+    assert(p.intent == "having", p.sql)
+    assert(p.sql.contains("HAVING COUNT(*) > 300"), p.sql)
+    assert(!p.sql.contains("WHERE"), p.sql) // the numeral must NOT leak into a row filter
+    val n = Planner.plan("which nations have fewer than 6 customers")
+    assert(n.sql.contains("JOIN nation") && n.sql.contains("HAVING COUNT(*) < 6"), n.sql)
+    // composes with a status filter in the WHERE
+    val c = Planner.plan("which priorities have more than 100 open orders")
+    assert(c.sql.contains("WHERE o_orderstatus = 'O'") &&
+      c.sql.contains("HAVING COUNT(*) > 100"), c.sql)
+  }
+
+  test("numeric BETWEEN binds to the value column; year pairs stay a date range") {
+    val p = Planner.plan("how many orders between 50000 and 150000")
+    assert(p.sql.contains("o_totalprice BETWEEN 50000 AND 150000"), p.sql)
+    assert(p.yearRange.isEmpty, p.sql)
+    val y = Planner.plan("how many orders between 1995 and 1999")
+    assert(y.yearRange.contains((1995, 1999)), y.sql)
+    assert(y.sql.contains("year(o_orderdate) BETWEEN 1995 AND 1999"), y.sql)
+    val e = Planner.plan("count events with value between 100 and 200")
+    assert(e.sql.contains("value BETWEEN 100 AND 200"), e.sql)
+  }
+
   test("generated SQL for a count intent runs through the guard end-to-end") {
     val p = Planner.plan("how many nations are there")
     assert(p.intent == "count" && p.table == "nation")
