@@ -231,10 +231,15 @@ object Planner {
     else hits.maxBy { case (t, len) => (len, t) }._1
   }
 
+  /** Digit-run → Int without a NumberFormatException escape hatch:
+    * "top 99999999999" must clamp, not crash the planner mid-question. */
+  private def intCapped(digits: String, cap: Int): Int =
+    if (digits.length > 9) cap else math.min(digits.toInt, cap)
+
   /** Q3 — LIMIT extraction: "top N" / "first N" / default 100. */
   def extractLimit(q: String): Int =
     "(?:top|first|limit)\\s+(\\d+)".r.findFirstMatchIn(q.toLowerCase)
-      .map(_.group(1).toInt).getOrElse(100)
+      .map(m => intCapped(m.group(1), 1000000)).getOrElse(100)
 
   /** Q3 — aggregation-need detection. */
   def needsAggregation(q: String): Boolean =
@@ -297,7 +302,10 @@ object Planner {
       .orElse(on.findFirstMatchIn(s)
         .flatMap(m => iso(m.group(1)).map(a => (a, a))))
       .orElse(lastN.findFirstMatchIn(s).map { m =>
-        (AnchorDate.minusDays(m.group(1).toLong).toString, AnchorDate.toString)
+        // clamp absurd day counts: LocalDate.minusDays throws outside
+        // its supported range, and "last 9e18 days" means "everything"
+        val days = math.min(intCapped(m.group(1), 3650000), 3650000).toLong
+        (AnchorDate.minusDays(days).toString, AnchorDate.toString)
       })
       .orElse(inMonth.findFirstMatchIn(s).map { m =>
         val ym = java.time.YearMonth.of(m.group(2).toInt,
@@ -509,7 +517,7 @@ object Planner {
       entity = matchTable(s.substring(0, m.start(2)))
       if d.kw == "year" || d.kw == "month" || d.table == entity ||
         joinPaths.contains((entity, d.table))
-    } yield (entity, d, m.group(1).toInt)
+    } yield (entity, d, intCapped(m.group(1), 1000000))
   }
 
   /** Global top-k by an aggregate metric: "top 3 customers by total
@@ -532,7 +540,7 @@ object Planner {
       val fact = if (factHits.isEmpty) None
         else Some(factHits.maxBy { case (t, len) => (len, t) }._1)
       (entity, fact.filter(f => f != entity && joinPaths.contains((entity, f))),
-        m.group(1).toInt)
+        intCapped(m.group(1), 1000000))
     }
   }
 

@@ -18,7 +18,11 @@ class PlannerFuzzSpec extends SparkTestBase {
     "list", "show", "count", "how many", "find", "total value of",
     "average", "sum of", "top 4", "first 6", "show the largest",
     "list the newest", "show the cheapest", "which nation has the most",
-    "which status has the most", "which segment has the highest")
+    "which status has the most", "which segment has the highest",
+    // r6 intents + adversarial magnitudes (must clamp, not crash)
+    "average number of", "share of", "what percentage of",
+    "what is the earliest", "when was the latest",
+    "top 99999999999", "first 99999999999999999999")
 
   private val statusWords = Gen.oneOf(
     "", "open", "finished", "pending", "urgent", "not finished",
@@ -39,7 +43,13 @@ class PlannerFuzzSpec extends SparkTestBase {
     // day-precision date phrasings (extractDateRange)
     "between 01-02-1995 and 28-02-1995", "on 19-06-1995",
     "from 11-05-1997 onwards", "in february 1996", "in the last 30 days",
-    "between 1995-03-01 and 1995-04-15", "from the last 90 days")
+    "between 1995-03-01 and 1995-04-15", "from the last 90 days",
+    // r6 intents + adversarial magnitudes
+    "between 50000 and 150000", "with value between 100 and 200",
+    "by status and year", "by language and source",
+    "by event type and month", "per user", "per source", "date",
+    "in the last 99999999999 days", "over 99999999999999999999",
+    "between 99999999999 and 999999999999")
 
   private val metricPrefixes = Gen.oneOf(
     "average", "maximum", "minimum", "mean", "how many different",
