@@ -31,6 +31,8 @@ object SparkEntry {
       graft.queries.Extras.defs ++
       graft.queries.ScaleOps.defs ++
       graft.queries.OlapOps.defs ++
+      graft.queries.SeriesOps.defs ++
+      graft.queries.MixOps.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Corpus planning + survivorship operators: the "what do we actually
+  * train on" layer that sits above the dedup/quality funnel (dd17) —
+  * temperature-weighted mixture planning with epoch caps, the marginal
+  * novelty curve that tells you when more of a source stops paying, and
+  * the MDM-style golden-record vote the reference's person-dedup tables
+  * feed into (`create_person_deduplication_table.py` survivorship step).
+  *
+  * House float discipline throughout: normalizers accumulate in DECIMAL
+  * (order-free), doubles appear only in expressions whose operand order is
+  * written identically on the Spark and DuckDB sides, outputs round(6).
+  */
+object MixOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- DD50: temperature-sampled training-mixture planner ---------------
+    QueryDef(
+      "dd50_mix_epochs",
+      "Training-mix epoch planner: per-source token counts, temperature tau=0.5 mixture weights (p_i ~ sqrt(tokens), the multilingual-sampling standard), a 3x-corpus token budget, and per-source repeat epochs capped at 4 (the data-constrained-scaling rule of thumb) — sqrt weights round(6) into DECIMAL so the normalizer is order-free; everything after the one source groupBy is source-bounded (20 rows) and broadcasts",
+      Some("""
+        WITH avail AS (
+          SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+          FROM documents GROUP BY 1
+        ),
+        r AS (
+          SELECT source, tok,
+                 CAST(round(sqrt(tok), 6) AS DECIMAL(18,6)) AS rs
+          FROM avail
+        ),
+        tot AS (
+          SELECT CAST(SUM(rs) AS DOUBLE) AS total_rs,
+                 CAST(SUM(tok) AS BIGINT) AS total_tok
+          FROM r
+        ),
+        plan AS (
+          SELECT source, tok,
+                 round(CAST(rs AS DOUBLE) / total_rs, 6) AS mix_weight,
+                 (CAST(rs AS DOUBLE) / total_rs) * 3.0 * total_tok / tok AS raw
+          FROM r, tot
+        )
+        SELECT source, tok AS avail_tokens, mix_weight,
+               round(LEAST(raw, 4.0), 6) AS epochs,
+               raw > 4.0 AS capped,
+               CAST(round(round(LEAST(raw, 4.0), 6) * tok, 0) AS BIGINT)
+                 AS effective_tokens
+        FROM plan
+      """)) { (s, dir) =>
+      // The entire planner is ONE shuffle (the per-source token groupBy);
+      // the 20-row source relation then cross-joins a broadcast 1-row
+      // normalizer — at 100 TB the token count is the only thing that
+      // touches the corpus, and it's a map-side-combined sum. tau=0.5
+      // flattens the source distribution (sqrt), the 4-epoch cap encodes
+      // that repeating data beyond ~4x stops helping (data-constrained
+      // scaling), and effective_tokens is the budget auditors read.
+      val avail = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+      val r = avail.withColumn("rs",
+        round(sqrt(col("tok")), 6).cast("decimal(18,6)"))
+      val tot = r.agg(
+        sum(col("rs")).cast("double").as("total_rs"),
+        sum(col("tok")).cast("long").as("total_tok"))
+      val raw = (col("rs").cast("double") / col("total_rs")) * lit(3.0) *
+        col("total_tok") / col("tok")
+      r.crossJoin(broadcast(tot))
+        .withColumn("mix_weight", round(col("rs").cast("double") / col("total_rs"), 6))
+        .withColumn("raw", raw)
+        .select(col("source"), col("tok").as("avail_tokens"), col("mix_weight"),
+          round(least(col("raw"), lit(4.0)), 6).as("epochs"),
+          (col("raw") > 4.0).as("capped"),
+          round(round(least(col("raw"), lit(4.0)), 6) * col("tok"), 0)
+            .cast("long").as("effective_tokens"))
+    },
+
+    // ---- DD51: n-gram saturation / marginal-novelty curve -----------------
+    QueryDef(
+      "dd51_gram_saturation",
+      "Corpus saturation curve: docs in arrival (doc_id) order split into 10 tranches; per tranche, how many of its distinct word-8-grams are NEW vs already seen in earlier tranches — first-appearance attribution is one gram-keyed min-bucket groupBy (the w18 first-seen identity applied to grams), the curve itself is tranche-bounded (10 rows) so the cumulative sum is a broadcast inequality join, never a window",
+      Some("""
+        WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        dg AS (
+          SELECT DISTINCT doc_id, CAST((doc_id * 10) // m AS INT) AS bucket,
+                 unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), mx
+        ),
+        per AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_instances
+          FROM dg GROUP BY 1
+        ),
+        fb AS (SELECT gram, MIN(bucket) AS bucket FROM dg GROUP BY 1),
+        nw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_grams FROM fb GROUP BY 1),
+        cm AS (
+          SELECT p.bucket, CAST(SUM(COALESCE(n.new_grams, 0)) AS BIGINT) AS cum_grams
+          FROM per p LEFT JOIN nw n ON n.bucket <= p.bucket
+          GROUP BY 1
+        )
+        SELECT per.bucket, per.n_instances,
+               COALESCE(nw.new_grams, 0) AS new_grams,
+               cm.cum_grams,
+               round(CAST(COALESCE(nw.new_grams, 0) AS DOUBLE) / per.n_instances, 6)
+                 AS novelty_rate
+        FROM per
+        LEFT JOIN nw ON per.bucket = nw.bucket
+        JOIN cm ON per.bucket = cm.bucket
+      """)) { (s, dir) =>
+      // Scale shape: the gram stream (sum of per-doc distinct grams ~ total
+      // tokens) pays exactly TWO gram-keyed aggregations — per-bucket
+      // instance counts and the min-bucket first-appearance — and nothing
+      // downstream ever sees a gram again: per/nw/cm are 10-row relations
+      // stitched with broadcast joins. The inequality cumsum join replaces
+      // a global window (the single-partition antipattern) at zero cost
+      // because the left side is tranche-bounded.
+      val docs = t(s, dir, "documents")
+      val m = broadcast(docs.agg((max(col("doc_id")) + 1).as("m")))
+      val dg = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .crossJoin(m)
+        .select(col("doc_id"),
+          expr("CAST((doc_id * 10) div m AS INT)").as("bucket"),
+          explode(array_distinct(
+            graft.functions.NativeExpressions.ngrams_native(col("w"), 8)))
+            .as("gram"))
+      val per = dg.groupBy(col("bucket")).agg(count(lit(1)).as("n_instances"))
+      val fb = dg.groupBy(col("gram")).agg(min(col("bucket")).as("bucket"))
+      val nw = fb.groupBy(col("bucket")).agg(count(lit(1)).as("new_grams"))
+      val cm = per.as("p")
+        .join(broadcast(nw.as("n")), col("n.bucket") <= col("p.bucket"), "left")
+        .groupBy(col("p.bucket"))
+        .agg(sum(coalesce(col("n.new_grams"), lit(0L))).as("cum_grams"))
+      per
+        .join(broadcast(nw), Seq("bucket"), "left")
+        .join(broadcast(cm), Seq("bucket"))
+        .select(col("bucket"), col("n_instances"),
+          coalesce(col("new_grams"), lit(0L)).as("new_grams"),
+          col("cum_grams"),
+          round(coalesce(col("new_grams"), lit(0L)).cast("double") /
+            col("n_instances"), 6).as("novelty_rate"))
+    },
+
+    // ---- E7: golden-record survivorship vote ------------------------------
+    QueryDef(
+      "e7_golden_record",
+      "MDM survivorship: within each e1-style fingerprint cluster (>=2 members), elect the canonical market segment by majority vote with a deterministic (count DESC, value ASC) tie-break, plus min-name and max-balance survivor rules — votes, sizes, and the winner window all ride ONE cluster-keyed exchange",
+      Some("""
+        WITH cl AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, c_name,
+                 md5(concat_ws('|', c_nationkey,
+                               CAST(floor(c_acctbal / 500) AS BIGINT))) AS cluster_id
+          FROM customer
+        ),
+        sz AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS group_size,
+                 MIN(c_name) AS survivor_name,
+                 MAX(c_acctbal) AS max_bal
+          FROM cl GROUP BY 1 HAVING count(*) >= 2
+        ),
+        votes AS (
+          SELECT cluster_id, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+          FROM cl GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT cluster_id, c_mktsegment, c,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY c DESC, c_mktsegment) AS rn
+          FROM votes
+        )
+        SELECT sz.cluster_id, sz.group_size,
+               win.c_mktsegment AS canonical_segment,
+               round(CAST(win.c AS DOUBLE) / sz.group_size, 6) AS vote_share,
+               sz.survivor_name, sz.max_bal
+        FROM sz JOIN win ON sz.cluster_id = win.cluster_id AND win.rn = 1
+      """)) { (s, dir) =>
+      // Survivorship = the step AFTER matching: e1 finds the clusters,
+      // this elects one golden row per cluster. Every relation here keys
+      // on cluster_id, so Catalyst reuses a single hash-partitioning for
+      // the size aggregate, the vote count, and the winner window — the
+      // max(acctbal)/min(name) rules are exact picks (no float
+      // accumulation), and the vote tie-break is total-ordered so the
+      // golden record is stable under any shuffle order.
+      val cl = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("c_name"),
+        md5(concat_ws("|", col("c_nationkey"),
+          floor(col("c_acctbal") / 500).cast("long"))).as("cluster_id"))
+      val sz = cl.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("c_name")).as("survivor_name"),
+          max(col("c_acctbal")).as("max_bal"))
+        .filter(col("group_size") >= 2)
+      val votes = cl.groupBy(col("cluster_id"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("c"))
+      val win = votes.withColumn("rn",
+        row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("c").desc, col("c_mktsegment"))))
+        .filter(col("rn") === 1)
+      sz.join(win, "cluster_id")
+        .select(col("cluster_id"), col("group_size"),
+          col("c_mktsegment").as("canonical_segment"),
+          round(col("c").cast("double") / col("group_size"), 6).as("vote_share"),
+          col("survivor_name"), col("max_bal"))
+    })
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Time-series statistics over the events stream — the monitoring surface a
+  * production pipeline layers on its own telemetry (the reference keeps
+  * per-batch run statistics and anomaly flags around its ETL loop;
+  * `etl-crimes/etl_crimes.py` run-summary accounting): exponential
+  * smoothing of the per-type daily signal, robust (median/MAD) outlier
+  * flagging, and the CUBE cross-tab of the order fact.
+  *
+  * Cross-engine float discipline (house rules): every SUM/AVG that feeds a
+  * comparison or an output runs over DECIMAL so partial-aggregation order
+  * can't wiggle low bits; doubles appear only AFTER the aggregate, in
+  * expressions whose operand order is written identically in the Spark and
+  * DuckDB forms, and every emitted double is round(6).
+  */
+object SeriesOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** (1-alpha)^k for alpha=0.3, k=0..9 — written as full decimal literals so
+    * the Spark and DuckDB parsers produce bit-identical doubles. */
+  private val ewmaW: Seq[String] = Seq(
+    "1.0", "0.7", "0.49", "0.343", "0.2401", "0.16807", "0.117649",
+    "0.0823543", "0.05764801", "0.040353607")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- W20: truncated EWMA smoothing of the daily event signal ---------
+    QueryDef(
+      "w20_ewma_smoothing",
+      "Exponentially-weighted moving average (alpha=0.3, adjust-normalized convention, 10-tap truncation) of each event type's daily mean value: one day-level pre-aggregation bounds the series to days x types, then ten lag taps ride ONE type-keyed window — no recursive state, no driver loop",
+      Some {
+        // num/den written as explicit left-associated chains; the Spark
+        // expression below mirrors the term order exactly.
+        val num = ewmaW.zipWithIndex.map { case (w, k) =>
+          if (k == 0) s"$w * x" else s"COALESCE($w * lag(x, $k) OVER w, 0.0)"
+        }.mkString(" + ")
+        val den = ewmaW.zipWithIndex.map { case (w, k) =>
+          if (k == 0) w
+          else s"CASE WHEN lag(x, $k) OVER w IS NULL THEN 0.0 ELSE $w END"
+        }.mkString(" + ")
+        s"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS x
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(d AS TIMESTAMP) AS day, round(x, 6) AS daily_avg,
+               round(($num) / ($den), 6) AS ewma
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        """
+      }) { (s, dir) =>
+      // The closed-form tap expansion is the distributed answer to a
+      // recurrence: s_i = a*x_i + (1-a)*s_{i-1} looks inherently serial,
+      // but weights below 0.7^9 ~ 0.04 contribute under rounding
+      // precision, so a 10-tap truncation is exact to round(6) semantics
+      // while keeping the whole query ONE window over ONE pre-aggregated
+      // exchange. At 100 TB the day-level pre-agg is the load-bearing
+      // move: the window sees days x types rows (thousands), never raw
+      // events.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      def tap(k: Int): Column = {
+        val wk = expr(ewmaW(k) + "D")
+        if (k == 0) wk * col("x")
+        else coalesce(wk * lag(col("x"), k).over(w), lit(0.0))
+      }
+      def wgt(k: Int): Column = {
+        val wk = expr(ewmaW(k) + "D")
+        if (k == 0) wk
+        else when(lag(col("x"), k).over(w).isNull, lit(0.0)).otherwise(wk)
+      }
+      val num = (1 until 10).foldLeft(tap(0))((acc, k) => acc + tap(k))
+      val den = (1 until 10).foldLeft(wgt(0))((acc, k) => acc + wgt(k))
+      // date→timestamp for the output dtype only (both engines emit
+      // timestamp[us]; a raw DATE column round-trips as different physical
+      // types through the two parquet writers)
+      daily.select(col("event_type"), col("d").cast("timestamp").as("day"),
+        round(col("x"), 6).as("daily_avg"),
+        round(num / den, 6).as("ewma"))
+    },
+
+    // ---- W21: median/MAD robust outlier flags ----------------------------
+    QueryDef(
+      "w21_mad_outliers",
+      "Robust anomaly detection per event type: median + median-absolute-deviation of the daily total, days flagged where |x - med| > 3*MAD — exact medians over the day-bounded series; the per-type stats are 5 rows and broadcast back, so raw events shuffle exactly once (the daily groupBy)",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        med AS (
+          SELECT event_type, round(quantile_cont(x, 0.5), 6) AS med
+          FROM daily GROUP BY 1
+        ),
+        dev AS (
+          SELECT daily.event_type, round(abs(x - med), 6) AS dev
+          FROM daily JOIN med USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT dev.event_type, COUNT(*) AS n_days,
+               MIN(med.med) AS med, MIN(mad.mad) AS mad,
+               CAST(SUM(CASE WHEN dev.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               round(MAX(dev.dev), 6) AS max_dev
+        FROM dev JOIN med USING (event_type) JOIN mad USING (event_type)
+        GROUP BY 1
+      """)) { (s, dir) =>
+      // Medians are exact (percentile, not approx) because the series they
+      // run over is already day-bounded: ~30 rows per type here, ~36k rows
+      // per type after a century of days — driver-safe at any corpus
+      // scale. The med/mad relations are type-bounded (5 rows): broadcast
+      // joins, so the plan's only data shuffle is the daily groupBy.
+      // Both engines interpolate even-count medians as lower+0.5*(hi-lo)
+      // over identical rounded inputs; round(6) pins the comparison.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("x"))
+        .cache()
+      val med = daily.groupBy("event_type")
+        .agg(round(expr("percentile(x, 0.5D)"), 6).as("med"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          round(abs(col("x") - col("med")), 6).as("dev"))
+      val mad = dev.groupBy("event_type")
+        .agg(round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(max(col("dev")), 6).as("max_dev"))
+    },
+
+    // ---- A22: CUBE cross-tab over the order fact -------------------------
+    QueryDef(
+      "a22_cube_grouping",
+      "CUBE (nation, order year): all four grouping sets — detail, per-nation, per-year, grand total — from ONE Expand + ONE map-side-combined aggregate; the dimension join broadcasts nation and shuffles orders&customer on the FK once",
+      Some("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS INT) AS gid,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE(n_name, year(o_orderdate))
+      """)) { (s, dir) =>
+      // cube() compiles to one Expand (4 grouping sets per row) feeding
+      // one hash aggregate with partial pushdown — the same
+      // one-exchange-for-all-subtotals argument as a16_rollup, doubled.
+      // At 100 TB: orders⋈customer is an FK equi-join both sides shuffle
+      // on (customer is a real dimension, not broadcastable at scale);
+      // nation is 25 rows and broadcasts; the Expand multiplies rows
+      // AFTER the map-side partial has collapsed them to group cardinality.
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          year(col("o_orderdate")).as("order_year"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation")))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .cube(col("nation"), col("order_year"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("price")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .select(col("nation"), col("order_year"), col("gid"), col("total"),
+          col("n"))
+    })
+}
