@@ -1,0 +1,86 @@
+package graft
+
+/** Semantics the DuckDB oracle can't state: the mixture planner's budget
+  * algebra, the saturation curve's conservation laws, and the golden
+  * record's modal-vote property against a direct recomputation.
+  */
+class MixOpsSpec extends SparkTestBase {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("dd50: mixture weights are a distribution and caps bind exactly at 4 epochs") {
+    val rows = q("dd50_mix_epochs").collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"mix weights sum to $wsum")
+    rows.foreach { r =>
+      val (avail, epochs, capped, eff) =
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4), r.getLong(5))
+      assert(epochs > 0 && epochs <= 4.0 + 1e-9)
+      if (capped) assert(math.abs(epochs - 4.0) < 1e-9, "capped row not at the cap")
+      assert(math.abs(eff - epochs * avail) <= 1.0, "effective tokens != epochs*avail")
+    }
+    // temperature sampling flattens but preserves order: more available
+    // tokens never means a SMALLER mixture weight
+    val byAvail = rows.sortBy(_.getLong(1))
+    byAvail.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(2) + 1e-9,
+        "sqrt weighting must be monotone in availability")
+    }
+  }
+
+  test("dd51: saturation curve conserves the distinct-gram count and starts fully novel") {
+    import org.apache.spark.sql.functions._
+    val rows = q("dd51_gram_saturation").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq, "tranches 0..k-1")
+    // bucket 0: every one of its DISTINCT grams is first-seen (instances
+    // can exceed that — the same gram may appear in several tranche-0 docs)
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+    val m = docs.agg(max(col("doc_id")) + 1).head.getLong(0)
+    val tranche0Distinct = docs
+      .filter(col("doc_id") * 10 / m < 1)
+      .select(explode(array_distinct(graft.functions.NativeExpressions
+        .ngrams_native(split(col("text"), " "), 8))).as("g"))
+      .select(countDistinct(col("g"))).head.getLong(0)
+    assert(rows.head.getLong(2) == tranche0Distinct)
+    // cum = running sum of new; final cum = global distinct gram count
+    val cums = rows.scanLeft(0L)((acc, r) => acc + r.getLong(2)).drop(1)
+    rows.zip(cums).foreach { case (r, c) => assert(r.getLong(3) == c) }
+    val totalDistinct = graft.core.Tables(spark, sf0001, "documents")
+      .select(explode(array_distinct(graft.functions.NativeExpressions
+        .ngrams_native(split(col("text"), " "), 8))).as("g"))
+      .select(countDistinct(col("g"))).head.getLong(0)
+    assert(rows.last.getLong(3) == totalDistinct,
+      "final cumulative != corpus distinct grams")
+    // novelty can only be a fraction of instances
+    rows.foreach(r => assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("e7: the elected segment is a true mode of its cluster, recomputed directly") {
+    import org.apache.spark.sql.functions._
+    val out = q("e7_golden_record").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    val direct = graft.core.Tables(spark, sf0001, "customer")
+      .select(col("c_mktsegment"), col("c_name"), col("c_acctbal"),
+        md5(concat_ws("|", col("c_nationkey"),
+          floor(col("c_acctbal") / 500).cast("long"))).as("cid"))
+      .collect().groupBy(_.getString(3))
+      .filter(_._2.length >= 2)
+    assert(direct.keySet == out.keySet, "cluster sets differ")
+    direct.foreach { case (cid, members) =>
+      val r = out(cid)
+      assert(r.getLong(1) == members.length)
+      val counts = members.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+      val maxC = counts.values.max
+      // winner must hold the max count; among max-count ties, the
+      // lexicographically smallest value
+      val winner = counts.filter(_._2 == maxC).keys.min
+      assert(r.getString(2) == winner, s"cluster $cid: wrong modal segment")
+      assert(math.abs(r.getDouble(3) - maxC.toDouble / members.length) < 1e-6)
+      assert(r.getString(4) == members.map(_.getString(1)).min)
+      assert(math.abs(r.getDouble(5) - members.map(_.getDouble(2)).max) < 1e-12)
+    }
+  }
+}
