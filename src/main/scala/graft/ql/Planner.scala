@@ -678,9 +678,56 @@ object Planner {
     }
   }
 
+  /** Statistical-metric intent: "median order value", "90th percentile
+    * of order value", "standard deviation of account balance" —
+    * optionally grouped ("by priority"). Exact percentile/median (the
+    * aggregation state is group-size-bounded); stddev is the sample
+    * standard deviation in both engines. Output rounding: percentiles
+    * round(6) (interpolation of two exact values), stddev round(3)
+    * (double accumulation noise ~1e-9 relative stays far inside the
+    * step). */
+  private def extractStatMetric(q: String): Option[Plan] = {
+    val s = q.toLowerCase
+    val pct = "(\\d{1,2})(?:th|st|nd|rd)\\s+percentile".r.findFirstMatchIn(s)
+    val metric: Option[(String => String, String)] =
+      if (s.contains("median"))
+        Some((c: String) => s"round(percentile($c, 0.5D), 6)", "median_value")
+      else if (pct.isDefined) {
+        val p = pct.get.group(1).toInt
+        // integer percent → exact decimal fraction literal ("0.9", "0.35")
+        val frac = java.math.BigDecimal.valueOf(p.toLong)
+          .divide(java.math.BigDecimal.valueOf(100)).stripTrailingZeros
+          .toPlainString
+        Some((c: String) => s"round(percentile($c, ${frac}D), 6)", s"p${p}_value")
+      } else if (Seq("standard deviation", "stddev", "std dev").exists(s.contains))
+        Some((c: String) => s"round(stddev($c), 3)", "stddev_value")
+      else None
+    metric.map { case (render, alias) =>
+      val dim = extractGroupDim(q)
+      val (table, from) = dim.map(dimFactFrom(q, _))
+        .getOrElse { val t0 = matchTable(q); (t0, t0) }
+      val joined = dim.toSeq.map(_.table).filter(t2 => t2 != table && from != table)
+      val (where, years, status, yearApplied, negated) =
+        buildWhere(q, "aggregate", table, joined)
+      val num = numericCols.getOrElse(table, "1")
+      val sql = dim match {
+        case Some(d) =>
+          val g = groupExpr(d, table)
+          s"SELECT $g AS grp, COUNT(*) AS n, ${render(num)} AS $alias " +
+            s"FROM $from$where GROUP BY $g"
+        case None =>
+          s"SELECT COUNT(*) AS n, ${render(num)} AS $alias FROM $from$where"
+      }
+      Plan("stat", table, needsAggregation = true, limit = 100, sql,
+        yearRange = years, statusFilter = status, groupDim = dim.map(_.kw),
+        joined = joined, yearApplied = yearApplied, negated = negated)
+    }
+  }
+
   /** Q4 — deterministic SQL generation for the supported intents. */
   def plan(q: String): Plan = {
-    extractShare(q)
+    extractStatMetric(q)
+      .orElse(extractShare(q))
       .orElse(extractAvgPerEntity(q))
       .orElse(extractDateMetric(q))
       .orElse(extractTopKGroup(q).map { case (entity, d, k) =>

@@ -617,5 +617,30 @@ object QlQueries {
       "NL numeric BETWEEN bound to the event log's value column",
       "count events with value between 100 and 200",
       """SELECT COUNT(*) AS n FROM events
-         WHERE value BETWEEN 100 AND 200""")())
+         WHERE value BETWEEN 100 AND 200""")(),
+
+    // ---- statistical metrics: median -----------------------------------------------------------
+    planned(
+      "ql_median_value",
+      "NL exact median of the table's value column (percentile, not approx)",
+      "what is the median order value",
+      """SELECT COUNT(*) AS n, round(quantile_cont(o_totalprice, 0.5), 6) AS median_value
+         FROM orders""")(),
+
+    // ---- statistical metrics: grouped percentile -----------------------------------------------
+    planned(
+      "ql_p90_by_priority",
+      "NL Nth-percentile metric grouped by a dimension keyword",
+      "90th percentile of order value by priority",
+      """SELECT o_orderpriority AS grp, COUNT(*) AS n,
+                round(quantile_cont(o_totalprice, 0.9), 6) AS p90_value
+         FROM orders GROUP BY 1""")(),
+
+    // ---- statistical metrics: standard deviation with a year filter ----------------------------
+    planned(
+      "ql_stddev_filtered",
+      "NL sample standard deviation composed with the year-range filter",
+      "standard deviation of order value in 1996",
+      """SELECT COUNT(*) AS n, round(stddev(o_totalprice), 3) AS stddev_value
+         FROM orders WHERE year(o_orderdate) = 1996""")())
 }

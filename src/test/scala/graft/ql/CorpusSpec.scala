@@ -555,13 +555,31 @@ class CorpusSpec extends SparkTestBase {
     "list events with value between 100 and 200",
     "count line items between 2000 and 60000")
 
+  /** Statistical metrics (median / percentile / stddev), plain, grouped,
+    * and composed with filters. */
+  private val statMetrics = Seq(
+    "what is the median order value",
+    "median account balance",
+    "median event value by event type",
+    "median order value by priority",
+    "90th percentile of order value",
+    "95th percentile of event values",
+    "75th percentile of order value by status",
+    "25th percentile of account balance",
+    "standard deviation of order value",
+    "standard deviation of account balance by segment",
+    "stddev of event values",
+    "standard deviation of order value in 1996",
+    "median order value in 1997",
+    "90th percentile of order value by year")
+
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
       topKByMetric ++ topKPerGroup ++ whichGroup ++ superlatives ++
       searches ++ dateRanges ++ dayRanges ++ orderedLists ++
       statusFilters ++ negations ++ combos ++ joins ++ joinCombos ++
       multiConstraint ++ metricAggs ++ thresholds ++ distinctCounts ++
-      morePhrasings
+      morePhrasings ++ statMetrics
 
   test("corpus has at least 371 questions (the reference contract size) with no duplicates") {
     assert(corpus.size >= 371, s"corpus has ${corpus.size} questions")

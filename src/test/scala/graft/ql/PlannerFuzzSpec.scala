@@ -22,7 +22,10 @@ class PlannerFuzzSpec extends SparkTestBase {
     // r6 intents + adversarial magnitudes (must clamp, not crash)
     "average number of", "share of", "what percentage of",
     "what is the earliest", "when was the latest",
-    "top 99999999999", "first 99999999999999999999")
+    "top 99999999999", "first 99999999999999999999",
+    // stat-metric intent (exact percentile / stddev)
+    "median", "what is the median", "90th percentile of",
+    "25th percentile of", "standard deviation of", "stddev of")
 
   private val statusWords = Gen.oneOf(
     "", "open", "finished", "pending", "urgent", "not finished",
