@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Distribution-health probes: PSI drift between two time windows of the
+  * order fact (the model-monitoring twin of dd43's corpus-level JS
+  * divergence) and a gaps-and-islands repeated-token run detector (the
+  * classic degenerate-generation / boilerplate filter a pre-training
+  * curation pass runs per document).
+  */
+object QualityProbes {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- DD53: population stability index between two year windows ------
+    QueryDef(
+      "dd53_psi_drift",
+      "PSI drift of the order-value distribution, 1995 reference vs 1997 current: fixed-width value buckets, Laplace-smoothed (+1/k=10) shares, per-bucket (cur-ref)*ln(cur/ref) terms — BOTH windows' counts come from ONE conditional-aggregation groupBy over one scan, the year totals broadcast back, and every double expression is written operand-for-operand identically in both engines",
+      Some("""
+        WITH b AS (
+          SELECT CAST(LEAST(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+                 CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+                 CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+          FROM orders
+          WHERE year(o_orderdate) IN (1995, 1997)
+          GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(ref_n) AS BIGINT) AS ref_t, CAST(SUM(cur_n) AS BIGINT) AS cur_t
+          FROM b
+        )
+        SELECT bucket, ref_n, cur_n,
+               round((ref_n + 1.0) / (ref_t + 10), 9) AS ref_p,
+               round((cur_n + 1.0) / (cur_t + 10), 9) AS cur_p,
+               round(((cur_n + 1.0) / (cur_t + 10) - (ref_n + 1.0) / (ref_t + 10))
+                     * ln(((cur_n + 1.0) / (cur_t + 10)) / ((ref_n + 1.0) / (ref_t + 10))), 9)
+                 AS psi_term
+        FROM b, tot
+      """)) { (s, dir) =>
+      // Model-monitoring shape at 100 TB: the fact table is scanned ONCE
+      // with both windows' counts as conditional partial aggregates (no
+      // self-join of two filtered scans), the bucket relation is k=10
+      // rows, and the year totals are a broadcast 1-row aggregate.
+      // Laplace +1 smoothing keeps ln() finite when a bucket empties in
+      // one window — the standard PSI guard.
+      val b = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1997))
+        .select(
+          least(floor(col("o_totalprice") / 50000), lit(9)).cast("int").as("bucket"),
+          year(col("o_orderdate")).as("y"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("y") === 1995, 1L).otherwise(0L)).as("ref_n"),
+          sum(when(col("y") === 1997, 1L).otherwise(0L)).as("cur_n"))
+      val tot = b.agg(sum(col("ref_n")).cast("long").as("ref_t"),
+        sum(col("cur_n")).cast("long").as("cur_t"))
+      val refP = (col("ref_n") + 1.0) / (col("ref_t") + 10)
+      val curP = (col("cur_n") + 1.0) / (col("cur_t") + 10)
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("ref_n"), col("cur_n"),
+          round(refP, 9).as("ref_p"),
+          round(curP, 9).as("cur_p"),
+          round((curP - refP) * log(curP / refP), 9).as("psi_term"))
+    },
+
+    // ---- DD54: repeated-token run detection (gaps and islands) -----------
+    QueryDef(
+      "dd54_token_runs",
+      "Degenerate-repetition detector: longest consecutive same-token run per document via gaps-and-islands (position minus per-token row_number is constant within a run) — the run grouping, the island rollup, and the per-doc maximum all ride ONE doc-keyed exchange; position base (0 vs 1) cancels out of the island key",
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, i.g AS p, arr[i.g] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+               LATERAL unnest(generate_series(1, len(arr))) AS i(g)
+        ),
+        runs AS (
+          SELECT doc_id, w,
+                 p - row_number() OVER (PARTITION BY doc_id, w ORDER BY p) AS island
+          FROM pos
+        ),
+        rl AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS run_len
+          FROM runs GROUP BY doc_id, w, island
+        )
+        SELECT doc_id,
+               MAX(run_len) AS max_run,
+               CAST(SUM(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_runs,
+               MAX(run_len) >= 3 AS is_loopy
+        FROM rl GROUP BY doc_id
+      """)) { (s, dir) =>
+      // The gaps-and-islands identity makes run detection embarrassingly
+      // parallel: island = position - rank_within(doc, token) is constant
+      // exactly along a consecutive run, so one doc-keyed window plus two
+      // doc-keyed groupBys find every run without any self-join or
+      // sequential scan. Spark reuses the doc_id hash partitioning across
+      // all three steps — one exchange total. posexplode is 0-based and
+      // DuckDB's generate_series 1-based; the shift is absorbed by the
+      // subtraction.
+      val pos = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      val w = Window.partitionBy("doc_id", "w").orderBy("p")
+      val rl = pos
+        .withColumn("island", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("w"), col("island"))
+        .agg(count(lit(1)).as("run_len"))
+      rl.groupBy(col("doc_id"))
+        .agg(max(col("run_len")).as("max_run"),
+          sum(when(col("run_len") >= 2, 1L).otherwise(0L)).as("n_repeat_runs"),
+          (max(col("run_len")) >= 3).as("is_loopy"))
+    })
+}
