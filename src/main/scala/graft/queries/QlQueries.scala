@@ -642,5 +642,23 @@ object QlQueries {
       "NL sample standard deviation composed with the year-range filter",
       "standard deviation of order value in 1996",
       """SELECT COUNT(*) AS n, round(stddev(o_totalprice), 3) AS stddev_value
-         FROM orders WHERE year(o_orderdate) = 1996""")())
+         FROM orders WHERE year(o_orderdate) = 1996""")(),
+
+    // ---- statistical metrics on the event log ---------------------------------------------------
+    planned(
+      "ql_median_events_by_type",
+      "NL grouped median over the event stream's value column",
+      "median event value by event type",
+      """SELECT event_type AS grp, COUNT(*) AS n,
+                round(quantile_cont(value, 0.5), 6) AS median_value
+         FROM events GROUP BY 1""")(),
+
+    // ---- statistical metrics on the corpus table ------------------------------------------------
+    planned(
+      "ql_p75_docs_by_language",
+      "NL grouped percentile over the corpus size column",
+      "75th percentile of documents by language",
+      """SELECT lang AS grp, COUNT(*) AS n,
+                round(quantile_cont(n_chars, 0.75), 6) AS p75_value
+         FROM documents GROUP BY 1""")())
 }
