@@ -1682,5 +1682,126 @@ object DocPipeline {
           col("gram_hits"),
           round(col("contaminated_docs") / col("shard_docs").cast("double"), 6)
             .as("contamination_rate"))
+    },
+
+    // ---- DD55: minhash estimator calibration ------------------------------
+    QueryDef(
+      "dd55_minhash_calibration",
+      "MinHash estimator quality: for every LSH candidate pair, the 8-slot signature agreement (the estimator a production dedup trusts) vs the exact shingle Jaccard, rolled up per agreement level — answers 'how wrong is the sketch' with data, the eval a detector threshold is tuned against; reuses dd2's signature build, and the calibration rollup is agreement-bounded (9 rows)",
+      Some(s"""
+        WITH $corpusSql,
+        $shinglesSql,
+        mh AS (
+          SELECT doc_id,
+                 min(CAST(('0x' || substring(md5('0#' || sh), 1, 15)) AS BIGINT)) AS mh0,
+                 min(CAST(('0x' || substring(md5('1#' || sh), 1, 15)) AS BIGINT)) AS mh1,
+                 min(CAST(('0x' || substring(md5('2#' || sh), 1, 15)) AS BIGINT)) AS mh2,
+                 min(CAST(('0x' || substring(md5('3#' || sh), 1, 15)) AS BIGINT)) AS mh3,
+                 min(CAST(('0x' || substring(md5('4#' || sh), 1, 15)) AS BIGINT)) AS mh4,
+                 min(CAST(('0x' || substring(md5('5#' || sh), 1, 15)) AS BIGINT)) AS mh5,
+                 min(CAST(('0x' || substring(md5('6#' || sh), 1, 15)) AS BIGINT)) AS mh6,
+                 min(CAST(('0x' || substring(md5('7#' || sh), 1, 15)) AS BIGINT)) AS mh7
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, md5(CAST(mh0 AS VARCHAR) || CAST(mh1 AS VARCHAR)) AS bkey FROM mh
+          UNION ALL SELECT doc_id, 1, md5(CAST(mh2 AS VARCHAR) || CAST(mh3 AS VARCHAR)) FROM mh
+          UNION ALL SELECT doc_id, 2, md5(CAST(mh4 AS VARCHAR) || CAST(mh5 AS VARCHAR)) FROM mh
+          UNION ALL SELECT doc_id, 3, md5(CAST(mh6 AS VARCHAR) || CAST(mh7 AS VARCHAR)) FROM mh
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT c.a_id, c.b_id,
+                 (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+                  CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+                  CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+                  CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+                  CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END +
+                  CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END +
+                  CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END +
+                  CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) AS slots
+          FROM cand c JOIN mh a ON c.a_id = a.doc_id JOIN mh b ON c.b_id = b.doc_id
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        com AS (
+          SELECT c.a_id, c.b_id, COUNT(*) AS common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a_id
+          JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+          GROUP BY c.a_id, c.b_id
+        ),
+        ex AS (
+          SELECT m.a_id, m.b_id,
+                 CAST(round(CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common), 6)
+                   AS DECIMAL(18,6)) AS jacc
+          FROM com m JOIN n na ON na.doc_id = m.a_id JOIN n nb ON nb.doc_id = m.b_id
+        )
+        SELECT est.slots, round(est.slots / 8.0, 6) AS est_jaccard,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(COALESCE(ex.jacc, 0)) AS DOUBLE) / count(*), 6) AS mean_jaccard,
+               round(CAST(MIN(COALESCE(ex.jacc, 0)) AS DOUBLE), 6) AS min_jaccard,
+               round(CAST(MAX(COALESCE(ex.jacc, 0)) AS DOUBLE), 6) AS max_jaccard
+        FROM est LEFT JOIN ex ON est.a_id = ex.a_id AND est.b_id = ex.b_id
+        GROUP BY est.slots
+      """)) { (s, dir) =>
+      // Estimator evaluation rides the SAME plan skeleton as the detector
+      // it audits (dd2): one shingle exchange for signatures, a band-key
+      // equi-join for candidates, the exact verify only on candidates —
+      // so calibrating the sketch costs what running it costs, plus an
+      // agreement-bounded (<=9-row) rollup. Exact Jaccards round(6) into
+      // DECIMAL before the mean so the per-slot sums are order-free.
+      def mhash(i: Int) =
+        min(conv(substring(md5(concat(lit(s"$i#"), col("sh"))), 1, 15), 16, 10)
+          .cast("long")).as(s"mh$i")
+      val docsArr = shingleArr(corpus(s, dir)).cache()
+      val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
+      val mh = sh.groupBy(col("doc_id")).agg(mhash(0), (1 until 8).map(mhash): _*)
+        .cache()
+      val bands = mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band_idx"),
+          md5(concat(col(s"mh${2 * b}").cast("string"),
+            col(s"mh${2 * b + 1}").cast("string"))).as("bkey"))): _*))
+        .as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.bkey").as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val slots = (0 until 8).map(i =>
+        when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand
+        .join(mh.as("a"), col("a_id") === col("a.doc_id"))
+        .join(mh.as("b"), col("b_id") === col("b.doc_id"))
+        .select(col("a_id"), col("b_id"), slots.as("slots"))
+      val n = docsArr.select(col("doc_id"), size(col("shArr")).cast("long").as("n"))
+      val com = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+      val ex = com
+        .join(n.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6)
+            .cast("decimal(18,6)").as("jacc"))
+      est.join(ex, Seq("a_id", "b_id"), "left")
+        .groupBy(col("slots"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(coalesce(col("jacc"), lit(0))).cast("double") / count(lit(1)), 6)
+            .as("mean_jaccard"),
+          round(min(coalesce(col("jacc"), lit(0))).cast("double"), 6).as("min_jaccard"),
+          round(max(coalesce(col("jacc"), lit(0))).cast("double"), 6).as("max_jaccard"))
+        .select(col("slots"), round(col("slots") / 8.0, 6).as("est_jaccard"),
+          col("n_pairs"), col("mean_jaccard"), col("min_jaccard"),
+          col("max_jaccard"))
     })
 }

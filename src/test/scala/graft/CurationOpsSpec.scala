@@ -83,4 +83,24 @@ class CurationOpsSpec extends SparkTestBase {
     assert(d0.filter(col("retention") =!= 1.0).count() == 0)
     assert(d0.filter(col("n_active") =!= col("cohort_size")).count() == 0)
   }
+
+  test("dd55: calibration buckets are band-consistent and the estimator tracks truth directionally") {
+    val rows = run("dd55_minhash_calibration").collect()
+      .sortBy(_.getInt(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val slots = r.getInt(0)
+      // an LSH candidate collided on a band = 2 consecutive equal slots
+      assert(slots >= 2 && slots <= 8, s"slots $slots outside band-implied range")
+      assert(r.getLong(2) > 0)
+      val (mean, mn, mx) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"mean outside [min,max] at $slots")
+      assert(math.abs(r.getDouble(1) - slots / 8.0) < 1e-9)
+    }
+    // direction: full signature agreement must average at least as high a
+    // true Jaccard as the weakest agreement bucket
+    assert(rows.last.getDouble(3) >= rows.head.getDouble(3),
+      "calibration not directionally consistent")
+  }
 }
