@@ -209,5 +209,55 @@ object MixOps {
           col("c_mktsegment").as("canonical_segment"),
           round(col("c").cast("double") / col("group_size"), 6).as("vote_share"),
           col("survivor_name"), col("max_bal"))
+    },
+
+    // ---- DD56: cross-source duplication matrix ----------------------------
+    QueryDef(
+      "dd56_source_overlap",
+      "Data-card source-overlap matrix: per unordered source pair, how many 8-word-prefix document fingerprints they share (the cross-provider duplication a mixture planner must not double-count) — fingerprint groups are source-bounded (<=20), so the per-fingerprint pair fan-out is capped and the matrix build is one fingerprint-keyed self-join; per-source totals broadcast",
+      Some("""
+        WITH fs AS (
+          SELECT DISTINCT array_to_string(string_split(text, ' ')[1:8], ' ') AS fp,
+                 source
+          FROM documents
+        ),
+        cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS nf FROM fs GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, shared, ca.nf AS nf_a, cb.nf AS nf_b,
+               round(CAST(shared AS DOUBLE) / (ca.nf + cb.nf - shared), 6) AS overlap
+        FROM pairs
+        JOIN cnt ca ON source_a = ca.source
+        JOIN cnt cb ON source_b = cb.source
+      """)) { (s, dir) =>
+      // Same scale law as every fingerprint op here: the corpus is touched
+      // once to build (fp, source) pairs, the self-join fans out only
+      // within a fingerprint's source set (bounded by the source count,
+      // not the corpus), and everything after the pair groupBy is a
+      // source-pair-bounded relation joined against a broadcast 20-row
+      // count table. Prefix fingerprints (not exact-text md5) because
+      // cross-provider duplicates in the wild are near-dups: shared
+      // openings with divergent tails.
+      val fs = t(s, dir, "documents")
+        .select(array_join(slice(split(col("text"), " "), 1, 8), " ").as("fp"),
+          col("source"))
+        .distinct()
+        .cache()
+      val cnt = fs.groupBy(col("source")).agg(count(lit(1)).as("nf"))
+      val pairs = fs.as("a").join(fs.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      val ca = broadcast(cnt.select(col("source").as("source_a"), col("nf").as("nf_a")))
+      val cb = broadcast(cnt.select(col("source").as("source_b"), col("nf").as("nf_b")))
+      pairs.join(ca, Seq("source_a")).join(cb, Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("shared"),
+          col("nf_a"), col("nf_b"),
+          round(col("shared").cast("double") /
+            (col("nf_a") + col("nf_b") - col("shared")), 6).as("overlap"))
     })
 }

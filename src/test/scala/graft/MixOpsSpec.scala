@@ -57,6 +57,31 @@ class MixOpsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0))
   }
 
+  test("dd56: shared fingerprint counts match a direct set intersection per source pair") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dd56_source_overlap")(spark, sf001).collect()
+    assert(out.nonEmpty, "no cross-source overlap found at sf0.01")
+    val bySource = graft.core.Tables(spark, sf001, "documents")
+      .select(col("source"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("fp"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    out.foreach { r =>
+      val (sa, sb) = (bySource(r.getAs[String]("source_a")),
+        bySource(r.getAs[String]("source_b")))
+      val shared = (sa & sb).size
+      assert(r.getAs[Long]("shared") == shared,
+        s"${r.getAs[String]("source_a")}x${r.getAs[String]("source_b")}: " +
+          s"shared=${r.getAs[Long]("shared")} brute=$shared")
+      assert(r.getAs[Long]("nf_a") == sa.size && r.getAs[Long]("nf_b") == sb.size)
+    }
+    // every pair appears at most once and in canonical order
+    val keys = out.map(r =>
+      (r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    assert(keys.distinct.length == keys.length)
+    keys.foreach { case (x, y) => assert(x < y) }
+  }
+
   test("e7: the elected segment is a true mode of its cluster, recomputed directly") {
     import org.apache.spark.sql.functions._
     val out = q("e7_golden_record").collect()
