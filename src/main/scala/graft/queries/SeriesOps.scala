@@ -186,5 +186,42 @@ object SeriesOps {
           count(lit(1)).as("n"))
         .select(col("nation"), col("order_year"), col("gid"), col("total"),
           col("n"))
+    },
+
+    // ---- W22: calendar-aware RANGE-frame trailing sum --------------------
+    QueryDef(
+      "w22_range_frame_sum",
+      "Trailing 7-CALENDAR-day sum per event type via a RANGE frame over the day number — unlike a ROWS frame (w14), missing days shrink the window instead of silently stretching it across gaps; DECIMAL accumulation inside the frame, ONE type-keyed shuffle",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn,
+                 SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS v
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, CAST(d AS TIMESTAMP) AS day,
+               CAST(v AS DOUBLE) AS daily_value,
+               CAST(SUM(v) OVER w AS DOUBLE) AS trailing_7d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS days_in_frame
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      """)) { (s, dir) =>
+      // RANGE vs ROWS is a correctness distinction, not a style one: a
+      // ROWS 6-PRECEDING frame over a series with holes quietly sums 7
+      // OBSERVATIONS spanning arbitrarily many calendar days. Ordering
+      // the frame by day NUMBER makes the window calendar-true, and both
+      // engines evaluate integer RANGE frames with the same semantics.
+      // The frame sum stays in DECIMAL (order-free) until the output cast.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("dn"))
+        .agg(sum(round(col("value"), 2).cast("decimal(18,2)")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("dn")
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("d").cast("timestamp").as("day"),
+        col("v").cast("double").as("daily_value"),
+        sum(col("v")).over(w).cast("double").as("trailing_7d"),
+        count(lit(1)).over(w).cast("long").as("days_in_frame"))
     })
 }

@@ -86,6 +86,22 @@ class SeriesOpsSpec extends SparkTestBase {
       .map { case (k, rs) => k -> rs.toSeq.map(_.getDouble(2)) }
   }
 
+  test("w22: RANGE frame is calendar-true — brute-forced over each type's day series") {
+    val rows = q("w22_range_frame_sum").collect().groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val series = rs.map(r => (r.getTimestamp(1).getTime / 86400000L,
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+      series.foreach { case (day, _, trailing, inFrame) =>
+        val window = series.filter(s => s._1 >= day - 6 && s._1 <= day)
+        assert(inFrame == window.length, s"days_in_frame at $day")
+        assert(math.abs(trailing - window.map(_._2).sum) < 1e-6,
+          s"trailing sum at $day")
+        assert(inFrame <= 7)
+      }
+    }
+  }
+
   test("a22: CUBE grouping sets are mutually consistent") {
     val rows = q("a22_cube_grouping").collect()
     def slice(gid: Int): Array[Row] = rows.filter(_.getInt(2) == gid)
