@@ -223,5 +223,75 @@ object SeriesOps {
         col("v").cast("double").as("daily_value"),
         sum(col("v")).over(w).cast("double").as("trailing_7d"),
         count(lit(1)).over(w).cast("long").as("days_in_frame"))
+    },
+
+    // ---- W23: overlapping-interval coalescing ----------------------------
+    QueryDef(
+      "w23_interval_merge",
+      "Interval coalescing per supplier: each lineitem spans shipdate..shipdate+quantity%14 days; overlapping/touching spans merge into islands (new island when start > running max of prior ends), then per-supplier coverage stats — island detection, island rollup, and the final stats share ONE supplier-keyed exchange",
+      Some("""
+        WITH iv AS (
+          SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS s,
+                 CAST(l_shipdate AS DATE)
+                   + CAST(CAST(l_quantity AS BIGINT) % 14 AS INT) AS e
+          FROM lineitem WHERE l_suppkey % 25 = 0
+        ),
+        flagged AS (
+          SELECT supp, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY supp ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+                      THEN 0 ELSE 1 END AS is_new
+          FROM iv
+        ),
+        islands AS (
+          SELECT supp, s, e,
+                 SUM(is_new) OVER (PARTITION BY supp ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ),
+        spans AS (
+          SELECT supp, island, MIN(s) AS span_s, MAX(e) AS span_e,
+                 CAST(count(*) AS BIGINT) AS n_iv
+          FROM islands GROUP BY supp, island
+        )
+        SELECT supp, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(SUM(date_diff('day', span_s, span_e) + 1) AS BIGINT)
+                 AS covered_days,
+               CAST(MAX(date_diff('day', span_s, span_e) + 1) AS BIGINT)
+                 AS longest_span_days
+        FROM spans GROUP BY supp
+      """)) { (s, dir) =>
+      // The classic islands pattern at scale: "does this interval extend
+      // the current island" is a running MAX over prior ends — a frame
+      // Spark evaluates incrementally, never materializing the prefix —
+      // and the island id is a running SUM of the boundary flags. All
+      // three windows plus both rollups hash-partition on the supplier
+      // key, so the executed plan carries exactly one exchange; no
+      // interval self-join (the naive O(n^2) overlap formulation) ever
+      // appears.
+      val iv = t(s, dir, "lineitem").filter(col("l_suppkey") % 25 === 0)
+        .select(col("l_suppkey").as("supp"),
+          to_date(col("l_shipdate")).as("s"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_quantity").cast("long") % 14).cast("int")).as("e"))
+      val order = Window.partitionBy("supp").orderBy(col("s"), col("e"))
+      val prevMax = max(col("e"))
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = iv
+        .withColumn("is_new",
+          when(prevMax >= col("s"), 0L).otherwise(1L))
+        .withColumn("island",
+          sum(col("is_new")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      val spans = islands.groupBy(col("supp"), col("island"))
+        .agg(min(col("s")).as("span_s"), max(col("e")).as("span_e"),
+          count(lit(1)).as("n_iv"))
+      spans.groupBy(col("supp"))
+        .agg(sum(col("n_iv")).cast("long").as("n_intervals"),
+          count(lit(1)).as("n_spans"),
+          sum(datediff(col("span_e"), col("span_s")) + 1).cast("long")
+            .as("covered_days"),
+          max(datediff(col("span_e"), col("span_s")) + 1).cast("long")
+            .as("longest_span_days"))
     })
 }

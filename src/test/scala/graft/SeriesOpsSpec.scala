@@ -102,6 +102,42 @@ class SeriesOpsSpec extends SparkTestBase {
     }
   }
 
+  test("w23: merged spans match a sequential sweep over each supplier's intervals") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("w23_interval_merge")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    val ivs = graft.core.Tables(spark, sf0001, "lineitem")
+      .filter(col("l_suppkey") % 25 === 0)
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_quantity").cast("long") % 14).cast("int")).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDate(2).toLocalDate.toEpochDay))
+      .groupBy(_._1)
+    assert(ivs.keySet == out.keySet)
+    ivs.foreach { case (supp, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+      // sequential sweep merge
+      var spans = List.empty[(Long, Long)]
+      sorted.foreach { case (s0, e0) =>
+        spans match {
+          case (hs, he) :: rest if s0 <= he =>
+            spans = (hs, math.max(he, e0)) :: rest
+          case _ => spans = (s0, e0) :: spans
+        }
+      }
+      val r = out(supp)
+      assert(r.getLong(1) == rows.length, s"supp $supp n_intervals")
+      assert(r.getLong(2) == spans.length, s"supp $supp n_spans")
+      assert(r.getLong(3) == spans.map(sp => sp._2 - sp._1 + 1).sum,
+        s"supp $supp covered_days")
+      assert(r.getLong(4) == spans.map(sp => sp._2 - sp._1 + 1).max,
+        s"supp $supp longest_span")
+    }
+  }
+
   test("a22: CUBE grouping sets are mutually consistent") {
     val rows = q("a22_cube_grouping").collect()
     def slice(gid: Int): Array[Row] = rows.filter(_.getInt(2) == gid)
