@@ -104,6 +104,7 @@ object Planner {
     DimRule("language", "lang", "documents", "documents", "documents"),
     DimRule("source", "source", "documents", "documents", "documents"),
     // col resolved from the date column for the derived time dims
+    DimRule("day", "", "events", "events", "events"),
     DimRule("month", "", "orders", "orders", "orders"),
     DimRule("year", "", "orders", "orders", "orders"))
 
@@ -113,6 +114,9 @@ object Planner {
     case "year" => s"year(${dateCols.getOrElse(table, "o_orderdate")})"
     case "month" =>
       s"date_format(${dateCols.getOrElse(table, "o_orderdate")}, 'yyyy-MM')"
+    case "day" =>
+      // a STRING day, not a DATE: both engines then emit the same dtype
+      s"date_format(${dateCols.getOrElse(table, "o_orderdate")}, 'yyyy-MM-dd')"
     case _ => d.col
   }
 
@@ -121,7 +125,7 @@ object Planner {
     * fact is only the no-table-mentioned default — while entity dims own
     * their fact/join chain. */
   private def dimFactFrom(q: String, d: DimRule): (String, String) =
-    if (d.kw == "year" || d.kw == "month") {
+    if (d.kw == "year" || d.kw == "month" || d.kw == "day") {
       val t = matchTable(q)
       // a dateless table ("nations by year") falls back to the dim's
       // default fact rather than planning year() over a missing column
@@ -378,7 +382,7 @@ object Planner {
       if d2.kw != d1.kw
     } yield (d1, d2)).nextOption()
     pair.flatMap { case (d1, d2) =>
-      val timeKw = Set("year", "month")
+      val timeKw = Set("year", "month", "day")
       val entityDims = Seq(d1, d2).filterNot(d => timeKw(d.kw))
       val fact = entityDims match {
         case Seq() => None // "by year and month" — no fact anchor, skip
@@ -423,10 +427,11 @@ object Planner {
       val fact = matchTable(m.group(1))
       val per = m.group(2).trim
       val keyOpt =
-        if (per.startsWith("year") || per.startsWith("month"))
+        if (Seq("year", "month", "day").exists(per.startsWith))
           dateCols.get(fact).map(dc =>
             if (per.startsWith("year")) s"year($dc)"
-            else s"date_format($dc, 'yyyy-MM')")
+            else if (per.startsWith("month")) s"date_format($dc, 'yyyy-MM')"
+            else s"date_format($dc, 'yyyy-MM-dd')")
         else perKeys.collectFirst {
           case ((f, kw), key) if f == fact && per.startsWith(kw) => key
         }

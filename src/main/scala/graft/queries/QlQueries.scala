@@ -660,5 +660,21 @@ object QlQueries {
       "75th percentile of documents by language",
       """SELECT lang AS grp, COUNT(*) AS n,
                 round(quantile_cont(n_chars, 0.75), 6) AS p75_value
-         FROM documents GROUP BY 1""")())
+         FROM documents GROUP BY 1""")(),
+
+    // ---- derived DAY dimension -----------------------------------------------------------------
+    planned(
+      "ql_events_per_day",
+      "NL grouped count over the derived calendar-day dimension (string day keys, engine-dtype-stable)",
+      "count of events by day",
+      """SELECT strftime(ts, '%Y-%m-%d') AS grp, COUNT(*) AS n
+         FROM events GROUP BY 1""")(),
+
+    // ---- derived DAY dimension composed with a category filter ---------------------------------
+    planned(
+      "ql_clicks_per_day",
+      "NL day grouping composed with an event-category filter",
+      "count of click events by day",
+      """SELECT strftime(ts, '%Y-%m-%d') AS grp, COUNT(*) AS n
+         FROM events WHERE event_type = 'click' GROUP BY 1""")())
 }

@@ -571,7 +571,14 @@ class CorpusSpec extends SparkTestBase {
     "stddev of event values",
     "standard deviation of order value in 1996",
     "median order value in 1997",
-    "90th percentile of order value by year")
+    "90th percentile of order value by year",
+    // derived day dimension
+    "count of events by day",
+    "events per day",
+    "count of click events by day",
+    "average event value by day",
+    "total order value by day",
+    "average number of events per day")
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++

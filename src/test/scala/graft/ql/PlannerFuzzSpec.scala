@@ -51,6 +51,7 @@ class PlannerFuzzSpec extends SparkTestBase {
     "between 50000 and 150000", "with value between 100 and 200",
     "by status and year", "by language and source",
     "by event type and month", "per user", "per source", "date",
+    "by day", "per day",
     "in the last 99999999999 days", "over 99999999999999999999",
     "between 99999999999 and 999999999999")
 
