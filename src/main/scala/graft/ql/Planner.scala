@@ -899,6 +899,13 @@ object Planner {
       q: String, table: String, from: String, where: String): String = {
     val s = q.toLowerCase
     dims.filter(_.kw != "year").find(d => s.contains(d.kw)) match {
+      case Some(d) if d.col.isEmpty =>
+        // derived time dim ("how many different days/months"): distinct
+        // formatted keys over the matched table's date column (fuzz-caught:
+        // the raw d.col is empty for time dims → COUNT(DISTINCT ) otherwise)
+        val (t2, from2) = dimFactFrom(q, d)
+        val w2 = if (t2 == table) where else ""
+        s"SELECT COUNT(DISTINCT ${groupExpr(d, t2)}) AS n FROM $from2$w2"
       case Some(d) if d.table != table =>
         s"SELECT COUNT(DISTINCT ${d.col}) AS n FROM ${d.table}"
       case Some(d) =>

@@ -676,5 +676,12 @@ object QlQueries {
       "NL day grouping composed with an event-category filter",
       "count of click events by day",
       """SELECT strftime(ts, '%Y-%m-%d') AS grp, COUNT(*) AS n
-         FROM events WHERE event_type = 'click' GROUP BY 1""")())
+         FROM events WHERE event_type = 'click' GROUP BY 1""")(),
+
+    // ---- distinct count over a derived time dim (fuzz-caught path) -----------------------------
+    planned(
+      "ql_distinct_days",
+      "NL distinct-cardinality count over the derived day dimension",
+      "how many different days have events",
+      "SELECT COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n FROM events")())
 }

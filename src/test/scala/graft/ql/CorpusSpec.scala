@@ -578,7 +578,9 @@ class CorpusSpec extends SparkTestBase {
     "count of click events by day",
     "average event value by day",
     "total order value by day",
-    "average number of events per day")
+    "average number of events per day",
+    "how many different days have events",
+    "how many unique months have orders")
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
