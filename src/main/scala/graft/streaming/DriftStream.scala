@@ -44,6 +44,14 @@ final class DriftMonitor(
 
   def currentHistogram: DataFrame = spark.read.parquet(curPath(version))
 
+  /** Resume from the latest committed histogram version on disk. */
+  def recover(): Int = synchronized {
+    version = VersionedState.latestCommitted(workDir, Seq("cur"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed drift state under $workDir"))
+    version
+  }
+
   /** One micro-batch: add the batch's bucket counts into the running
     * histogram. Outer-join merge on the <=k-row state — delta-bounded. */
   def applyBatch(batch: DataFrame, valueCol: String): Unit = synchronized {

@@ -60,6 +60,16 @@ final class FunnelMaintainer(spark: SparkSession, workDir: String) {
   def eventLog: DataFrame = spark.read.parquet(logPath)
   def funnel: DataFrame = spark.read.parquet(funnelPath(version))
 
+  /** Resume from the latest committed funnel version on disk (the event
+    * log is append-only — parquet appends are file-atomic — so only the
+    * funnel table is versioned). */
+  def recover(): Int = synchronized {
+    version = VersionedState.latestCommitted(workDir, Seq("funnel"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed funnel state under $workDir"))
+    version
+  }
+
   /** One micro-batch: append the events, recompute the cascade for the
     * touched users only, splice their funnel rows. */
   def applyBatch(batch: DataFrame): Unit = synchronized {

@@ -43,6 +43,15 @@ final class GoldMaintainer(
   def fact: DataFrame = spark.read.parquet(factPath(version))
   def gold: DataFrame = spark.read.parquet(goldPath(version))
 
+  /** Resume from the latest fully-committed (fact AND gold) version on
+    * disk; a torn version from a crash between the two writes is skipped. */
+  def recover(): Int = synchronized {
+    version = VersionedState.latestCommitted(workDir, Seq("fact", "gold"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed gold state under $workDir"))
+    version
+  }
+
   /** One micro-batch: child-replace the touched parents in the fact
     * state, then splice ONLY those parents' recomputed gold rows. */
   def applyBatch(batch: DataFrame): Unit = synchronized {

@@ -33,6 +33,16 @@ final class IndexMaintainer(spark: SparkSession, workDir: String) {
   def postingsState: DataFrame = spark.read.parquet(postingsPath(version))
   def index: DataFrame = spark.read.parquet(indexPath(version))
 
+  /** Resume from the latest fully-committed (postings AND index) version
+    * on disk — a restarted maintainer continues where the crashed one
+    * stopped; a torn version (postings written, index not) is skipped. */
+  def recover(): Int = synchronized {
+    version = VersionedState.latestCommitted(workDir, Seq("postings", "index"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index state under $workDir"))
+    version
+  }
+
   /** One micro-batch of documents(doc_id, text): splice postings, refresh
     * only the touched terms' index rows. */
   def applyBatch(batch: DataFrame): Unit = synchronized {

@@ -1,0 +1,31 @@
+package graft.streaming
+
+/** Crash recovery for the parquet-versioned maintainers
+  * (Gold/Funnel/Index/Drift): state directories are written as
+  * `<prefix>_v<N>` with parquet's `_SUCCESS` marker, so the latest
+  * COMMITTED version is discoverable from the filesystem alone — a
+  * restarted maintainer resumes from it instead of losing its place
+  * with the in-memory counter.
+  *
+  * A multi-table version (postings+index, fact+gold) is committed only
+  * when EVERY table of that version has its marker: a crash between the
+  * two writes leaves a torn version that recovery must skip.
+  */
+object VersionedState {
+
+  private def versionsOf(workDir: String, prefix: String): Seq[Int] = {
+    val base = new java.io.File(workDir)
+    Option(base.list()).toSeq.flatten
+      .filter(_.startsWith(prefix + "_v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix + "_v").toInt).toOption)
+      .filter(v => new java.io.File(base, s"${prefix}_v$v/_SUCCESS").exists)
+  }
+
+  /** Highest version for which every named state table is fully written
+    * (has its `_SUCCESS` marker). None when no complete version exists. */
+  def latestCommitted(workDir: String, prefixes: Seq[String]): Option[Int] =
+    prefixes
+      .map(p => versionsOf(workDir, p).toSet)
+      .reduceOption(_ intersect _)
+      .flatMap(_.maxOption)
+}
