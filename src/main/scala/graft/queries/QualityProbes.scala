@@ -114,5 +114,29 @@ object QualityProbes {
         .agg(max(col("run_len")).as("max_run"),
           sum(when(col("run_len") >= 2, 1L).otherwise(0L)).as("n_repeat_runs"),
           (max(col("run_len")) >= 3).as("is_loopy"))
+    },
+
+    // ---- DD57: Count-Min sketch calibration (rows-only; no DuckDB CMS) ---
+    QueryDef(
+      "dd57_cms_calibration",
+      "Count-Min sketch frequency estimates vs exact counts for the 20 heaviest users: the streaming-friendly point-query sketch (eps=0.001, conf=0.99, fixed seed) built distributed via mergeable per-partition sketches, probed only for the exact top-20 — CMS never underestimates, and the observed overestimate IS the calibration a capacity planner reads",
+      None) { (s, dir) =>
+      // Distributed build: df.stat.countMinSketch tree-aggregates
+      // per-partition sketches (element-wise addition is commutative, so
+      // partition order cannot change the result; the seed pins the hash
+      // functions). Only the fixed-size sketch and 20 probe rows ever
+      // reach the driver — the same shape at 100 TB.
+      val ev = t(s, dir, "events")
+      val cms = ev.stat.countMinSketch(
+        "user_id", eps = 0.001, confidence = 0.99, seed = 42)
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+        .collect()
+      val rows = top.map { r =>
+        val est = cms.estimateCount(r.getLong(0))
+        (r.getLong(0), r.getLong(1), est, est - r.getLong(1))
+      }.toSeq
+      import s.implicits._
+      rows.toDF("user_id", "exact_n", "cms_n", "overestimate")
     })
 }

@@ -24,6 +24,24 @@ class QualityProbesSpec extends SparkTestBase {
     assert(curSum > 0.8 && curSum <= 1.0 + 1e-6, s"cur shares sum $curSum")
   }
 
+  test("dd57: CMS never underestimates and stays inside the eps*N error budget") {
+    val rows = q("dd57_cms_calibration").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val n = graft.core.Tables(spark, sf0001, "events").count()
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS underestimated user ${r.getLong(0)}")
+      assert(over == est - exact)
+      // eps=0.001: with prob >= conf the error is <= eps * N; allow 3x
+      // slack so the spec tests the mechanism, not the tail probability
+      assert(over <= math.max(3, (0.003 * n).toLong),
+        s"overestimate $over outside budget for N=$n")
+    }
+    // determinism: a second build with the same seed gives identical rows
+    val again = q("dd57_cms_calibration").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("dd54: max run lengths match a direct per-doc scan") {
     val out = q("dd54_token_runs").collect()
       .map(r => r.getLong(0) -> r).toMap
