@@ -345,5 +345,104 @@ object SearchRank {
         .groupBy(col("doc_id"))
         .agg(round(sum(col("c")).cast("double"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ---- IR7: best-window snippet extraction -----------------------------
+    QueryDef(
+      "ir7_snippet_extraction",
+      "Search-result snippets: for each BM25 top-10 doc, the 15-token window holding the most query-term hits (earliest wins ties) — hit positions come from ONE token pass over the candidate-pruned corpus, the densest window is a RANGE +14 FOLLOWING frame over hit positions (never a window self-join), and the snippet text is an array slice of the already-split doc",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        contrib AS (
+          SELECT tf.doc_id,
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9)) AS c
+          FROM tf JOIN qterms q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        ),
+        cand AS (
+          SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+          FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+        ),
+        arrs AS (
+          SELECT d.doc_id, string_split(d.text, ' ') AS arr
+          FROM documents d JOIN cand ON d.doc_id = cand.doc_id
+        ),
+        hits AS (
+          SELECT a.doc_id, i.g AS p
+          FROM arrs a, LATERAL unnest(generate_series(1, len(arr))) AS i(g)
+          WHERE arr[i.g] IN (SELECT w FROM qterms)
+        ),
+        win AS (
+          SELECT doc_id, p,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                        RANGE BETWEEN CURRENT ROW AND 14 FOLLOWING) AS BIGINT)
+                   AS win_hits
+          FROM hits
+        ),
+        best AS (
+          SELECT doc_id, p AS best_start, win_hits,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY win_hits DESC, p) AS rn
+          FROM win
+        )
+        SELECT cand.doc_id, cand.bm25, b.best_start, b.win_hits,
+               array_to_string(a.arr[b.best_start : b.best_start + 14], ' ')
+                 AS snippet
+        FROM cand
+        JOIN best b ON cand.doc_id = b.doc_id AND b.rn = 1
+        JOIN arrs a ON cand.doc_id = a.doc_id
+      """)) { (s, dir) =>
+      // Stage 2 never rescans the corpus: candidate ids broadcast into a
+      // semi-join prune, positions explode only for 10 docs, and the
+      // densest-window scan is a RANGE frame (hit positions are integers,
+      // so "hits within the next 14 tokens" is frame arithmetic, not a
+      // positions self-join). Both engines index the split array 1-based
+      // here (posexplode is 0-based → +1), making best_start and the
+      // slice cross-engine identical.
+      val tf = tok(s, dir).groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = df.orderBy(col("df").desc, col("w")).limit(3)
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val cand = tf.join(broadcast(qterms), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .cache()
+      val arrs = t(s, dir, "documents")
+        .join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      val hits = arrs
+        .select(col("doc_id"), posexplode(col("arr")).as(Seq("p0", "w")))
+        .join(broadcast(qterms.select(col("w"))), Seq("w"))
+        .select(col("doc_id"), (col("p0") + 1).as("p"))
+      val winFrame = Window.partitionBy("doc_id").orderBy("p")
+        .rangeBetween(Window.currentRow, 14)
+      val best = hits
+        .withColumn("win_hits", count(lit(1)).over(winFrame))
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("win_hits").desc, col("p"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("p").cast("long").as("best_start"),
+          col("win_hits").cast("long").as("win_hits"))
+      cand.join(best, Seq("doc_id"))
+        .join(arrs, Seq("doc_id"))
+        .select(col("doc_id"), col("bm25"), col("best_start"), col("win_hits"),
+          array_join(slice(col("arr"), col("best_start").cast("int"), lit(15)), " ")
+            .as("snippet"))
     })
 }

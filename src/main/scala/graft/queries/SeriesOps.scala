@@ -293,5 +293,50 @@ object SeriesOps {
             .as("covered_days"),
           max(datediff(col("span_e"), col("span_s")) + 1).cast("long")
             .as("longest_span_days"))
+    },
+
+    // ---- W24: year-over-year growth --------------------------------------
+    QueryDef(
+      "w24_yoy_growth",
+      "Year-over-year revenue growth per nation: DECIMAL yearly sums, lag over the nation-keyed year series, growth vs the previous RECORDED year (first year NULL) — the yearly rollup and the lag share one nation-keyed exchange; nation broadcasts into the FK join",
+      Some("""
+        WITH yearly AS (
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        )
+        SELECT nation, yr, CAST(rev AS DOUBLE) AS revenue,
+               CAST(lag(rev) OVER w AS DOUBLE) AS prev_revenue,
+               round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE)) * 100
+                     / CAST(lag(rev) OVER w AS DOUBLE), 6) AS yoy_pct
+        FROM yearly
+        WINDOW w AS (PARTITION BY nation ORDER BY yr)
+      """)) { (s, dir) =>
+      // The report every warehouse ships: the growth lag rides the SAME
+      // nation partitioning the yearly rollup produced, so no second
+      // exchange; sums stay DECIMAL until the output cast and the growth
+      // arithmetic is written operand-for-operand identically in both
+      // engines. "Previous RECORDED year" (lag), not calendar-previous —
+      // a gap year compares against the last year that had orders.
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          year(col("o_orderdate")).cast("int").as("yr"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation")))
+      val yearly = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(nat, c("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("nation"), col("yr"))
+        .agg(sum(col("price")).as("rev"))
+      val w = Window.partitionBy("nation").orderBy("yr")
+      val prev = lag(col("rev"), 1).over(w).cast("double")
+      yearly.select(col("nation"), col("yr"),
+        col("rev").cast("double").as("revenue"),
+        prev.as("prev_revenue"),
+        round((col("rev").cast("double") - prev) * 100 / prev, 6).as("yoy_pct"))
     })
 }

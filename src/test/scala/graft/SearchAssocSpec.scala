@@ -217,6 +217,33 @@ class SearchAssocSpec extends SparkTestBase {
     assert(scores.forall(_ > 0))
   }
 
+  test("ir7: the chosen window is the densest — brute-forced per candidate doc") {
+    val out = run("ir7_snippet_extraction").collect()
+    assert(out.length == 10)
+    // recompute query terms (top-3 df) and each doc's best window directly
+    val toks = graft.core.Tables(spark, sf001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val dfCounts = toks.values
+      .flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val qterms = dfCounts.toSeq.sortBy { case (w, d) => (-d, w) }.take(3)
+      .map(_._1).toSet
+    out.foreach { r =>
+      val arr = toks(r.getLong(0))
+      val hitPos = arr.zipWithIndex.collect {
+        case (w, i) if qterms(w) => i + 1
+      }
+      val windows = hitPos.map(p => (p, hitPos.count(q0 => q0 >= p && q0 <= p + 14)))
+      val bestHits = windows.map(_._2).max
+      val bestStart = windows.filter(_._2 == bestHits).map(_._1).min
+      assert(r.getLong(2) == bestStart, s"doc ${r.getLong(0)} best_start")
+      assert(r.getLong(3) == bestHits, s"doc ${r.getLong(0)} win_hits")
+      // the emitted snippet is exactly the 15-token slice at best_start
+      val snippet = arr.slice(bestStart - 1, bestStart - 1 + 15).mkString(" ")
+      assert(r.getString(4) == snippet, s"doc ${r.getLong(0)} snippet text")
+    }
+  }
+
   test("dd52: candidates are non-adjacent and common counts match brute-force neighbor intersection") {
     val out = run("dd52_link_jaccard").collect()
     assert(out.length == 20)

@@ -138,6 +138,26 @@ class SeriesOpsSpec extends SparkTestBase {
     }
   }
 
+  test("w24: growth percentages reproduce from the yearly revenue series") {
+    val rows = SparkEntry.queries("w24_yoy_growth")(spark, sf0001).collect()
+      .groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getInt(1))
+      assert(series.head.isNullAt(3) && series.head.isNullAt(4),
+        "first recorded year must have no prior")
+      series.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(math.abs(cur.getDouble(3) - prev.getDouble(2)) < 1e-9,
+            "prev_revenue chain broken")
+          val expect = (cur.getDouble(2) - prev.getDouble(2)) * 100 /
+            prev.getDouble(2)
+          assert(math.abs(cur.getDouble(4) - expect) < 1e-6, "yoy mismatch")
+        case _ =>
+      }
+    }
+  }
+
   test("a22: CUBE grouping sets are mutually consistent") {
     val rows = q("a22_cube_grouping").collect()
     def slice(gid: Int): Array[Row] = rows.filter(_.getInt(2) == gid)
