@@ -108,6 +108,9 @@ object Planner {
     DimRule("month", "", "orders", "orders", "orders"),
     DimRule("year", "", "orders", "orders", "orders"))
 
+  /** The derived time dims (empty raw col; resolved via [[groupExpr]]). */
+  private val timeKw = Set("year", "month", "day")
+
   /** Grouping expression for a dim on `table` — time dims derive from the
     * table's date column ("year" → year(dc), "month" → 'yyyy-MM'). */
   private def groupExpr(d: DimRule, table: String): String = d.kw match {
@@ -382,7 +385,6 @@ object Planner {
       if d2.kw != d1.kw
     } yield (d1, d2)).nextOption()
     pair.flatMap { case (d1, d2) =>
-      val timeKw = Set("year", "month", "day")
       val entityDims = Seq(d1, d2).filterNot(d => timeKw(d.kw))
       val fact = entityDims match {
         case Seq() => None // "by year and month" — no fact anchor, skip
@@ -588,7 +590,10 @@ object Planner {
         "(most|fewest|least|highest|largest|lowest|smallest)\\b").r.findFirstMatchIn(s)
       d <- dims.find(dr => m.group(1).contains(dr.kw))
       entity = matchTable(s.substring(m.end))
-      if d.table == entity || joinPaths.contains((entity, d.table))
+      // time dims group any DATED entity; entity dims need ownership or
+      // an FK path
+      if (timeKw(d.kw) && dateCols.contains(entity)) ||
+        d.table == entity || joinPaths.contains((entity, d.table))
     } yield {
       val sup = m.group(2)
       val metric = if (Seq("most", "fewest", "least").contains(sup)) "n" else "total"
@@ -611,9 +616,12 @@ object Planner {
       // "-ies" plurals don't contain their "-y" singular ("priorities")
       d <- dims.find(dr => m.group(1).replaceAll("ies\\b", "y").contains(dr.kw))
       entity = matchTable(m.group(4))
-      if d.table == entity || joinPaths.contains((entity, d.table))
+      if (timeKw(d.kw) && dateCols.contains(entity)) ||
+        d.table == entity || joinPaths.contains((entity, d.table))
     } yield {
-      val from = if (d.table == entity) entity else joinPaths((entity, d.table))
+      val from =
+        if (timeKw(d.kw) || d.table == entity) entity
+        else joinPaths((entity, d.table))
       val joined = if (from == entity) Nil else Seq(d.table)
       val op = if (m.group(2) == "more") ">" else "<"
       val days = extractDateRange(q)
@@ -627,8 +635,12 @@ object Planner {
       })
       val conds = dateCond.toSeq ++ statusN.map(_._1).toSeq
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
-      val sql = s"SELECT ${d.col} AS grp, COUNT(*) AS n FROM $from$where " +
-        s"GROUP BY ${d.col} HAVING COUNT(*) $op ${m.group(3)}"
+      // groupExpr for the same reason as planWhichGroup: "which months
+      // have more than N orders" must group the formatted date, not the
+      // time dims' empty raw col
+      val g = groupExpr(d, entity)
+      val sql = s"SELECT $g AS grp, COUNT(*) AS n FROM $from$where " +
+        s"GROUP BY $g HAVING COUNT(*) $op ${m.group(3)}"
       Plan("having", entity, needsAggregation = true, limit = 100, sql,
         yearRange = years, statusFilter = statusN.map(_._1),
         groupDim = Some(d.kw), joined = joined,
@@ -806,13 +818,19 @@ object Planner {
 
   private def planWhichGroup(
       q: String, d: DimRule, entity: String, metric: String, dir: String): Plan = {
-    val from = if (d.table == entity) entity else joinPaths((entity, d.table))
+    val from =
+      if (timeKw(d.kw) || d.table == entity) entity
+      else joinPaths((entity, d.table))
     val joined = if (from == entity) Nil else Seq(d.table)
     val (where, years, status, yearApplied, negated) =
       buildWhere(q, "which", entity, joined)
     val num = numericCols.getOrElse(entity, "1")
-    val sql = s"SELECT ${d.col} AS grp, COUNT(*) AS n, SUM($num) AS total " +
-      s"FROM $from$where GROUP BY ${d.col} ORDER BY $metric $dir, grp LIMIT 1"
+    // groupExpr, not d.col: the derived time dims ("which year has the
+    // most orders") carry an empty col and must resolve onto the
+    // entity's date column
+    val g = groupExpr(d, entity)
+    val sql = s"SELECT $g AS grp, COUNT(*) AS n, SUM($num) AS total " +
+      s"FROM $from$where GROUP BY $g ORDER BY $metric $dir, grp LIMIT 1"
     Plan("which_group", entity, needsAggregation = true, limit = 1, sql,
       yearRange = years, statusFilter = status, groupDim = Some(d.kw),
       joined = joined, yearApplied = yearApplied, negated = negated,

@@ -683,5 +683,23 @@ object QlQueries {
       "ql_distinct_days",
       "NL distinct-cardinality count over the derived day dimension",
       "how many different days have events",
-      "SELECT COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n FROM events")())
+      "SELECT COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n FROM events")(),
+
+    // ---- which-group superlative over a derived time dim ---------------------------------------
+    planned(
+      "ql_which_year",
+      "NL 'which year has the most orders' — the time dim resolves through groupExpr (the raw dim col is empty)",
+      "which year has the most orders",
+      """SELECT CAST(year(o_orderdate) AS INT) AS grp, COUNT(*) AS n,
+                round(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY COUNT(*) DESC, grp LIMIT 1""")(
+      _.withColumn("total", round(col("total"), 2))),
+
+    // ---- HAVING over a derived time dim --------------------------------------------------------
+    planned(
+      "ql_having_months",
+      "NL HAVING over the derived month dimension",
+      "which months have more than 100 orders",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS grp, COUNT(*) AS n
+         FROM orders GROUP BY 1 HAVING COUNT(*) > 100""")())
 }

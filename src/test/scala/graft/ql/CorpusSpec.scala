@@ -580,7 +580,11 @@ class CorpusSpec extends SparkTestBase {
     "total order value by day",
     "average number of events per day",
     "how many different days have events",
-    "how many unique months have orders")
+    "how many unique months have orders",
+    "which year has the most orders",
+    "which day has the most events",
+    "which months have more than 10 orders",
+    "which days have more than 5 events")
 
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
