@@ -586,13 +586,55 @@ class CorpusSpec extends SparkTestBase {
     "which months have more than 10 orders",
     "which days have more than 5 events")
 
+  /** Round-6 widening: more phrasings per existing category, including
+    * the time-dim which-group/having paths and stat metrics over joins. */
+  private val moreCoverage = Seq(
+    "how many orders were placed since 1998",
+    "count view events in 2024",
+    "how many english documents are there",
+    "count orders in february 1996",
+    "average account balance",
+    "minimum order value",
+    "maximum event value",
+    "total revenue in 1998",
+    "total event value by day",
+    "average document size by source",
+    "total order value by month in 1997",
+    "count orders by month",
+    "count events by day in 2024",
+    "count orders per priority in 1996",
+    "show the most recent orders first",
+    "list click events",
+    "top 2 suppliers by total shipment value",
+    "top 4 customers per segment",
+    "which month has the most events",
+    "which day has the most clicks",
+    "which segment has the lowest customer balance",
+    "median line item value",
+    "median event value in 2024",
+    "75th percentile of order value by nation",
+    "standard deviation of document sizes by language",
+    "which priorities have more than 50 orders",
+    "which event types have more than 100 events",
+    "count documents that are not english",
+    "how many events are not clicks",
+    "count orders worth more than 200000",
+    "how many events with value over 400",
+    "customers with balance below 0",
+    "orders with customer names in 1996",
+    "median order value by year",
+    "25th percentile of event values by event type",
+    "how many unique days have clicks",
+    "which nations have fewer than 80 customers",
+    "total order value by day in 1996")
+
   private val corpus: Seq[String] =
     counts ++ globalAggs ++ groupedAggs ++ groupedCounts ++ lists ++ topN ++
       topKByMetric ++ topKPerGroup ++ whichGroup ++ superlatives ++
       searches ++ dateRanges ++ dayRanges ++ orderedLists ++
       statusFilters ++ negations ++ combos ++ joins ++ joinCombos ++
       multiConstraint ++ metricAggs ++ thresholds ++ distinctCounts ++
-      morePhrasings ++ statMetrics
+      morePhrasings ++ statMetrics ++ moreCoverage
 
   test("corpus has at least 371 questions (the reference contract size) with no duplicates") {
     assert(corpus.size >= 371, s"corpus has ${corpus.size} questions")
