@@ -509,5 +509,97 @@ object AnnSearch {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           p => p.getField("cx")).as("cv"))
       assign(c1).select(col("vec_id"), col("cluster"))
+    },
+
+    // ---- E5e: ANN recall evaluation (LSH vs brute-force truth) -----------
+    QueryDef(
+      "e5_ann_recall",
+      "ANN quality audit: per-query recall@3 of the multi-probe sign-LSH candidate strategy against the exact brute-force top-3 — the accuracy/cost trade an ANN deployment is tuned on, computed by joining the two already-deterministic top-k frames; truth pays the same broadcast-query brute pass as e5_ann_bruteforce, the LSH side the same 5/16-corpus probe join as e5_ann_lsh",
+      Some(s"""
+        WITH $vecSql,
+        bucketed AS (
+          SELECT vec_id, v, norm,
+                 CAST(CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN v[17] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN v[33] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN v[49] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+          FROM vecs
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, bucket
+              FROM bucketed WHERE vec_id % 100 = 0),
+        probes AS (
+          SELECT q_id, qv, qn, CAST(xor(bucket, flip) AS INTEGER) AS probe_bucket
+          FROM q, UNNEST([0, 1, 2, 4, 8]) AS f(flip)
+        ),
+        lsh_top AS (
+          SELECT q_id, cand_id FROM (
+            SELECT p.q_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.q_id
+                     ORDER BY round(list_dot_product(p.qv, c.v) / (p.qn * c.norm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM probes p JOIN bucketed c
+              ON c.bucket = p.probe_bucket AND c.vec_id <> p.q_id
+          ) WHERE rn <= 3
+        ),
+        truth_top AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.q_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                     ORDER BY round(list_dot_product(q.qv, c.v) / (q.qn * c.norm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM q JOIN vecs c ON c.vec_id <> q.q_id
+          ) WHERE rn <= 3
+        )
+        SELECT t.q_id, CAST(count(*) AS BIGINT) AS truth_k,
+               CAST(SUM(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS found,
+               round(SUM(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS recall3
+        FROM truth_top t
+        LEFT JOIN lsh_top l ON t.q_id = l.q_id AND t.cand_id = l.cand_id
+        GROUP BY t.q_id
+      """)) { (s, dir) =>
+      // The eval costs what the two searches cost — both top-3 frames are
+      // the same plans as e5_ann_bruteforce / e5_ann_lsh (query set
+      // broadcast; corpus never shuffles) — plus a query-bounded join of
+      // two <=3k-row relations. Per-query recall (not one global mean)
+      // because the failure mode that matters is QUERIES the probe set
+      // misses entirely, which a mean hides.
+      val bits = lshBitsOf(s)
+      val bucketed = withVec(t(s, dir, "embeddings"))
+        .withColumn("bucket", signBucket(col("v"), bits))
+        .cache()
+      val q = bucketed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("norm").as("qn"), col("bucket"))
+      val flips = 0 +: (0 until bits).map(1 << _)
+      val probes = q
+        .select(col("q_id"), col("qv"), col("qn"),
+          explode(array(flips.map(lit): _*)).as("flip"), col("bucket"))
+        .select(col("q_id"), col("qv"), col("qn"),
+          col("bucket").bitwiseXOR(col("flip")).cast("int").as("probe_bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      val lshTop = bucketed.join(probes, col("bucket") === col("probe_bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      val truthTop = bucketed.crossJoin(broadcast(
+          q.select(col("q_id"), col("qv"), col("qn"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      truthTop.as("t")
+        .join(lshTop.as("l"),
+          col("t.q_id") === col("l.q_id") && col("t.cand_id") === col("l.cand_id"),
+          "left")
+        .groupBy(col("t.q_id").as("q_id"))
+        .agg(count(lit(1)).as("truth_k"),
+          sum(when(col("l.cand_id").isNotNull, 1L).otherwise(0L)).as("found"),
+          round(sum(when(col("l.cand_id").isNotNull, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 6).as("recall3"))
     })
 }

@@ -65,4 +65,23 @@ class ApproxSpec extends SparkTestBase {
       .map(q => (exact(q) & quant(q)).size.toDouble / 3).sum / exact.size
     assert(overlap >= 0.66, s"mean top-3 overlap $overlap")
   }
+
+  test("e5_ann_recall: the reported recall IS the truth/LSH top-3 intersection") {
+    val recall = SparkEntry.queries("e5_ann_recall")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(recall.nonEmpty)
+    def topSets(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf001).collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = topSets("e5_ann_bruteforce")
+    val lsh = topSets("e5_ann_lsh")
+    assert(recall.keySet == truth.keySet)
+    recall.foreach { case (q, r) =>
+      val inter = (truth(q) & lsh.getOrElse(q, Set.empty)).size
+      assert(r.getLong(1) == truth(q).size, s"q=$q truth_k")
+      assert(r.getLong(2) == inter, s"q=$q found=${r.getLong(2)} brute=$inter")
+      assert(math.abs(r.getDouble(3) - inter.toDouble / truth(q).size) < 1e-6)
+    }
+  }
 }
