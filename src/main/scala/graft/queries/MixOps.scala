@@ -259,5 +259,42 @@ object MixOps {
           col("nf_a"), col("nf_b"),
           round(col("shared").cast("double") /
             (col("nf_a") + col("nf_b") - col("shared")), 6).as("overlap"))
+    },
+
+    // ---- DD58: BPE first-merge mining -------------------------------------
+    QueryDef(
+      "dd58_bpe_pairs",
+      "Tokenizer bootstrap: the top-20 adjacent character pairs by corpus frequency — the first merge candidates BPE training would pick. Computed on the WORD VOCABULARY weighted by word counts (the standard BPE scalability move: pair statistics over distinct words x counts, never over the raw token stream), so the explode is vocabulary-bounded",
+      Some("""
+        WITH words AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE len(w) >= 2
+          GROUP BY w
+        ),
+        pairs AS (
+          SELECT substring(w, i.g, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS freq
+          FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS i(g)
+          GROUP BY 1
+        )
+        SELECT pair, freq FROM pairs ORDER BY freq DESC, pair LIMIT 20
+      """)) { (s, dir) =>
+      // Two vocabulary-bounded exchanges: the word-count groupBy (the only
+      // pass over the corpus) and the pair rollup; the top-20 rides
+      // TakeOrdered. At 100 TB the vocabulary is millions of rows where
+      // the token stream is trillions — BPE pair statistics on (distinct
+      // word, count) is what makes tokenizer training tractable, and the
+      // same shape iterates: apply the winning merge to the vocab column
+      // and re-run.
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words
+        .select(col("w"), col("wc"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("wc"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(20)
     })
 }

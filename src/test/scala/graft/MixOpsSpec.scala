@@ -82,6 +82,26 @@ class MixOpsSpec extends SparkTestBase {
     keys.foreach { case (x, y) => assert(x < y) }
   }
 
+  test("dd58: pair frequencies match a direct vocabulary sweep") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dd58_bpe_pairs")(spark, sf0001).collect()
+    assert(out.length == 20)
+    val vocab = graft.core.Tables(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val freqs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    vocab.foreach { case (w, c) =>
+      w.sliding(2).foreach(p => freqs(p) += c)
+    }
+    val expected = freqs.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+    out.zip(expected).foreach { case (r, (p, f)) =>
+      assert(r.getString(0) == p && r.getLong(1) == f,
+        s"got (${r.getString(0)},${r.getLong(1)}) want ($p,$f)")
+    }
+  }
+
   test("e7: the elected segment is a true mode of its cluster, recomputed directly") {
     import org.apache.spark.sql.functions._
     val out = q("e7_golden_record").collect()
