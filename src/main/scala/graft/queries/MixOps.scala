@@ -296,5 +296,57 @@ object MixOps {
         .select(expr("substring(w, i, 2)").as("pair"), col("wc"))
         .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
         .orderBy(col("freq").desc, col("pair")).limit(20)
+    },
+
+    // ---- DD59: train/test split leakage ------------------------------------
+    QueryDef(
+      "dd59_split_leakage",
+      "Eval-hygiene audit: near-duplicate (8-word-prefix fingerprint) documents that LEAK across dd12's hash splits — per split pair, the fingerprints present on both sides and the rate vs the smaller side; the reason splits must be assigned per dedup CLUSTER, not per document. One fingerprint-keyed self-join; split totals broadcast",
+      Some("""
+        WITH f AS (
+          SELECT DISTINCT array_to_string(string_split(text, ' ')[1:8], ' ') AS fp,
+                 CASE WHEN CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 204 THEN 'train'
+                      WHEN CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 230 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        cnt AS (SELECT split, CAST(count(*) AS BIGINT) AS nf FROM f GROUP BY 1),
+        pairs AS (
+          SELECT a.split AS split_a, b.split AS split_b,
+                 CAST(count(*) AS BIGINT) AS leaked
+          FROM f a JOIN f b ON a.fp = b.fp AND a.split < b.split
+          GROUP BY 1, 2
+        )
+        SELECT split_a, split_b, leaked, ca.nf AS nf_a, cb.nf AS nf_b,
+               round(leaked / CAST(LEAST(ca.nf, cb.nf) AS DOUBLE), 6) AS leakage_rate
+        FROM pairs
+        JOIN cnt ca ON split_a = ca.split
+        JOIN cnt cb ON split_b = cb.split
+      """)) { (s, dir) =>
+      // The detector that motivates cluster-aware splitting (dd11's
+      // components feeding dd12): a random per-document split puts
+      // near-identical docs on both sides of the eval boundary, and the
+      // benchmark silently measures memorization. Same capped-fan-out
+      // shape as dd56: fingerprint groups are split-bounded (<=3), the
+      // 3-row totals broadcast.
+      val b = conv(substring(md5(concat(lit("split#"), col("doc_id").cast("string"))),
+        1, 2), 16, 10).cast("long")
+      val f = t(s, dir, "documents")
+        .select(array_join(slice(split(col("text"), " "), 1, 8), " ").as("fp"),
+          when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+        .distinct()
+        .cache()
+      val cnt = f.groupBy(col("split")).agg(count(lit(1)).as("nf"))
+      val pairs = f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.split") < col("b.split"))
+        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+        .agg(count(lit(1)).as("leaked"))
+      val ca = broadcast(cnt.select(col("split").as("split_a"), col("nf").as("nf_a")))
+      val cb = broadcast(cnt.select(col("split").as("split_b"), col("nf").as("nf_b")))
+      pairs.join(ca, Seq("split_a")).join(cb, Seq("split_b"))
+        .select(col("split_a"), col("split_b"), col("leaked"),
+          col("nf_a"), col("nf_b"),
+          round(col("leaked") / least(col("nf_a"), col("nf_b")).cast("double"), 6)
+            .as("leakage_rate"))
     })
 }

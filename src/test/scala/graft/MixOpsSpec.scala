@@ -82,6 +82,26 @@ class MixOpsSpec extends SparkTestBase {
     keys.foreach { case (x, y) => assert(x < y) }
   }
 
+  test("dd59: leaked counts match a direct split-set intersection") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dd59_split_leakage")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val b = conv(substring(md5(concat(lit("split#"), col("doc_id").cast("string"))),
+      1, 2), 16, 10).cast("long")
+    val bySplit = graft.core.Tables(spark, sf001, "documents")
+      .select(array_join(slice(split(col("text"), " "), 1, 8), " ").as("fp"),
+        when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+      .collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getString(0)).toSet).toMap
+    out.foreach { r =>
+      val inter = (bySplit(r.getAs[String]("split_a")) &
+        bySplit(r.getAs[String]("split_b"))).size
+      assert(r.getAs[Long]("leaked") == inter,
+        s"${r.getAs[String]("split_a")}x${r.getAs[String]("split_b")}: " +
+          s"leaked=${r.getAs[Long]("leaked")} brute=$inter")
+    }
+  }
+
   test("dd58: pair frequencies match a direct vocabulary sweep") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("dd58_bpe_pairs")(spark, sf0001).collect()
