@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Release-gate curation operators: the audits and joins that sit between
+  * "the corpus is deduped" and "the corpus ships" — an EXACT set-similarity
+  * join whose candidate generation is provably lossless (the scale path when
+  * minhash's false negatives are not acceptable), privacy and class-balance
+  * audits, a Gopher-style quality-rule battery, the padding-waste report
+  * that prices a batching strategy, and smoothed LM retrieval.
+  *
+  * House float discipline: thresholds compare in INTEGER cross-multiplied
+  * form (never `double >= 0.4` at the boundary), per-term log contributions
+  * round(9) into DECIMAL so sums are order-free, output doubles round(6).
+  */
+object CurateOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- DD60: exact set-similarity self-join via prefix filtering --------
+    QueryDef(
+      "dd60_setsim_join",
+      "EXACT Jaccard>=0.95 unigram-set self-join via All-Pairs prefix filtering (Bayardo et al. WWW'07): tokens canonically ordered by ascending global df, each doc indexes only its (n - ceil(t*n) + 1)-token prefix (~5% of the set at t=0.95), candidates = index-prefix x probe-full equi-join with the t*|A|<=|B|<=|A|/t length filter, then exact array-intersect verify in integer cross-multiplied form (20*inter >= 19*union). Lossless by pigeonhole: >=ceil(t*|A|) common tokens cannot all hide in the (ceil(t*|A|)-1)-token suffix — the scale path when minhash recall<1 is not acceptable",
+      Some("""
+        WITH tokd AS (
+          SELECT DISTINCT doc_id, w
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        ),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tokd GROUP BY 1),
+        com AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+          FROM tokd a JOIN tokd b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+        FROM com
+        JOIN n na ON doc_a = na.doc_id
+        JOIN n nb ON doc_b = nb.doc_id
+        WHERE 20 * c >= 19 * (na.n + nb.n - c)
+      """)) { (s, dir) =>
+      // The oracle is the NAIVE shared-token join (correct at any SF but its
+      // candidate set is every co-occurring pair); the engine's candidate
+      // set is bounded by the RARE-token postings — each doc contributes
+      // only the ~(1-t) least frequent tokens of its set to the index, so
+      // stop-word postings never generate pairs. Equality with the naive
+      // oracle is the losslessness proof, run fresh per scale factor.
+      val docsTok = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .cache()
+      val tokd = docsTok.select(col("doc_id"), explode(col("toks")).as("w"))
+      val dfreq = tokd.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // canonical rarity order within each doc: one term-keyed join to pick
+      // up df, one doc-keyed window to rank. rn and the set size n drive
+      // the prefix cut: keep rn <= n - ceil(0.4*n) + 1.
+      val ranked = tokd.join(dfreq, Seq("w"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+      // prefix length n - ceil(0.95n) + 1, with ceil(19n/20) = (19n+19)
+      // div 20 in INTEGER form — float 0.95*n can round a hair above the
+      // true product and silently shorten the prefix, breaking losslessness
+      val prefix = ranked
+        .filter(col("rn") <= col("n") - expr("(n * 19 + 19) div 20") + 1)
+        .select(col("doc_id"), col("w"), col("n"))
+      // index-prefix x probe-full: provably complete for either orientation
+      // of (a<b), so one direction suffices. Length filter in integer
+      // cross-multiplied form: 19*na <= 20*nb AND 19*nb <= 20*na. Probe
+      // columns renamed so the self-derived join condition is unambiguous.
+      val probe = ranked.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+        col("n").as("nb"))
+      val cand = prefix
+        .join(probe, col("w") === col("wb")
+          && col("doc_id") < col("doc_b")
+          && col("n") * 19 <= col("nb") * 20 && col("nb") * 19 <= col("n") * 20)
+        .select(col("doc_id").as("doc_a"), col("doc_b"))
+        .distinct()
+      // exact verify on the candidate pairs only: array intersect against
+      // the cached per-doc token arrays (two doc-keyed broadcast-sized
+      // joins at this SF; hash joins at scale)
+      val ta = docsTok.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+      val tb = docsTok.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+      cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+          (size(col("ta")) + size(col("tb"))).cast("long").as("szsum"))
+        .filter(col("inter") * 20 >= (col("szsum") - col("inter")) * 19)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter") / (col("szsum") - col("inter")).cast("double"), 6)
+            .as("jaccard"))
+    },
+
+    // ---- DD61: k-anonymity audit ------------------------------------------
+    QueryDef(
+      "dd61_kanonymity",
+      "Privacy release gate: k-anonymity over the quasi-identifier (event_type, day, floor(value/50)) — equivalence classes bucketed into unique/small/medium/large (k<2/5/20), reporting class and row counts plus the at-risk row share. Two cheap aggregations (QI groupBy, then a 4-row band rollup); the integer value bucket keeps the QI deterministic across engines",
+      Some("""
+        WITH eq AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(floor(value / 50) AS BIGINT) AS vb,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM events GROUP BY 1, 2, 3
+        ),
+        banded AS (
+          SELECT CASE WHEN k < 2 THEN 'unique' WHEN k < 5 THEN 'small'
+                      WHEN k < 20 THEN 'medium' ELSE 'large' END AS band,
+                 k
+          FROM eq
+        )
+        SELECT band, CAST(count(*) AS BIGINT) AS classes,
+               CAST(sum(k) AS BIGINT) AS rows_in_band,
+               round(sum(k) / CAST((SELECT sum(k) FROM eq) AS DOUBLE), 6) AS row_share
+        FROM banded GROUP BY band
+      """)) { (s, dir) =>
+      // The audit a corpus needs before release: rows whose quasi-identifier
+      // combination is near-unique re-identify people even with direct ids
+      // stripped. Both aggregations key on the QI / band — the total is a
+      // 1-row broadcast; nothing here is more than one data shuffle.
+      val eq = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+          floor(col("value") / 50).cast("long").as("vb"))
+        .agg(count(lit(1)).as("k"))
+      val total = eq.agg(sum(col("k")).as("tot"))
+      eq.select(
+        when(col("k") < 2, "unique").when(col("k") < 5, "small")
+          .when(col("k") < 20, "medium").otherwise("large").as("band"),
+        col("k"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("classes"), sum(col("k")).as("rows_in_band"))
+        .crossJoin(broadcast(total))
+        .select(col("band"), col("classes"), col("rows_in_band"),
+          round(col("rows_in_band") / col("tot").cast("double"), 6).as("row_share"))
+    },
+
+    // ---- DD62: label-balance audit ----------------------------------------
+    QueryDef(
+      "dd62_label_balance",
+      "Class-balance audit on the labeled embedding set: per label its count, share, entropy contribution -p*ln(p), and ratio to the majority class — the report that catches a skewed fine-tuning set before training does. One label groupBy; the 1-row total/max aggregate broadcasts",
+      Some("""
+        WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt
+                   FROM embeddings GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+                       CAST(max(cnt) AS BIGINT) AS mx FROM c)
+        SELECT label, cnt,
+               round(cnt / CAST(tot AS DOUBLE), 6) AS share,
+               round(-(cnt / CAST(tot AS DOUBLE)) * ln(cnt / CAST(tot AS DOUBLE)), 6)
+                 AS entropy_term,
+               round(cnt / CAST(mx AS DOUBLE), 6) AS ratio_to_majority
+        FROM c CROSS JOIN tot
+      """)) { (s, dir) =>
+      val c = t(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum(col("cnt")).as("tot"), max(col("cnt")).as("mx"))
+      val share = col("cnt") / col("tot").cast("double")
+      c.crossJoin(broadcast(tot))
+        .select(col("label"), col("cnt"),
+          round(share, 6).as("share"),
+          round(-share * log(share), 6).as("entropy_term"),
+          round(col("cnt") / col("mx").cast("double"), 6).as("ratio_to_majority"))
+    },
+
+    // ---- DD63: Gopher-style quality-rule battery ---------------------------
+    QueryDef(
+      "dd63_gopher_rules",
+      "Gopher-style (Rae et al. 2021) quality-rule battery: word-count in [20,80], mean word length in [4,5] (integer form: nc BETWEEN 4*nw AND 5*nw), alpha-word ratio >= 0.7, numeric-word ratio <= 0.3 — per-rule violation counts and rates plus the docs-failing-any row, computed as ONE narrow pass of per-doc flags folded into a 1-row aggregate and unpivoted via stack() (5 constant-space rows)",
+      Some("""
+        WITH f AS (
+          SELECT
+            CASE WHEN nw BETWEEN 20 AND 80 THEN 0 ELSE 1 END AS v_wc,
+            CASE WHEN nc >= 4 * nw AND nc <= 5 * nw THEN 0 ELSE 1 END AS v_mwl,
+            CASE WHEN 10 * aw >= 7 * nw THEN 0 ELSE 1 END AS v_alpha,
+            CASE WHEN 10 * dw <= 3 * nw THEN 0 ELSE 1 END AS v_num
+          FROM (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                   CAST(len(replace(text, ' ', '')) AS BIGINT) AS nc,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '^[0-9]+$'))) AS BIGINT) AS dw
+            FROM documents
+          )
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS docs,
+                 CAST(sum(v_wc) AS BIGINT) AS wc, CAST(sum(v_mwl) AS BIGINT) AS mwl,
+                 CAST(sum(v_alpha) AS BIGINT) AS alpha, CAST(sum(v_num) AS BIGINT) AS num,
+                 CAST(sum(CASE WHEN v_wc + v_mwl + v_alpha + v_num > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS anyv
+          FROM f
+        )
+        SELECT rule, violations, round(violations / CAST(docs AS DOUBLE), 6) AS rate
+        FROM (
+          SELECT 'word_count' AS rule, wc AS violations, docs FROM agg
+          UNION ALL SELECT 'mean_word_len', mwl, docs FROM agg
+          UNION ALL SELECT 'alpha_ratio', alpha, docs FROM agg
+          UNION ALL SELECT 'numeric_ratio', num, docs FROM agg
+          UNION ALL SELECT 'any_rule', anyv, docs FROM agg
+        )
+      """)) { (s, dir) =>
+      // Ratio thresholds in integer cross-multiplied form (10*aw >= 7*nw,
+      // not aw/nw >= 0.7): a doc sitting exactly on the boundary must fall
+      // on the same side in both engines. Mean word length folds the same
+      // way: 2 <= nc/nw <= 12 becomes nc BETWEEN 2*nw AND 12*nw.
+      val base = t(s, dir, "documents").select(
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"),
+        size(filter(split(col("text"), " "),
+          w => w.rlike("[A-Za-z]"))).cast("long").as("aw"),
+        size(filter(split(col("text"), " "),
+          w => w.rlike("^[0-9]+$"))).cast("long").as("dw"))
+      val flags = base.select(
+        when(col("nw").between(20, 80), 0L).otherwise(1L).as("v_wc"),
+        when(col("nc") >= col("nw") * 4 && col("nc") <= col("nw") * 5, 0L)
+          .otherwise(1L).as("v_mwl"),
+        when(col("aw") * 10 >= col("nw") * 7, 0L).otherwise(1L).as("v_alpha"),
+        when(col("dw") * 10 <= col("nw") * 3, 0L).otherwise(1L).as("v_num"))
+      val agg = flags.agg(
+        count(lit(1)).as("docs"),
+        sum(col("v_wc")).as("wc"), sum(col("v_mwl")).as("mwl"),
+        sum(col("v_alpha")).as("alpha"), sum(col("v_num")).as("num"),
+        sum(when(col("v_wc") + col("v_mwl") + col("v_alpha") + col("v_num") > 0,
+          1L).otherwise(0L)).as("anyv"))
+      // stack() over the 1-row aggregate: the unpivot costs nothing and
+      // keeps the whole battery one corpus scan + one 1-row finalizer
+      agg.selectExpr(
+        """stack(5,
+             'word_count', wc,
+             'mean_word_len', mwl,
+             'alpha_ratio', alpha,
+             'numeric_ratio', num,
+             'any_rule', anyv) AS (rule, violations)""",
+        "docs")
+        .select(col("rule"), col("violations"),
+          round(col("violations") / col("docs").cast("double"), 6).as("rate"))
+    },
+
+    // ---- DD64: power-of-two length buckets + padding waste -----------------
+    QueryDef(
+      "dd64_length_buckets",
+      "Batch-packing price list: docs bucketed to the next power-of-two token length (the fixed-boundary bucketing a 100 TB run uses instead of global quantiles — no global sort, pure map-side key), per bucket the doc count, token min/max/sum, and the padding-waste rate 1 - sum/(docs*bucket). Bucket edge computed in INTEGER bit-land (1 << len(bin(n-1))), never via float log2",
+      Some("""
+        WITH d AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+        ),
+        b AS (
+          SELECT n, CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+                         ELSE CAST(power(2, len(bin(n - 1))) AS BIGINT) END AS bucket
+          FROM d
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+               CAST(min(n) AS BIGINT) AS min_tokens,
+               CAST(max(n) AS BIGINT) AS max_tokens,
+               CAST(sum(n) AS BIGINT) AS sum_tokens,
+               round(1 - sum(n) / CAST(count(*) * bucket AS DOUBLE), 6) AS waste_rate
+        FROM b GROUP BY bucket
+      """)) { (s, dir) =>
+      // bin(n-1) has floor(log2(n-1))+1 = ceil(log2(n)) digits for n>=2, so
+      // 1 << digits is exactly the smallest 2^k >= n. Integer all the way —
+      // float log2 at an exact power of two can land on 2.9999 and
+      // misbucket.
+      val d = t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+      val b = d.select(col("n"),
+        when(col("n") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(1, length(bin(n - 1)))"))
+          .cast("long").as("bucket"))
+      b.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"),
+          sum(col("n")).as("sum_tokens"))
+        .select(col("bucket"), col("docs"), col("min_tokens"), col("max_tokens"),
+          col("sum_tokens"),
+          round(lit(1) - col("sum_tokens") /
+            (col("docs") * col("bucket")).cast("double"), 6).as("waste_rate"))
+    },
+
+    // ---- IR8: Dirichlet-smoothed query-likelihood retrieval ----------------
+    QueryDef(
+      "ir8_query_likelihood",
+      "Query-likelihood LM retrieval with Dirichlet smoothing (mu=100): score(d) = sum_q ln((tf + mu*cf_q/T)/(dl + mu)) over the corpus's 3 highest-df terms — the smoothing makes ABSENT terms contribute, so scoring is (all docs) x (broadcast 3-term relation) with a LEFT join onto tf; per-term logs round(9) into DECIMAL for an order-free sum; top-10 rides TakeOrdered. Complements ir2: BM25's idf weighting vs the LM's collection-probability prior",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+               FROM tf GROUP BY w),
+        qterms AS (SELECT w, cf FROM df ORDER BY df DESC, w LIMIT 3),
+        contrib AS (
+          SELECT dl.doc_id,
+            CAST(round( ln( (COALESCE(tf.tf, 0) + 100 * (q.cf / CAST(tot.t AS DOUBLE)))
+                            / (dl.dl + 100) ), 9) AS DECIMAL(28,9)) AS c
+          FROM dl CROSS JOIN qterms q CROSS JOIN tot
+          LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = q.w
+        )
+        SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+        FROM contrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10
+      """)) { (s, dir) =>
+      // Same one-pass index discipline as ir2: tf is the only token-derived
+      // relation; dl/df/total all fold from it. The docs x qterms expansion
+      // is |docs| x 3 — the qterm side broadcasts at any corpus size, and
+      // the LEFT join keeps zero-tf docs scoreable (the whole point of
+      // smoothing; an inner join would silently drop them).
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val tot = dl.agg(sum(col("dl")).as("t"))
+      val dfr = tf.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val qterms = dfr.orderBy(col("df").desc, col("w")).limit(3)
+        .select(col("w"), col("cf"))
+      val contrib = dl.crossJoin(broadcast(qterms)).crossJoin(broadcast(tot))
+        .join(tf, Seq("doc_id", "w"), "left")
+        .select(col("doc_id"),
+          round(log((coalesce(col("tf"), lit(0L)) +
+            lit(100) * (col("cf") / col("t").cast("double"))) /
+            (col("dl") + lit(100))), 9).cast("decimal(28,9)").as("c"))
+      contrib.groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    })
+}

@@ -184,5 +184,47 @@ object Dimensional {
         .agg(count(lit(1)).as("n_ship_events"),
           min(col("l_shipdate")).as("first_ship"),
           max(col("l_shipdate")).as("last_ship"))
+    },
+
+    // ---- A23: weight-of-evidence feature binning ---------------------------
+    QueryDef(
+      "a23_woe_binning",
+      "Credit-scoring-style WoE/IV feature report: o_totalprice in fixed 50k-wide bins vs the target o_orderstatus='F' — per bin its counts, Laplace-smoothed (+0.5) weight of evidence ln((good_i/G)/(bad_i/B)) and information-value term. Fixed-width integer bins, NOT quantiles: a map-side key at any scale, no global sort; the 2-number class totals broadcast",
+      Some("""
+        WITH b AS (
+          SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+          FROM orders
+        ),
+        agg AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(bad) AS BIGINT) AS bad
+          FROM b GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n - bad) AS BIGINT) AS g, CAST(sum(bad) AS BIGINT) AS bd
+                FROM agg)
+        SELECT bin, n, bad, n - bad AS good,
+               round(ln(((n - bad + 0.5) / CAST(g AS DOUBLE)) /
+                        ((bad + 0.5) / CAST(bd AS DOUBLE))), 6) AS woe,
+               round(((n - bad + 0.5) / CAST(g AS DOUBLE) -
+                      (bad + 0.5) / CAST(bd AS DOUBLE)) *
+                     ln(((n - bad + 0.5) / CAST(g AS DOUBLE)) /
+                        ((bad + 0.5) / CAST(bd AS DOUBLE))), 6) AS iv_term
+        FROM agg CROSS JOIN tot
+      """)) { (s, dir) =>
+      // The +0.5 smoothing keeps empty-class bins finite (a bin with zero
+      // bads would otherwise emit +inf WoE and sink the IV sum). Operand
+      // order in the double expressions mirrors the SQL text exactly.
+      val b = t(s, dir, "orders").select(
+        floor(col("o_totalprice") / 50000).cast("long").as("bin"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("bad"))
+      val agg = b.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("bad")).as("bad"))
+      val tot = agg.agg(sum(col("n") - col("bad")).as("g"), sum(col("bad")).as("bd"))
+      val goodShare = (col("n") - col("bad") + 0.5) / col("g").cast("double")
+      val badShare = (col("bad") + 0.5) / col("bd").cast("double")
+      agg.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("bad"), (col("n") - col("bad")).as("good"),
+          round(log(goodShare / badShare), 6).as("woe"),
+          round((goodShare - badShare) * log(goodShare / badShare), 6).as("iv_term"))
     })
 }

@@ -338,5 +338,43 @@ object SeriesOps {
         col("rev").cast("double").as("revenue"),
         prev.as("prev_revenue"),
         round((col("rev").cast("double") - prev) * 100 / prev, 6).as("yoy_pct"))
+    },
+
+    // ---- W26: first-order Markov transition matrix ------------------------
+    QueryDef(
+      "w26_markov_transitions",
+      "First-order Markov chain over each user's event sequence: P(next_type | cur_type) with transition counts — ONE user-keyed shuffle for the lead() window, a type-pair groupBy, and the per-state totals re-derived by a type-bounded groupBy that broadcasts back (|types|^2 rows, never user-scale). The sequence-model the funnel (w15) and sessionize (w12) views don't state: where users GO next",
+      Some("""
+        WITH seq AS (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        tr AS (
+          SELECT cur, nxt, CAST(count(*) AS BIGINT) AS transitions
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (SELECT cur, CAST(sum(transitions) AS BIGINT) AS tot FROM tr GROUP BY 1)
+        SELECT tr.cur AS cur_type, tr.nxt AS next_type, transitions,
+               round(transitions / CAST(tot AS DOUBLE), 6) AS prob
+        FROM tr JOIN tot ON tr.cur = tot.cur
+      """)) { (s, dir) =>
+      // (ts, event_id) ordering makes simultaneous events deterministic in
+      // both engines. The transitions relation is |types|^2 — everything
+      // after the window is effectively free; the row-normalizing totals
+      // join broadcasts.
+      val seq = t(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+            .as("nxt"))
+        .filter(col("nxt").isNotNull)
+      val tr = seq.groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("transitions"))
+      val tot = tr.groupBy(col("cur")).agg(sum(col("transitions")).as("tot"))
+      tr.join(broadcast(tot), Seq("cur"))
+        .select(col("cur").as("cur_type"), col("nxt").as("next_type"),
+          col("transitions"),
+          round(col("transitions") / col("tot").cast("double"), 6).as("prob"))
     })
 }
