@@ -124,10 +124,12 @@ object CurateOps {
       // combination is near-unique re-identify people even with direct ids
       // stripped. Both aggregations key on the QI / band — the total is a
       // 1-row broadcast; nothing here is more than one data shuffle.
+      // eq (one row per equivalence class) feeds both the total and the
+      // band rollup — cache it so events is scanned once
       val eq = t(s, dir, "events")
         .groupBy(col("event_type"), col("ts").cast("date").as("day"),
           floor(col("value") / 50).cast("long").as("vb"))
-        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("k")).cache()
       val total = eq.agg(sum(col("k")).as("tot"))
       eq.select(
         when(col("k") < 2, "unique").when(col("k") < 5, "small")
@@ -157,7 +159,7 @@ object CurateOps {
         FROM c CROSS JOIN tot
       """)) { (s, dir) =>
       val c = t(s, dir, "embeddings")
-        .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt")).cache()
       val tot = c.agg(sum(col("cnt")).as("tot"), max(col("cnt")).as("mx"))
       val share = col("cnt") / col("tot").cast("double")
       c.crossJoin(broadcast(tot))

@@ -218,7 +218,7 @@ object Dimensional {
         floor(col("o_totalprice") / 50000).cast("long").as("bin"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("bad"))
       val agg = b.groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), sum(col("bad")).as("bad"))
+        .agg(count(lit(1)).as("n"), sum(col("bad")).as("bad")).cache()
       val tot = agg.agg(sum(col("n") - col("bad")).as("g"), sum(col("bad")).as("bd"))
       val goodShare = (col("n") - col("bad") + 0.5) / col("g").cast("double")
       val badShare = (col("bad") + 0.5) / col("bd").cast("double")

@@ -369,8 +369,11 @@ object SeriesOps {
             Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
             .as("nxt"))
         .filter(col("nxt").isNotNull)
+      // tr is |types|^2 rows but feeds BOTH the totals and the output join —
+      // cache it so the user-keyed window pass over the events stream runs
+      // once, not once per consumer
       val tr = seq.groupBy(col("cur"), col("nxt"))
-        .agg(count(lit(1)).as("transitions"))
+        .agg(count(lit(1)).as("transitions")).cache()
       val tot = tr.groupBy(col("cur")).agg(sum(col("transitions")).as("tot"))
       tr.join(broadcast(tot), Seq("cur"))
         .select(col("cur").as("cur_type"), col("nxt").as("next_type"),
