@@ -101,11 +101,16 @@ object Bench {
     // Persist alongside stdout: the driver keeps only a 2000-char output
     // tail, which has truncated the JSON every round. The committed copy
     // makes round-over-round per-query diffs possible from the repo alone.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not persist JSON: ${e.getMessage}") }
+    // SPARK_GRAFT_BENCH_ONLY subset reruns do NOT overwrite the
+    // full-inventory file unless an explicit BENCH_OUT names a target —
+    // a 2-query iteration must never clobber the round's baseline.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_LOCAL.json") else None)
+    out.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not persist JSON: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -117,6 +117,74 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // ---- 8-seed MinHash signature ------------------------------------------
+  //
+  // Byte-level MD5 loop replacing the explode + 8×(md5∘conv∘substring)
+  // groupBy behind dd2/dd55. The SQL form pays: materializing the exploded
+  // (doc, shingle) stream, hex-encoding every digest to a string, a
+  // substring + base-16 string parse per (shingle × seed), and the hash
+  // aggregate's probe/update per row. This computes the identical value —
+  // the top 60 bits of md5("i#" ++ shingle), exactly conv(substring(hex,
+  // 1,15),16,10) — straight from the digest bytes, per doc, in one
+  // generated-code call. (An earlier round measured the transform+
+  // array_min HOF formulation at 2.5s vs 1.8s for the explode+groupBy —
+  // lambdas evaluate interpreted; this is the third form that beats both.)
+  private val MinHashSeeds = 8
+
+  private val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(MinHashSeeds)(i => s"$i#".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Null on empty input (SQL min over an empty group is NULL). */
+  def minhashEval(arr: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(MinHashSeeds)(Long.MaxValue)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < n) {
+      val sb = arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < MinHashSeeds) {
+        md.reset()
+        md.update(seedPrefixes(j))
+        md.update(sb)
+        val d = md.digest()
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v >>>= 4 // top 60 bits = first 15 hex chars, always non-negative
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  case class MinHashSig(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullable: Boolean = true // empty array -> null
+    override def prettyName: String = "minhash_sig_native"
+    override protected def nullSafeEval(input: Any): Any =
+      minhashEval(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.NativeExpressions.minhashEval($c);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
@@ -142,6 +210,8 @@ object NativeExpressions {
     column(DotProduct(expression(a), expression(b)))
   def ngrams_native(words: Column, n: Int): Column =
     column(NGrams(expression(words), n))
+  def minhash_sig_native(shingles: Column): Column =
+    column(MinHashSig(expression(shingles)))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

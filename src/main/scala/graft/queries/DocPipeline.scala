@@ -148,21 +148,22 @@ object DocPipeline {
         WHERE CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common) >= 0.4
       """)) { (s, dir) =>
       // shingle dedup is NARROW (array_distinct per doc — no global
-      // distinct exchange); the 8-way minhash stays an exploded groupBy
-      // because Spark's hash aggregate is whole-stage-codegen'd where a
-      // transform+array_min lambda is interpreted — measured 2.5s vs
-      // 1.8s at sf0.1. Each signature mins over a 60-bit NUMERIC prefix
-      // of the md5, not the hex string: min(string) buffers are
-      // immutable and demote the whole groupBy to SortAggregate; long
-      // buffers keep it on codegen'd HashAggregate (hex-prefix order ≡
-      // numeric order, so the minhash statistics are unchanged). The
-      // shingle count rides the array (size, narrow).
-      def mhash(i: Int) =
-        min(conv(substring(md5(concat(lit(s"$i#"), col("sh"))), 1, 15), 16, 10)
-          .cast("long")).as(s"mh$i")
+      // distinct exchange); the 8-way minhash signature is the NATIVE
+      // byte-level expression (functions/NativeExpressions.MinHashSig):
+      // value-identical to min(conv(substring(md5("i#"||sh),1,15),16,10))
+      // per seed — the DuckDB oracle keeps that formulation — but computed
+      // per doc in one generated-code loop: no exploded stream, no hex
+      // round-trips, no aggregate probe per (shingle × seed). (History:
+      // explode+groupBy measured 1.8s vs 2.5s for the transform+array_min
+      // HOF — lambdas run interpreted; the native loop beats both.)
       val docsArr = shingleArr(corpus(s, dir)).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
-      val mh = sh.groupBy(col("doc_id")).agg(mhash(0), (1 until 8).map(mhash): _*)
+      // two projections: CollapseProject keeps the non-cheap signature
+      // expression single-evaluation instead of inlining it 8×
+      val mh = docsArr.select(col("doc_id"),
+        graft.functions.NativeExpressions.minhash_sig_native(col("shArr")).as("sig"))
+        .select(col("doc_id") +: (0 until 8).map(i =>
+          element_at(col("sig"), i + 1).as(s"mh$i")): _*)
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band_idx"),
           md5(concat(col(s"mh${2 * b}").cast("string"),
@@ -1754,12 +1755,14 @@ object DocPipeline {
       // so calibrating the sketch costs what running it costs, plus an
       // agreement-bounded (<=9-row) rollup. Exact Jaccards round(6) into
       // DECIMAL before the mean so the per-slot sums are order-free.
-      def mhash(i: Int) =
-        min(conv(substring(md5(concat(lit(s"$i#"), col("sh"))), 1, 15), 16, 10)
-          .cast("long")).as(s"mh$i")
       val docsArr = shingleArr(corpus(s, dir)).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
-      val mh = sh.groupBy(col("doc_id")).agg(mhash(0), (1 until 8).map(mhash): _*)
+      // native per-doc signature (see dd2): no exploded groupBy, value-
+      // identical to the oracle's min-over-md5-prefix formulation
+      val mh = docsArr.select(col("doc_id"),
+        graft.functions.NativeExpressions.minhash_sig_native(col("shArr")).as("sig"))
+        .select(col("doc_id") +: (0 until 8).map(i =>
+          element_at(col("sig"), i + 1).as(s"mh$i")): _*)
         .cache()
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band_idx"),

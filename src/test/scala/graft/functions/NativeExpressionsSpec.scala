@@ -104,4 +104,43 @@ class NativeExpressionsSpec extends SparkTestBase {
         lit(null).cast("array<string>"), 2).as("nul")).collect().head
     assert(edge.getSeq[String](0).isEmpty && edge.isNullAt(1))
   }
+
+  test("minhash_sig_native matches the explode + min(conv(substring(md5))) groupBy") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        array_distinct(NativeExpressions.ngrams_native(
+          split(col("text"), " "), 3)).as("shArr"))
+      .filter(size(col("shArr")) > 0)
+      .limit(200)
+      .cache()
+    val native = docs.select(col("doc_id"),
+      NativeExpressions.minhash_sig_native(col("shArr")).as("sig"))
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    def mhash(i: Int) =
+      min(conv(substring(md5(concat(lit(s"$i#"), col("sh"))), 1, 15), 16, 10)
+        .cast("long")).as(s"mh$i")
+    val sqlForm = docs.select(col("doc_id"), explode(col("shArr")).as("sh"))
+      .groupBy(col("doc_id")).agg(mhash(0), (1 until 8).map(mhash): _*)
+    assert(sameRows(native, sqlForm))
+    docs.unpersist()
+  }
+
+  test("minhash_sig_native edge cases: fixed vector, empty -> null, null -> null") {
+    import org.apache.spark.sql.functions._
+    // fixed vector pinned against the SQL formulation computed once by
+    // hand: md5('0#a b c') = 2e3681c1e1b1e37d... -> first 15 hex as long
+    val r = spark.sql("SELECT 1").select(
+      NativeExpressions.minhash_sig_native(typedLit(Seq("a b c"))).as("sig"),
+      expr("CAST(conv(substring(md5('0#a b c'), 1, 15), 16, 10) AS BIGINT)").as("h0"),
+      NativeExpressions.minhash_sig_native(
+        array().cast("array<string>")).as("empty"),
+      NativeExpressions.minhash_sig_native(
+        lit(null).cast("array<string>")).as("nul")).collect().head
+    assert(r.getSeq[Long](0).length == 8)
+    assert(r.getSeq[Long](0).head == r.getLong(1),
+      s"${r.getSeq[Long](0).head} != ${r.getLong(1)}")
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
 }
