@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -52,50 +51,13 @@ object CurateOps {
       // set is bounded by the RARE-token postings — each doc contributes
       // only the ~(1-t) least frequent tokens of its set to the index, so
       // stop-word postings never generate pairs. Equality with the naive
-      // oracle is the losslessness proof, run fresh per scale factor.
-      val docsTok = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-        .cache()
-      val tokd = docsTok.select(col("doc_id"), explode(col("toks")).as("w"))
-      val dfreq = tokd.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      // canonical rarity order within each doc: one term-keyed join to pick
-      // up df, one doc-keyed window to rank. rn and the set size n drive
-      // the prefix cut: keep rn <= n - ceil(0.4*n) + 1.
-      val ranked = tokd.join(dfreq, Seq("w"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-      // prefix length n - ceil(0.95n) + 1, with ceil(19n/20) = (19n+19)
-      // div 20 in INTEGER form — float 0.95*n can round a hair above the
-      // true product and silently shorten the prefix, breaking losslessness
-      val prefix = ranked
-        .filter(col("rn") <= col("n") - expr("(n * 19 + 19) div 20") + 1)
-        .select(col("doc_id"), col("w"), col("n"))
-      // index-prefix x probe-full: provably complete for either orientation
-      // of (a<b), so one direction suffices. Length filter in integer
-      // cross-multiplied form: 19*na <= 20*nb AND 19*nb <= 20*na. Probe
-      // columns renamed so the self-derived join condition is unambiguous.
-      val probe = ranked.select(col("doc_id").as("doc_b"), col("w").as("wb"),
-        col("n").as("nb"))
-      val cand = prefix
-        .join(probe, col("w") === col("wb")
-          && col("doc_id") < col("doc_b")
-          && col("n") * 19 <= col("nb") * 20 && col("nb") * 19 <= col("n") * 20)
-        .select(col("doc_id").as("doc_a"), col("doc_b"))
-        .distinct()
-      // exact verify on the candidate pairs only: array intersect against
-      // the cached per-doc token arrays (two doc-keyed broadcast-sized
-      // joins at this SF; hash joins at scale)
-      val ta = docsTok.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
-      val tb = docsTok.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
-      cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
-          (size(col("ta")) + size(col("tb"))).cast("long").as("szsum"))
-        .filter(col("inter") * 20 >= (col("szsum") - col("inter")) * 19)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("inter") / (col("szsum") - col("inter")).cast("double"), 6)
-            .as("jaccard"))
+      // oracle is the losslessness proof, run fresh per scale factor; the
+      // kernel (resolve/SetSimJoin) is additionally ScalaCheck'd against
+      // its naive form on random corpora across thresholds.
+      graft.resolve.SetSimJoin.exact(
+        t(s, dir, "documents").select(col("doc_id").as("id"),
+          array_distinct(split(col("text"), " ")).as("toks")),
+        tNum = 19, tDen = 20)
     },
 
     // ---- DD61: k-anonymity audit ------------------------------------------
