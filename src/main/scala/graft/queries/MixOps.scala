@@ -348,5 +348,61 @@ object MixOps {
           col("nf_a"), col("nf_b"),
           round(col("leaked") / least(col("nf_a"), col("nf_b")).cast("double"), 6)
             .as("leakage_rate"))
+    },
+
+    // ---- DD65: cluster-aware split (the dd59 fix) --------------------------
+    QueryDef(
+      "dd65_cluster_split",
+      "The fix dd59 motivates: assign train/val/test by hashing the near-dup CLUSTER key (the 8-word-prefix fingerprint) instead of the doc id, so every member of a duplicate group lands on the same side of the eval boundary. Output: per-split doc/cluster counts plus the leaked-fingerprint count recomputed the dd59 way — zero BY CONSTRUCTION, and the audit join proving it runs in the result. Same 80/10/10 md5 split bands as dd12/dd59",
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 array_to_string(string_split(text, ' ')[1:8], ' ') AS fp
+          FROM documents
+        ),
+        assigned AS (
+          SELECT doc_id, fp,
+                 CASE WHEN CAST(('0x' || substr(md5('split#' || fp), 1, 2)) AS BIGINT) < 204 THEN 'train'
+                      WHEN CAST(('0x' || substr(md5('split#' || fp), 1, 2)) AS BIGINT) < 230 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM f
+        ),
+        fps AS (SELECT DISTINCT fp, split FROM assigned),
+        leaks AS (
+          SELECT a.split AS split, CAST(count(*) AS BIGINT) AS leaked
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.split <> b.split
+          GROUP BY 1
+        )
+        SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT s.fp) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(MAX(l.leaked), 0) AS BIGINT) AS leaked_fps
+        FROM assigned s LEFT JOIN leaks l ON s.split = l.split
+        GROUP BY s.split
+      """)) { (s, dir) =>
+      // hash(fp) not hash(doc_id): the ONLY change vs dd12's assignment,
+      // and the leakage term dd59 measures collapses to zero. The audit
+      // join stays in the query (a fp-keyed self-join over the distinct
+      // (fp, split) relation, empty by construction) so the output states
+      // the guarantee rather than assuming it.
+      val b = conv(substring(md5(concat(lit("split#"), col("fp"))), 1, 2), 16, 10)
+        .cast("long")
+      val assigned = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("fp"))
+        .withColumn("split",
+          when(b < 204, "train").when(b < 230, "val").otherwise("test"))
+        .cache()
+      val fps = assigned.select(col("fp"), col("split")).distinct()
+      val leaks = fps.as("a")
+        .join(fps.select(col("fp").as("fpb"), col("split").as("splitb")),
+          col("fp") === col("fpb") && col("split") =!= col("splitb"))
+        .groupBy(col("split")).agg(count(lit(1)).as("leaked"))
+      assigned
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_clusters"))
+        .join(broadcast(leaks), Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          coalesce(col("leaked"), lit(0L)).as("leaked_fps"))
     })
 }

@@ -102,6 +102,14 @@ class ReleaseGateSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("dd65: cluster-aware split leaks nothing and conserves the corpus") {
+    val out = run("dd65_cluster_split").collect()
+    assert(out.map(_.getLong(3)).forall(_ == 0L), "leaked_fps != 0")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(out.map(_.getLong(1)).sum == docs)
+    assert(out.map(_.getString(0)).toSet == Set("train", "val", "test"))
+  }
+
   test("ir8: exactly 10 docs, log-prob scores, ranked non-increasing") {
     val out = run("ir8_query_likelihood").collect()
     assert(out.length == 10)
