@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,5 +138,108 @@ object QualityProbes {
       }.toSeq
       import s.implicits._
       rows.toDF("user_id", "exact_n", "cms_n", "overestimate")
+    },
+
+    // ---- DD66: BLEU-2 n-gram support scoring -------------------------------
+    QueryDef(
+      "dd66_bleu_pairs",
+      "BLEU-2 core as a scalable pair metric: each doc scored against its tail-trimmed variant (the dd31 planted pair) — CLIPPED unigram/bigram precisions via per-gram min(cand_count, ref_count), geometric mean, brevity penalty. The gram-count joins are pair-bounded (grams of ONE doc pair, never cross-pair); this is the summary-support / eval-contamination overlap scorer a data pipeline runs at corpus scale",
+      Some("""
+        WITH pairs AS (
+          SELECT doc_id AS pair_id, text AS cand,
+                 regexp_replace(text, '^(\w+ ){3}', '') AS ref
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        g1c AS (
+          SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cn
+          FROM (SELECT pair_id, unnest(string_split(cand, ' ')) AS g FROM pairs)
+          GROUP BY 1, 2
+        ),
+        g1r AS (
+          SELECT pair_id, g, CAST(count(*) AS BIGINT) AS rn
+          FROM (SELECT pair_id, unnest(string_split(ref, ' ')) AS g FROM pairs)
+          GROUP BY 1, 2
+        ),
+        g2c AS (
+          SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cn
+          FROM (SELECT pair_id, unnest(list_transform(
+                   generate_series(1, len(string_split(cand, ' ')) - 1),
+                   i -> string_split(cand, ' ')[i] || ' ' || string_split(cand, ' ')[i+1])) AS g
+                FROM pairs)
+          GROUP BY 1, 2
+        ),
+        g2r AS (
+          SELECT pair_id, g, CAST(count(*) AS BIGINT) AS rn
+          FROM (SELECT pair_id, unnest(list_transform(
+                   generate_series(1, len(string_split(ref, ' ')) - 1),
+                   i -> string_split(ref, ' ')[i] || ' ' || string_split(ref, ' ')[i+1])) AS g
+                FROM pairs)
+          GROUP BY 1, 2
+        ),
+        m1 AS (
+          SELECT g1c.pair_id,
+                 CAST(SUM(LEAST(cn, COALESCE(rn, 0))) AS BIGINT) AS match1,
+                 CAST(SUM(cn) AS BIGINT) AS total1
+          FROM g1c LEFT JOIN g1r ON g1c.pair_id = g1r.pair_id AND g1c.g = g1r.g
+          GROUP BY 1
+        ),
+        m2 AS (
+          SELECT g2c.pair_id,
+                 CAST(SUM(LEAST(cn, COALESCE(rn, 0))) AS BIGINT) AS match2,
+                 CAST(SUM(cn) AS BIGINT) AS total2
+          FROM g2c LEFT JOIN g2r ON g2c.pair_id = g2r.pair_id AND g2c.g = g2r.g
+          GROUP BY 1
+        ),
+        lens AS (
+          SELECT pair_id, CAST(len(string_split(cand, ' ')) AS BIGINT) AS lc,
+                 CAST(len(string_split(ref, ' ')) AS BIGINT) AS lr
+          FROM pairs
+        )
+        SELECT m1.pair_id,
+               round(match1 / CAST(total1 AS DOUBLE), 6) AS p1,
+               round(match2 / CAST(total2 AS DOUBLE), 6) AS p2,
+               round((CASE WHEN lc > lr THEN 1.0
+                           ELSE exp(1 - lr / CAST(lc AS DOUBLE)) END)
+                 * exp((ln(match1 / CAST(total1 AS DOUBLE)) +
+                        ln(match2 / CAST(total2 AS DOUBLE))) / 2), 6) AS bleu2
+        FROM m1 JOIN m2 ON m1.pair_id = m2.pair_id
+        JOIN lens ON m1.pair_id = lens.pair_id
+      """)) { (s, dir) =>
+      // Scoring direction: the FULL doc is the candidate, the trimmed
+      // variant the reference, so clipping actually bites (the dropped
+      // head's grams find no support) and the score discriminates by doc
+      // length and repetition. All gram relations key on (pair_id, gram) —
+      // one exchange each, pair-bounded joins, no cross-pair work; the
+      // native ngrams expression builds bigrams without a lambda.
+      import graft.functions.NativeExpressions.ngrams_native
+      val pairs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("pair_id"),
+          split(col("text"), " ").as("candArr"),
+          split(regexp_replace(col("text"), "^(\\w+ ){3}", ""), " ").as("refArr"))
+        .cache()
+      def grams(arr: Column, k: Int): Column =
+        if (k == 1) arr else ngrams_native(arr, k)
+      def counts(side: String, k: Int, cnt: String): DataFrame =
+        pairs.select(col("pair_id"), explode(grams(col(side), k)).as("g"))
+          .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as(cnt))
+      def matched(k: Int, out: (String, String)): DataFrame =
+        counts("candArr", k, "cn")
+          .join(counts("refArr", k, "rn"), Seq("pair_id", "g"), "left")
+          .groupBy(col("pair_id"))
+          .agg(sum(least(col("cn"), coalesce(col("rn"), lit(0L)))).as(out._1),
+            sum(col("cn")).as(out._2))
+      val m1 = matched(1, ("match1", "total1"))
+      val m2 = matched(2, ("match2", "total2"))
+      val lens = pairs.select(col("pair_id"),
+        size(col("candArr")).cast("long").as("lc"),
+        size(col("refArr")).cast("long").as("lr"))
+      val p1 = col("match1") / col("total1").cast("double")
+      val p2 = col("match2") / col("total2").cast("double")
+      m1.join(m2, Seq("pair_id")).join(lens, Seq("pair_id"))
+        .select(col("pair_id"),
+          round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+          round(when(col("lc") > col("lr"), lit(1.0))
+            .otherwise(exp(lit(1) - col("lr") / col("lc").cast("double")))
+            * exp((log(p1) + log(p2)) / 2), 6).as("bleu2"))
     })
 }

@@ -444,5 +444,95 @@ object SearchRank {
         .select(col("doc_id"), col("bm25"), col("best_start"), col("win_hits"),
           array_join(slice(col("arr"), col("best_start").cast("int"), lit(15)), " ")
             .as("snippet"))
+    },
+
+    // ---- IR9: BM25 hard-negative mining ------------------------------------
+    QueryDef(
+      "ir9_hard_negatives",
+      "Retrieval-training data prep: for each query doc (doc_id%100=0, queried by its own 3 RAREST tokens) the top-2 BM25-similar docs that are NOT exact-bag duplicates — lexically close but non-duplicate, the hard negatives a contrastive retriever trains against. Scoring joins the cached tf relation against a (queries x 3)-row broadcast; the exact-dup exclusion is a bag-key inequality against dd1's md5 bag keys; top-2 per query is a query-bounded window",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        bag AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS k
+                FROM documents),
+        q AS (
+          SELECT doc_id AS q_id, w, df FROM (
+            SELECT tf.doc_id, tf.w, df.df,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY df.df, tf.w) AS rn
+            FROM tf JOIN df ON tf.w = df.w
+            WHERE tf.doc_id % 100 = 0
+          ) WHERE rn <= 3
+        ),
+        scored AS (
+          SELECT q.q_id, tf.doc_id AS neg_id,
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9)
+                 AS DECIMAL(28,9)) AS c
+          FROM tf JOIN q ON tf.w = q.w
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+          WHERE tf.doc_id <> q.q_id
+        ),
+        agg AS (SELECT q_id, neg_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+                FROM scored GROUP BY 1, 2),
+        filt AS (
+          SELECT a.q_id, a.neg_id, a.bm25
+          FROM agg a
+          JOIN bag bq ON a.q_id = bq.doc_id
+          JOIN bag bn ON a.neg_id = bn.doc_id
+          WHERE bq.k <> bn.k
+        )
+        SELECT q_id, neg_id, bm25 FROM (
+          SELECT q_id, neg_id, bm25,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY bm25 DESC, neg_id) AS rn
+          FROM filt
+        ) WHERE rn <= 2
+      """)) { (s, dir) =>
+      // Why exclude bag-duplicates: a near-identical doc is a FALSE
+      // negative — training against it teaches the retriever to push
+      // apart things that should rank together. The bag-key join is the
+      // same dedup key dd1 gates on, so "hard negative" here means
+      // lexically-close-but-distinct by the engine's own dedup notion.
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val nRel = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val q = tf.filter(col("doc_id") % 100 === 0)
+        .join(dfr, Seq("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id").as("q_id"), col("w"), col("df"))
+      val bag = t(s, dir, "documents").select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+          .as("k"))
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val scored = tf.join(broadcast(q), Seq("w"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nRel))
+        .select(col("q_id"), col("doc_id").as("neg_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+      val agg = scored.groupBy(col("q_id"), col("neg_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+      val filt = agg
+        .join(bag.select(col("doc_id").as("q_id"), col("k").as("kq")), Seq("q_id"))
+        .join(bag.select(col("doc_id").as("neg_id"), col("k").as("kn")), Seq("neg_id"))
+        .filter(col("kq") =!= col("kn"))
+      filt.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("neg_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("neg_id"), col("bm25"))
     })
 }

@@ -340,6 +340,81 @@ object SeriesOps {
         round((col("rev").cast("double") - prev) * 100 / prev, 6).as("yoy_pct"))
     },
 
+    // ---- W27: CUSUM change-point statistic ---------------------------------
+    QueryDef(
+      "w27_cusum_drift",
+      "CUSUM drift detection per event type: the clamped recurrence C_n = max(0, C_(n-1) + dev_n) looks inherently serial but unrolls EXACTLY to S_n - min(0, prefix-min of S) — two window passes (running sum, running min) on ONE type-keyed exchange over the day-level pre-aggregation. Deviations, cumsums, and the 3x-mean-absolute-deviation alarm threshold all accumulate in DECIMAL, so the alarm comparison is exact in both engines; alarm = cusum > h",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            / COUNT(*), 6) AS DECIMAL(18,6)) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        tgt AS (
+          SELECT event_type,
+                 CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+                      AS DECIMAL(18,6)) AS target
+          FROM daily GROUP BY 1
+        ),
+        dev AS (
+          SELECT daily.event_type, d, x, x - target AS dev
+          FROM daily JOIN tgt ON daily.event_type = tgt.event_type
+        ),
+        h AS (
+          SELECT event_type,
+                 CAST(round(3 * CAST(SUM(abs(dev)) AS DOUBLE) / COUNT(*), 6)
+                      AS DECIMAL(18,6)) AS h
+          FROM dev GROUP BY 1
+        ),
+        s AS (
+          SELECT event_type, d, x, dev,
+                 SUM(dev) OVER (PARTITION BY event_type ORDER BY d) AS sp
+          FROM dev
+        ),
+        c AS (
+          SELECT event_type, d, x, sp,
+                 sp - LEAST(MIN(sp) OVER (PARTITION BY event_type ORDER BY d),
+                            CAST(0 AS DECIMAL(18,6))) AS cusum
+          FROM s
+        )
+        SELECT c.event_type, CAST(d AS TIMESTAMP) AS day,
+               round(CAST(x AS DOUBLE), 6) AS daily_avg,
+               round(CAST(cusum AS DOUBLE), 6) AS cusum,
+               cusum > h.h AS alarm
+        FROM c JOIN h ON c.event_type = h.event_type
+      """)) { (s, dir) =>
+      // Day-level pre-agg bounds the windows to days x types; the target
+      // and threshold relations are type-bounded and broadcast. Exact
+      // DECIMAL arithmetic end-to-end means Spark's running-accumulation
+      // and DuckDB's segment-tree window produce the SAME cumsum (order-
+      // free), and the strict alarm comparison cannot straddle an ulp.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).cast("decimal(18,6)").as("x"))
+        .cache()
+      val tgt = daily.groupBy(col("event_type"))
+        .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6)
+          .cast("decimal(18,6)").as("target"))
+      val dev = daily.join(broadcast(tgt), Seq("event_type"))
+        .select(col("event_type"), col("d"), col("x"),
+          (col("x") - col("target")).as("dev"))
+        .cache()
+      val hRel = dev.groupBy(col("event_type"))
+        .agg(round(lit(3) * sum(abs(col("dev"))).cast("double") / count(lit(1)), 6)
+          .cast("decimal(18,6)").as("h"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val withS = dev.withColumn("sp", sum(col("dev")).over(w))
+      val withC = withS.withColumn("cusum",
+        col("sp") - least(min(col("sp")).over(w), lit(0).cast("decimal(18,6)")))
+      withC.join(broadcast(hRel), Seq("event_type"))
+        .select(col("event_type"), col("d").cast("timestamp").as("day"),
+          round(col("x").cast("double"), 6).as("daily_avg"),
+          round(col("cusum").cast("double"), 6).as("cusum"),
+          (col("cusum") > col("h")).as("alarm"))
+    },
+
     // ---- W26: first-order Markov transition matrix ------------------------
     QueryDef(
       "w26_markov_transitions",

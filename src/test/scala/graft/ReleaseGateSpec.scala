@@ -110,6 +110,32 @@ class ReleaseGateSpec extends SparkTestBase {
     assert(out.map(_.getString(0)).toSet == Set("train", "val", "test"))
   }
 
+  test("w27: CUSUM is non-negative and alarms only above the threshold") {
+    val out = run("w27_cusum_drift").cache()
+    assert(out.filter(col("cusum") < 0).count() == 0)
+    assert(out.filter(col("alarm") && col("cusum") <= 0).count() == 0)
+    // every type's first day has cusum = max(0, first deviation) — finite
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
+  test("dd66: precisions and BLEU live in (0,1]; trimmed-head pairs never score 1") {
+    val out = run("dd66_bleu_pairs").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p1, p2, b) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p1 > 0 && p1 <= 1 && p2 > 0 && p2 <= 1 && b > 0 && b <= 1)
+      assert(p1 < 1.0, "the dropped 3-word head must cost unigram precision")
+    }
+  }
+
+  test("ir9: at most 2 negatives per query, never the query itself") {
+    val out = run("ir9_hard_negatives").cache()
+    assert(out.groupBy(col("q_id")).count().filter(col("count") > 2).count() == 0)
+    assert(out.filter(col("q_id") === col("neg_id")).count() == 0)
+    out.unpersist()
+  }
+
   test("ir8: exactly 10 docs, log-prob scores, ranked non-increasing") {
     val out = run("ir8_query_likelihood").collect()
     assert(out.length == 10)
