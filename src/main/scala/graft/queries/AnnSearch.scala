@@ -601,5 +601,72 @@ object AnnSearch {
           sum(when(col("l.cand_id").isNotNull, 1L).otherwise(0L)).as("found"),
           round(sum(when(col("l.cand_id").isNotNull, 1L).otherwise(0L)) /
             count(lit(1)).cast("double"), 6).as("recall3"))
+    },
+
+    // ---- E5f: random-projection two-stage search ---------------------------
+    QueryDef(
+      "e5_ann_randproj",
+      "Two-stage compressed search: 64-dim vectors sketched to 16 dims by a deterministic +-1 random projection (Johnson-Lindenstrauss; Achlioptas signs), coarse top-50 per query in the 4x-smaller sketch space, exact cosine rerank to top-3 — the memory-bound pattern for embedding stores too big to scan at full width. The sign matrix is generated ONCE (md5-seeded) and embedded as identical literals in the Spark plan and the DuckDB oracle; both engines fold the projection and the coarse dot with the same sequential order, so the coarse RANKING is bit-identical and the parity check covers the whole two-stage path",
+      Some {
+        val lits = (0 until 16).map(j => RpSigns(j).mkString("[", ", ", "]"))
+        val redV = lits.map(l => s"list_dot_product(v, $l)").mkString("[", ", ", "]")
+        s"""
+        WITH $vecSql,
+        red AS (SELECT vec_id, v, norm, $redV AS r FROM vecs),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, r AS qr
+              FROM red WHERE vec_id % 100 = 0),
+        coarse AS (
+          SELECT q.q_id, c.vec_id AS cand_id, q.qv, q.qn, c.v, c.norm,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY list_dot_product(q.qr, c.r) DESC, c.vec_id) AS crn
+          FROM q JOIN red c ON c.vec_id <> q.q_id
+        )
+        SELECT q_id, cand_id, cos FROM (
+          SELECT q_id, cand_id,
+                 round(list_dot_product(qv, v) / (qn * norm), 6) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY round(list_dot_product(qv, v) / (qn * norm), 6) DESC,
+                            cand_id) AS rn
+          FROM coarse WHERE crn <= 50
+        ) WHERE rn <= 3
+        """
+      }) { (s, dir) =>
+      // At scale the sketch table is what stays hot (16/64 of the bytes);
+      // the full vectors are touched only for the 50 rerank candidates per
+      // query. Projection = 16 dot_natives against literal sign arrays —
+      // the same sequential fold as DuckDB's list_dot_product, so the
+      // sketches and every coarse score match bit-for-bit.
+      val vecs = withVec(t(s, dir, "embeddings"))
+      val red = vecs.withColumn("r", array(
+        (0 until 16).map(j => dot(col("v"), typedLit(RpSigns(j)))): _*))
+      val q = red.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("norm").as("qn"), col("r").as("qr"))
+      val coarse = red.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(dot(col("qr"), col("r")).desc, col("vec_id"))))
+        .filter(col("crn") <= 50)
+      val rer = coarse.select(col("q_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+      rer.withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"), col("cos"))
     })
+
+  /** Achlioptas-style +-1 projection signs, md5-seeded so both engines
+    * embed the SAME 64x16 matrix as literals: sign(i,j) = +1 iff the
+    * first byte of md5("rp#i#j") < 128. Column-major: RpSigns(j)(i). */
+  private lazy val RpSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        md.reset()
+        val d = md.digest(s"rp#$i#$j".getBytes("UTF-8"))
+        if ((d(0) & 0xff) < 128) 1.0 else -1.0
+      }
+    }
+  }
 }
