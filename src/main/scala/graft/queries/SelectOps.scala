@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Data-selection operators: the pass that decides WHICH documents train —
+  * importance resampling toward a target distribution (DSIR, Xie et al.
+  * NeurIPS'23), CCNet-style perplexity bucketing (Wenzek et al. LREC'20),
+  * an l-diversity privacy audit extending dd61's k-anonymity gate
+  * (Machanavajjhala et al. ICDE'06), and reciprocal-rank fusion of lexical
+  * and dense retrieval (Cormack et al. SIGIR'09).
+  *
+  * Reference anchor: the reference curates with per-source SQL filters and
+  * hand rules (`etl-crimes/transform_rules.sql`, SURVEY §2.9); these are the
+  * published-scale counterparts a 100 TB training-data pipeline runs instead.
+  *
+  * House float discipline throughout: per-term contributions round(9) into
+  * DECIMAL(28,9) so every sum is order-free, final doubles round(6), md5 for
+  * cross-engine-deterministic hashing (Spark hash() != DuckDB hash()).
+  */
+object SelectOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- DD67: DSIR importance selection ---------------------------------
+    QueryDef(
+      "dd67_dsir_select",
+      "DSIR data selection: hashed-unigram (256 md5 buckets) importance weights log2(p_target/p_raw) with add-1 smoothing, target = the English slice, scored per token; top-20 docs by per-token log-likelihood ratio. The feature LM is 256 rows — broadcast at any corpus size; scoring is one narrow pass + one doc-keyed groupBy",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, substr(md5(w),1,2) AS f
+          FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents)
+        ),
+        tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tok WHERE lang='en' GROUP BY f),
+        raw AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY f),
+        tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE lang='en') AS tt,
+                        (SELECT CAST(count(*) AS BIGINT) FROM tok) AS tr),
+        llr AS (
+          SELECT r.f,
+                 CAST(round(log2( ((COALESCE(t.ct,0)+1.0)/(tots.tt+256.0)) /
+                                  ((r.cr+1.0)/(tots.tr+256.0)) ), 9) AS DECIMAL(28,9)) AS llr
+          FROM raw r LEFT JOIN tgt t ON r.f = t.f CROSS JOIN tots
+        ),
+        docf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id, f),
+        scored AS (
+          SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_tokens,
+                 round(CAST(sum(d.n * l.llr) AS DOUBLE) / sum(d.n), 6) AS llr_per_token
+          FROM docf d JOIN llr l ON d.f = l.f GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_tokens, llr_per_token FROM scored
+        ORDER BY llr_per_token DESC, doc_id LIMIT 20
+      """)) { (s, dir) =>
+      // The published DSIR shape: estimate a hashed-feature LM for the
+      // target and the raw pool, weight each doc by its LLR, keep the top
+      // of the pool. 256 md5-prefix buckets stand in for the paper's 10k
+      // hashed n-grams — the SCALE property is identical: both LMs are
+      // FEATURE-bounded (256 rows here, never corpus-bounded), so the
+      // scoring join broadcasts and the only corpus-keyed exchange is the
+      // (doc_id, f) partial-count groupBy. One corpus token pass feeds
+      // target counts, raw counts, and per-doc features (cached).
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("w")), 1, 2).as("f"))
+        .cache()
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+      val raw = tok.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+      val tots = tok.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+        count(lit(1)).as("tr"))
+      val llr = raw.join(tgt, Seq("f"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("f"),
+          // decimal(18,9), NOT (28,9): the weighted product below must fit
+          // Spark's 38-digit ceiling at scale 9 — bigint * decimal(28,9)
+          // would overflow precision and Spark (allowPrecisionLoss) silently
+          // TRUNCATES the scale to 6, desyncing the sum from DuckDB's exact
+          // arithmetic; (10,0) x (18,9) = (29,9) stays exact. |llr| < 32,
+          // so 9 integer digits are ample.
+          round(log2(((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(256.0))) /
+            ((col("cr") + lit(1.0)) / (col("tr") + lit(256.0)))), 9)
+            .cast("decimal(18,9)").as("llr"))
+      val docf = tok.groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("n"))
+      docf.join(broadcast(llr), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(col("n").cast("decimal(10,0)") * col("llr")).as("tot"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("tot").cast("double") / col("n_tokens"), 6).as("llr_per_token"))
+        .orderBy(col("llr_per_token").desc, col("doc_id")).limit(20)
+    },
+
+    // ---- DD68: CCNet perplexity buckets ----------------------------------
+    QueryDef(
+      "dd68_ppl_buckets",
+      "CCNet-style head/middle/tail: per-doc bits under the corpus bigram LM (dd30's scoring), terciled WITHIN each language (ntile over a language-partitioned window — parallel across langs), reporting per-(lang,bucket) doc counts and mean bits",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        big AS (
+          SELECT doc_id, b.prev AS prev, b.next AS next
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-1),
+                i -> struct_pack(prev := arr[i], next := arr[i+1]))) AS b FROM tok)
+        ),
+        pair_counts AS (SELECT prev, next, COUNT(*) AS c FROM big GROUP BY prev, next),
+        prev_counts AS (SELECT prev, SUM(c) AS cp FROM pair_counts GROUP BY prev),
+        vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(arr) AS w FROM tok)),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(-log2((pc.c + 1.0) / (pv.cp + vocab.v)), 9) AS DECIMAL(28,9)) AS cost
+          FROM big b
+          JOIN pair_counts pc ON b.prev = pc.prev AND b.next = pc.next
+          JOIN prev_counts pv ON b.prev = pv.prev
+          CROSS JOIN vocab
+        ),
+        doc_bits AS (
+          SELECT doc_id, round(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS avg_bits
+          FROM scored GROUP BY doc_id
+        ),
+        bucketed AS (
+          SELECT d.lang, b.doc_id, b.avg_bits,
+                 ntile(3) OVER (PARTITION BY d.lang ORDER BY b.avg_bits, b.doc_id) AS tercile
+          FROM doc_bits b JOIN documents d ON b.doc_id = d.doc_id
+        )
+        SELECT lang,
+               CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(sum(CAST(avg_bits AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_bits
+        FROM bucketed GROUP BY lang, tercile ORDER BY lang, tercile
+      """)) { (s, dir) =>
+      // CCNet's filter is "keep head+middle by target-LM perplexity, per
+      // language"; the deterministic twin scores under the corpus's OWN
+      // bigram LM (dd30's exact recipe, shared rounding) and terciles per
+      // language. Scale: the ntile window partitions by lang — bounded
+      // fan-in per partition is the one deliberate non-goal here (a
+      // per-lang tercile is a per-lang sort by construction; at 100 TB the
+      // production form swaps ntile for approx_percentile cutpoints, which
+      // dd27 already demonstrates). Everything upstream is the
+      // vocabulary-bounded LM join from dd30.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val bigrams = docs.select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("arr")) - 2),
+        i => struct(element_at(col("arr"), i + 1).as("prev"),
+          element_at(col("arr"), i + 2).as("next")))).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.next").as("next"))
+      val pairCounts = bigrams.groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("c"))
+      val prevCounts = pairCounts.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+      val vocab = docs.select(explode(col("arr")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val lm = pairCounts
+        .join(prevCounts, Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .select(col("prev"), col("next"),
+          round(-log2((col("c") + lit(1.0)) / (col("cp") + col("v"))), 9)
+            .cast("decimal(28,9)").as("cost"))
+      val docBits = bigrams.join(lm, Seq("prev", "next"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"), sum(col("cost")).as("tot"))
+        .select(col("doc_id"),
+          round(col("tot").cast("double") / col("nb"), 6).as("avg_bits"))
+      val w = Window.partitionBy("lang").orderBy(col("avg_bits"), col("doc_id"))
+      docBits
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("tercile", ntile(3).over(w))
+        .groupBy(col("lang"), col("tercile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("avg_bits").cast("decimal(18,6)")).as("sb"))
+        .select(col("lang"),
+          when(col("tercile") === 1, "head").when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_docs"),
+          round(col("sb").cast("double") / col("n_docs"), 6).as("mean_bits"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    // ---- DD69: l-diversity audit -----------------------------------------
+    QueryDef(
+      "dd69_ldiversity",
+      "l-diversity release gate over dd61's quasi-identifier (event_type, day, floor(value/50)), sensitive attribute = user_id: per-QI-class distinct-sensitive count l and Shannon entropy, banded unique/low/diverse — k-anonymity alone passes classes where everyone shares one sensitive value; this is the audit that catches them. Two QI-keyed aggregations, entropy terms round(9) decimal so the per-class sum is order-free",
+      Some("""
+        WITH cells AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(floor(value/50) AS BIGINT) AS vbucket,
+                 user_id, CAST(count(*) AS BIGINT) AS cu
+          FROM events GROUP BY 1,2,3,4
+        ),
+        tot AS (
+          SELECT event_type, day, vbucket, CAST(sum(cu) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS l_distinct
+          FROM cells GROUP BY 1,2,3
+        ),
+        ent AS (
+          SELECT c.event_type, c.day, c.vbucket,
+                 CAST(round(-(c.cu/CAST(t.n_rows AS DOUBLE))*log2(c.cu/CAST(t.n_rows AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS term
+          FROM cells c JOIN tot t USING (event_type, day, vbucket)
+        ),
+        per_class AS (
+          SELECT t.event_type, t.day, t.vbucket, t.n_rows, t.l_distinct,
+                 round(CAST(sum(e.term) AS DOUBLE), 6) AS entropy
+          FROM tot t JOIN ent e USING (event_type, day, vbucket)
+          GROUP BY 1,2,3,4,5
+        )
+        SELECT CASE WHEN l_distinct = 1 THEN 'unique'
+                    WHEN l_distinct < 5 THEN 'low' ELSE 'diverse' END AS l_band,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               round(CAST(sum(CAST(entropy AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS avg_entropy,
+               round(min(entropy), 6) AS min_entropy
+        FROM per_class GROUP BY 1 ORDER BY 1
+      """)) { (s, dir) =>
+      // Both aggregations and the entropy join share the QI key — one
+      // shuffle reused three times (AQE coalesces the exchanges); the
+      // sensitive-value fan-in per class is the class size, never the
+      // table. The (QI, user) cell table is the only corpus-sized relation.
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") / 50).as("vbucket"), col("user_id"))
+        .agg(count(lit(1)).as("cu"))
+      val tot = cells.groupBy(col("event_type"), col("day"), col("vbucket"))
+        .agg(sum(col("cu")).as("n_rows"), count(lit(1)).as("l_distinct"))
+      val p = col("cu") / col("n_rows").cast("double")
+      val ent = cells.join(tot, Seq("event_type", "day", "vbucket"))
+        .select(col("event_type"), col("day"), col("vbucket"),
+          round(-p * log2(p), 9).cast("decimal(28,9)").as("term"))
+      val perClass = ent.groupBy(col("event_type"), col("day"), col("vbucket"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("entropy"))
+        .join(tot, Seq("event_type", "day", "vbucket"))
+      perClass
+        .groupBy(when(col("l_distinct") === 1, "unique")
+          .when(col("l_distinct") < 5, "low").otherwise("diverse").as("l_band"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("n_rows")).as("n_rows"),
+          sum(col("entropy").cast("decimal(18,6)")).as("se"),
+          min(col("entropy")).as("me"))
+        .select(col("l_band"), col("n_classes"), col("n_rows"),
+          round(col("se").cast("double") / col("n_classes"), 6).as("avg_entropy"),
+          round(col("me"), 6).as("min_entropy"))
+        .orderBy(col("l_band"))
+    },
+
+    // ---- IR10: reciprocal-rank fusion ------------------------------------
+    QueryDef(
+      "ir10_rrf_fusion",
+      "Reciprocal-rank fusion (k=60) of the two retrieval families the engine already runs: BM25 top-50 (ir2's lexical ranking) and dense top-50 by cosine to the corpus centroid (vec_id = doc_id); fused score = sum 1/(60+rank), top-10. Each ranking is a distributed top-k; the fusion is a 100-row union — driver-free",
+      Some("""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+          FROM embeddings
+        ),
+        cent0 AS (
+          SELECT i, CAST(sum(CAST(round(v[i],9) AS DECIMAL(28,9))) AS DOUBLE)/count(*) AS c
+          FROM vecs CROSS JOIN generate_series(1,64) t(i) GROUP BY i
+        ),
+        cent AS (SELECT list(c ORDER BY i) AS cv,
+                        sqrt(list_dot_product(list(c ORDER BY i), list(c ORDER BY i))) AS cn FROM cent0),
+        vrank AS (
+          SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+          FROM (SELECT vec_id, round(list_dot_product(v, cent.cv)/(norm*cent.cn), 6) AS cos
+                FROM vecs CROSS JOIN cent) QUALIFY rnk <= 50
+        ),
+        tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        contrib AS (
+          SELECT tf.doc_id,
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9)) AS c
+          FROM tf JOIN qterms q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        ),
+        trank AS (
+          SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM (SELECT doc_id, round(CAST(sum(c) AS DOUBLE),6) AS bm25 FROM contrib GROUP BY doc_id)
+          QUALIFY rnk <= 50
+        ),
+        fused AS (
+          SELECT id, round(CAST(sum(CAST(round(1.0/(60+rnk),9) AS DECIMAL(28,9))) AS DOUBLE),6) AS rrf,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM (SELECT * FROM vrank UNION ALL SELECT * FROM trank) GROUP BY id
+        )
+        SELECT id, n_lists, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
+      """)) { (s, dir) =>
+      // Centroid parity: per-dimension components freeze to DECIMAL(28,9)
+      // before the sum (order-free across partitions), divide in double.
+      // The dense and lexical rankers run INDEPENDENTLY (no barrier
+      // between them in the plan — Spark schedules both subtrees); each
+      // ends in a 50-row TakeOrdered, so the fusion input is 100 rows.
+      val dotN = (a: Column, b: Column) => graft.functions.NativeExpressions.dot_native(a, b)
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", sqrt(dotN(col("v"), col("v"))))
+      val cent0 = vecs
+        .select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg((sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double") /
+          count(lit(1))).as("c"))
+      val cent = cent0
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("a"))
+        .select(transform(col("a"), e => e.getField("c")).as("cv"))
+        .withColumn("cn", sqrt(dotN(col("cv"), col("cv"))))
+      // rank WITHOUT a global window: the top-50 cut is a distributed
+      // TakeOrdered; ranks within the bounded 50-row result come from a
+      // broadcast inequality self-join (rank = 1 + rows strictly ahead) —
+      // the same tiny-relation inequality-join shape as dd40's offsets
+      def rankTop50(scored: DataFrame, score: String): DataFrame = {
+        val top = scored.orderBy(col(score).desc, col("id")).limit(50)
+        val ahead = top.as("b")
+          .select(col(s"b.$score").as("bs"), col("b.id").as("bid"))
+        top.as("a").join(broadcast(ahead),
+            col("bs") > col(score) ||
+              (col("bs") === col(score) && col("bid") < col("id")), "left")
+          .groupBy(col("id"))
+          .agg((lit(1) + count(col("bid"))).cast("int").as("rnk"))
+      }
+      val vScored = vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id").as("id"),
+          round(dotN(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("cos"))
+      val vrank = rankTop50(vScored, "cos")
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = dfr.orderBy(col("df").desc, col("w")).limit(3)
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val contrib = tf.join(broadcast(qterms), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+      val trank = rankTop50(
+        contrib.groupBy(col("doc_id"))
+          .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+          .select(col("doc_id").as("id"), col("bm25")), "bm25")
+      vrank.unionAll(trank)
+        .groupBy(col("id"))
+        .agg(sum(round(lit(1.0) / (lit(60) + col("rnk")), 9).cast("decimal(28,9)")).as("sr"),
+          count(lit(1)).as("n_lists"))
+        .select(col("id"), col("n_lists"), round(col("sr").cast("double"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(10)
+    })
+}
