@@ -360,5 +360,199 @@ object SelectOps {
           count(lit(1)).as("n_lists"))
         .select(col("id"), col("n_lists"), round(col("sr").cast("double"), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("id")).limit(10)
+    },
+
+    // ---- DD70: BPE tokenizer application ---------------------------------
+    QueryDef(
+      "dd70_bpe_encode",
+      "Tokenizer APPLICATION at corpus scale (the produce side of dd58's merge mining): apply a fixed 8-rule BPE merge table to every word — chars joined on US (0x1f), each merge is one non-overlapping left-to-right replace, which IS single-pass BPE merge semantics — and report per-language char->token compression. Pure narrow codegen string passes; the only exchange is the 5-row language rollup",
+      Some(SelectOpsSql.bpeOracle)) { (s, dir) =>
+      // replace() scans left-to-right over non-overlapping occurrences and
+      // resumes AFTER each replacement — exactly one BPE merge pass
+      // ('aaa' + merge(a,a) -> ['aa','a'], not ['aa','aa']); identical
+      // semantics in java.lang.String.replace and DuckDB replace, so the
+      // whole encode is oracle-checkable. Merges apply in rank order as a
+      // chain of 8 replaces fused into one whole-stage-codegen projection;
+      // words never leave their partition until the tiny language rollup.
+      val enc = SelectOpsSql.merges.foldLeft(
+        "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), char(31))") {
+        case (acc, (a, b)) =>
+          s"replace($acc, concat('$a', char(31), '$b'), '$a$b')"
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("s", expr(enc))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(length(col("s")) - length(expr("replace(s, char(31), '')")) + 1)
+            .cast("long").as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bpe_tokens"),
+          round(col("n_chars") / col("n_bpe_tokens").cast("double"), 6).as("compression"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- DD72: differentially-private histogram release -------------------
+    QueryDef(
+      "dd72_dp_release",
+      "DP-shaped histogram release (Dwork et al. TCC'06 Laplace mechanism, eps=1): per-event-type counts plus inverse-CDF Laplace noise from a SEEDED md5 uniform — deterministic across engines and runs, the property a reproducible release pipeline needs; released = max(0, count + noise). The histogram is category-bounded (one tiny groupBy); noise derivation is per-released-row arithmetic",
+      Some("""
+        WITH hist AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+          FROM events GROUP BY event_type
+        ),
+        noised AS (
+          SELECT event_type, true_count,
+                 (CAST(concat('0x', substr(md5(concat(event_type, '|dp-seed-r6')),1,8)) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS u
+          FROM hist
+        )
+        SELECT event_type, true_count,
+               round(CASE WHEN u < 0.5 THEN ln(2*u) ELSE -ln(2*(1-u)) END, 6) AS noise,
+               CAST(greatest(0, round(true_count +
+                 (CASE WHEN u < 0.5 THEN ln(2*u) ELSE -ln(2*(1-u)) END))) AS BIGINT) AS released
+        FROM noised ORDER BY event_type
+      """)) { (s, dir) =>
+      // Laplace(b=1/eps=1) via inverse CDF on u ~ Uniform(0,1): u < .5 ->
+      // b*ln(2u), else -b*ln(2(1-u)). u derives from the first 8 md5 hex
+      // chars of (category | fixed seed) — Spark's conv(hex,16,10) and
+      // DuckDB's '0x' cast agree exactly, and +0.5 keeps u strictly
+      // inside (0,1) so ln never sees 0. Released counts clamp at 0 and
+      // round to integers (the standard post-processing, DP-safe).
+      val u = (expr("conv(substring(md5(concat(event_type, '|dp-seed-r6')), 1, 8), 16, 10)")
+        .cast("long") + lit(0.5)) / lit(4294967296.0)
+      val noise = when(col("u") < 0.5, log(lit(2.0) * col("u")))
+        .otherwise(-log(lit(2.0) * (lit(1.0) - col("u"))))
+      t(s, dir, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("true_count"))
+        .withColumn("u", u)
+        .select(col("event_type"), col("true_count"),
+          round(noise, 6).as("noise"),
+          greatest(lit(0L), round(col("true_count") + noise, 0).cast("long")).as("released"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- IR11: NDCG ranking-quality evaluation ---------------------------
+    QueryDef(
+      "ir11_ndcg_eval",
+      "NDCG@10 of the BM25 ranking (ir2's scorer) against deterministic graded relevance = number of distinct query terms a doc contains (0-3): DCG from the actual top-10, IDCG from the relevance-ideal top-10, both rank sets cut by distributed TakeOrdered with ranks from bounded inequality self-joins — the retrieval-quality gate a search pipeline ships with, no global window anywhere",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        rel AS (
+          SELECT d.doc_id, CAST(count(DISTINCT q.w) AS BIGINT) AS rel
+          FROM tf d JOIN qterms q ON d.w = q.w GROUP BY d.doc_id
+        ),
+        contrib AS (
+          SELECT tf.doc_id,
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9)) AS c
+          FROM tf JOIN qterms q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        ),
+        bm25 AS (
+          SELECT doc_id, round(CAST(sum(c) AS DOUBLE),6) AS bm25
+          FROM contrib GROUP BY doc_id
+        ),
+        actual AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM bm25 QUALIFY rnk <= 10
+        ),
+        ideal AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rnk
+          FROM rel QUALIFY rnk <= 10
+        ),
+        dcg AS (
+          SELECT round(CAST(sum(CAST(round((pow(2, COALESCE(r.rel,0)) - 1)
+                   / log2(a.rnk + 1), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS dcg
+          FROM actual a LEFT JOIN rel r ON a.doc_id = r.doc_id
+        ),
+        idcg AS (
+          SELECT round(CAST(sum(CAST(round((pow(2, r.rel) - 1)
+                   / log2(i.rnk + 1), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS idcg
+          FROM ideal i JOIN rel r ON i.doc_id = r.doc_id
+        )
+        SELECT 10 AS k, dcg.dcg, idcg.idcg,
+               round(dcg.dcg / idcg.idcg, 6) AS ndcg
+        FROM dcg CROSS JOIN idcg
+      """)) { (s, dir) =>
+      // Both rankings reuse ONE cached tf relation (the inverted index);
+      // relevance grades come from the same broadcast query-term join.
+      // Each top-10 cut is TakeOrdered; ranks within the 10-row cuts are
+      // broadcast inequality self-joins (ir10's rankTop50 shape at k=10).
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = dfr.orderBy(col("df").desc, col("w")).limit(3)
+      val rel = tf.join(broadcast(qterms.select(col("w"))), Seq("w"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("w")).as("rel"))
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val bm25 = tf.join(broadcast(qterms), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+      def rankTop(scored: DataFrame, score: String, k: Int): DataFrame = {
+        val top = scored.orderBy(col(score).desc, col("doc_id")).limit(k)
+        val ahead = top.as("b")
+          .select(col(s"b.$score").as("bs"), col("b.doc_id").as("bid"))
+        top.as("a").join(broadcast(ahead),
+            col("bs") > col(score) ||
+              (col("bs") === col(score) && col("bid") < col("doc_id")), "left")
+          .groupBy(col("doc_id"))
+          .agg((lit(1) + count(col("bid"))).cast("int").as("rnk"))
+      }
+      val actual = rankTop(bm25, "bm25", 10)
+      val ideal = rankTop(rel.select(col("doc_id"), col("rel").cast("double").as("relscore")),
+        "relscore", 10)
+      val dcgTerm = (c: Column, r: Column) =>
+        round((pow(lit(2.0), c) - 1) / log2(r + 1), 9).cast("decimal(28,9)")
+      val dcg = actual.join(rel, Seq("doc_id"), "left")
+        .agg(round(sum(dcgTerm(coalesce(col("rel"), lit(0L)).cast("double"), col("rnk")))
+          .cast("double"), 6).as("dcg"))
+      val idcg = ideal.join(rel, Seq("doc_id"))
+        .agg(round(sum(dcgTerm(col("rel").cast("double"), col("rnk")))
+          .cast("double"), 6).as("idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(lit(10).as("k"), col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
     })
+
+  /** Shared literals for dd70: the fixed merge table (rank order) and the
+    * oracle SQL generated from the SAME list — one source of truth, so the
+    * Spark chain and the DuckDB chain can never drift. */
+  private[queries] object SelectOpsSql {
+    val merges: Seq[(String, String)] = Seq(
+      "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+    val bpeOracle: String = {
+      val enc = merges.foldLeft(
+        "array_to_string(list_transform(generate_series(1,length(word)), i -> word[i]), chr(31))") {
+        case (acc, (a, b)) => s"replace($acc, '$a'||chr(31)||'$b', '$a$b')"
+      }
+      s"""
+        WITH words AS (
+          SELECT doc_id, lang, unnest(string_split(text,' ')) AS word FROM documents
+        ),
+        enc AS (SELECT doc_id, lang, word, $enc AS s FROM words)
+        SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(length(word)) AS BIGINT) AS n_chars,
+               CAST(sum(length(s) - length(replace(s, chr(31), '')) + 1) AS BIGINT) AS n_bpe_tokens,
+               round(sum(length(word)) / CAST(sum(length(s) - length(replace(s, chr(31), '')) + 1) AS DOUBLE), 6) AS compression
+        FROM enc GROUP BY lang ORDER BY lang
+      """
+    }
+  }
 }
