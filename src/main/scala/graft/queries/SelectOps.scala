@@ -527,6 +527,107 @@ object SelectOps {
       dcg.crossJoin(broadcast(idcg))
         .select(lit(10).as("k"), col("dcg"), col("idcg"),
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
+    },
+
+    // ---- E8: blocking-scheme quality evaluation ---------------------------
+    QueryDef(
+      "e8_blocking_eval",
+      "ER blocking audit (Christen's reduction ratio + pair completeness): ground truth = exact-bag duplicate pairs, candidate scheme = (lang, n_chars div 100) blocks. EVERY pair count folds from group sizes as C(c,2) — truth, candidate, and hit pairs each cost one groupBy; no pair is ever materialized, which is why the audit itself runs at corpus scale",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS cb,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+          FROM documents
+        ),
+        truth AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS true_pairs
+                  FROM (SELECT k, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY k)),
+        cand AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS cand_pairs
+                 FROM (SELECT lang, cb, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY lang, cb)),
+        hit AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS hit_pairs
+                FROM (SELECT k, lang, cb, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY k, lang, cb)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed)
+        SELECT n.n AS n_docs, true_pairs, cand_pairs, hit_pairs,
+               round(1 - cand_pairs / CAST(n.n*(n.n-1)//2 AS DOUBLE), 6) AS reduction_ratio,
+               round(hit_pairs / CAST(true_pairs AS DOUBLE), 6) AS pair_completeness
+        FROM n CROSS JOIN truth CROSS JOIN cand CROSS JOIN hit
+      """)) { (s, dir) =>
+      // The eval that tells you whether e2-style blocking is SAFE before
+      // you pay for it: RR prices the candidate-set saving, PC prices the
+      // recall loss (a true pair spanning two blocks is a miss). One doc
+      // scan feeds all three count-of-pairs aggregates (cached); the
+      // C(c,2) identity keeps everything in count-space — the same trick
+      // dd37 uses for the dedup confusion matrix.
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 100).cast("long").as("cb"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("k"))
+        .cache()
+      def pairs(grouped: DataFrame, out: String): DataFrame =
+        grouped.agg(sum(expr("c*(c-1) div 2")).as(out))
+      val truth = pairs(keyed.groupBy(col("k")).agg(count(lit(1)).as("c")), "true_pairs")
+      val cand = pairs(keyed.groupBy(col("lang"), col("cb")).agg(count(lit(1)).as("c")),
+        "cand_pairs")
+      val hit = pairs(keyed.groupBy(col("k"), col("lang"), col("cb"))
+        .agg(count(lit(1)).as("c")), "hit_pairs")
+      val nd = keyed.agg(count(lit(1)).as("n"))
+      nd.crossJoin(broadcast(truth)).crossJoin(broadcast(cand)).crossJoin(broadcast(hit))
+        .select(col("n").as("n_docs"), col("true_pairs"), col("cand_pairs"), col("hit_pairs"),
+          round(lit(1) - col("cand_pairs") /
+            expr("n*(n-1) div 2").cast("double"), 6).as("reduction_ratio"),
+          round(col("hit_pairs") / col("true_pairs").cast("double"), 6).as("pair_completeness"))
+    },
+
+    // ---- W28: day-of-week seasonal baseline + residual anomalies ----------
+    QueryDef(
+      "w28_seasonal_residuals",
+      "Seasonal-naive decomposition: per (event_type, day-of-week) mean daily value as the baseline, top-3 absolute residual days per type as the anomalies — the dual of w14's trailing z-score (calendar profile, not rolling history). Day-grain pre-agg collapses the log first; the profile is type x 7 rows broadcast back; the top-3 cut is a type-partitioned window",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value,2) AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events GROUP BY 1,2
+        ),
+        prof AS (
+          SELECT event_type, dayofweek(d) AS dow,
+                 round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)/count(*), 6) AS dow_mean
+          FROM daily GROUP BY 1,2
+        ),
+        resid AS (
+          SELECT d.event_type, d.d, d.v, p.dow_mean,
+                 round(d.v - p.dow_mean, 6) AS residual,
+                 ROW_NUMBER() OVER (PARTITION BY d.event_type
+                   ORDER BY abs(round(d.v - p.dow_mean, 6)) DESC, d.d) AS rn
+          FROM daily d JOIN prof p ON d.event_type = p.event_type AND dayofweek(d.d) = p.dow
+        )
+        SELECT event_type, CAST(d AS TIMESTAMP) AS day, round(v,6) AS daily_value,
+               dow_mean, residual
+        FROM resid WHERE rn <= 3 ORDER BY event_type, day
+      """)) { (s, dir) =>
+      // Parity note: Spark and DuckDB number day-of-week differently, but
+      // the dow value never leaves the query — it only PARTITIONS days,
+      // and any consistent numbering induces the identical partition, so
+      // the join and the output agree without aligning the numberings.
+      // Daily values freeze to DECIMAL(18,2) (w14's recipe) so the
+      // day-grain sums are order-free in both engines.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("v"))
+        .cache()
+      val prof = daily
+        .groupBy(col("event_type").as("et"), dayofweek(col("d")).as("dow"))
+        .agg(round(sum(col("v").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 6).as("dow_mean"))
+      val resid = daily
+        .join(prof, col("event_type") === col("et") &&
+          dayofweek(col("d")) === col("dow"))
+        .select(col("event_type"), col("d"), col("v"), col("dow_mean"),
+          round(col("v") - col("dow_mean"), 6).as("residual"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(abs(col("residual")).desc, col("d"))
+      resid.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("event_type"), col("d").cast("timestamp").as("day"),
+          round(col("v"), 6).as("daily_value"), col("dow_mean"), col("residual"))
+        .orderBy(col("event_type"), col("day"))
     })
 
   /** Shared literals for dd70: the fixed merge table (rank order) and the
