@@ -27,16 +27,23 @@ object CurateOps {
     // ---- DD60: exact set-similarity self-join via prefix filtering --------
     QueryDef(
       "dd60_setsim_join",
-      "EXACT Jaccard>=0.95 unigram-set self-join via All-Pairs prefix filtering (Bayardo et al. WWW'07): tokens canonically ordered by ascending global df, each doc indexes only its (n - ceil(t*n) + 1)-token prefix (~5% of the set at t=0.95), candidates = index-prefix x probe-full equi-join with the t*|A|<=|B|<=|A|/t length filter, then exact array-intersect verify in integer cross-multiplied form (20*inter >= 19*union). Lossless by pigeonhole: >=ceil(t*|A|) common tokens cannot all hide in the (ceil(t*|A|)-1)-token suffix — the scale path when minhash recall<1 is not acceptable",
+      "EXACT Jaccard>=0.75 3-SHINGLE-set self-join via All-Pairs prefix filtering (Bayardo et al. WWW'07): shingles canonically ordered by ascending global df, each doc indexes only its (n - ceil(t*n) + 1)-shingle prefix, candidates = index-prefix x probe-full equi-join with the t*|A|<=|B|<=|A|/t length filter, then exact array-intersect verify in integer cross-multiplied form (4*inter >= 3*union). Lossless by pigeonhole: >=ceil(t*|A|) common shingles cannot all hide in the (ceil(t*|A|)-1)-shingle suffix. Shingles, NOT unigrams, are the set representation — the corpus vocabulary is ~31 words, so unigram posting lists are corpus-sized and the prefix filter prunes nothing (measured 29 s at sf0.1); the 3-gram space is position-sensitive and sparse, so prefixes actually select and candidates are bounded by real near-dups",
       Some("""
-        WITH tokd AS (
-          SELECT DISTINCT doc_id, w
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WITH tok AS (
+          SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+                WHERE len(string_split(text, ' ')) >= 3)
         ),
-        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tokd GROUP BY 1),
+        sh0 AS (
+          SELECT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        shd AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1),
         com AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-          FROM tokd a JOIN tokd b ON a.w = b.w AND a.doc_id < b.doc_id
+          FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -44,20 +51,23 @@ object CurateOps {
         FROM com
         JOIN n na ON doc_a = na.doc_id
         JOIN n nb ON doc_b = nb.doc_id
-        WHERE 20 * c >= 19 * (na.n + nb.n - c)
+        WHERE 4 * c >= 3 * (na.n + nb.n - c)
       """)) { (s, dir) =>
-      // The oracle is the NAIVE shared-token join (correct at any SF but its
-      // candidate set is every co-occurring pair); the engine's candidate
-      // set is bounded by the RARE-token postings — each doc contributes
-      // only the ~(1-t) least frequent tokens of its set to the index, so
-      // stop-word postings never generate pairs. Equality with the naive
-      // oracle is the losslessness proof, run fresh per scale factor; the
-      // kernel (resolve/SetSimJoin) is additionally ScalaCheck'd against
-      // its naive form on random corpora across thresholds.
+      // The oracle is the NAIVE shared-shingle join (correct at any SF but
+      // its candidate set is every co-occurring pair); the engine's
+      // candidate set is bounded by the RARE-shingle postings — each doc
+      // contributes only the ~(1-t) least frequent shingles of its set to
+      // the index. Equality with the naive oracle is the losslessness
+      // proof, run fresh per scale factor; the kernel (resolve/SetSimJoin)
+      // is additionally ScalaCheck'd against its naive form on random
+      // corpora across thresholds.
       graft.resolve.SetSimJoin.exact(
-        t(s, dir, "documents").select(col("doc_id").as("id"),
-          array_distinct(split(col("text"), " ")).as("toks")),
-        tNum = 19, tDen = 20)
+        t(s, dir, "documents")
+          .select(col("doc_id").as("id"), split(col("text"), " ").as("arr"))
+          .filter(size(col("arr")) >= 3)
+          .select(col("id"), array_distinct(
+            graft.functions.NativeExpressions.ngrams_native(col("arr"), 3)).as("toks")),
+        tNum = 3, tDen = 4)
     },
 
     // ---- DD61: k-anonymity audit ------------------------------------------

@@ -13,28 +13,22 @@ class ReleaseGateSpec extends SparkTestBase {
   private def run(name: String) =
     SparkEntry.all.find(_.name == name).get.run(spark, sf001)
 
-  test("dd60: prefix-filtered join ≡ the naive shared-token join (lossless candidates)") {
+  test("dd60: prefix-filtered join ≡ the naive shared-shingle join (lossless candidates)") {
+    // same 3-shingle representation as the query (unigrams are useless on
+    // the ~31-word vocabulary — see the dd60 doc), naive filter-free twin
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val tokd = docs.select(col("doc_id"), explode(col("toks")).as("w"))
-    val n = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
-    val naive = tokd.as("a")
-      .join(tokd.select(col("doc_id").as("doc_b"), col("w").as("wb")),
-        col("w") === col("wb") && col("doc_id") < col("doc_b"))
-      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(col("c") * 20 >= (col("na") + col("nb") - col("c")) * 19)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("c") / (col("na") + col("nb") - col("c")).cast("double"), 6)
-          .as("jaccard"))
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.NativeExpressions.ngrams_native(col("arr"), 3)).as("toks"))
+    val naive = graft.resolve.SetSimJoin.naive(
+      docs.select(col("doc_id").as("id"), col("toks")), tNum = 3, tDen = 4)
     assert(sameRows(naive, run("dd60_setsim_join")))
   }
 
   test("dd60: every reported pair clears the threshold") {
-    val bad = run("dd60_setsim_join").filter(col("jaccard") < 0.95).count()
-    assert(bad == 0, s"$bad pairs below 0.95")
+    val bad = run("dd60_setsim_join").filter(col("jaccard") < 0.75).count()
+    assert(bad == 0, s"$bad pairs below 0.75")
   }
 
   test("dd61: bands partition the equivalence classes and row shares sum to 1") {
