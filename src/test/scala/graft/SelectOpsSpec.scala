@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the data-selection batch (SelectOps) — the
+  * invariants the DuckDB oracle's value-equality cannot state on its own.
+  */
+class SelectOpsSpec extends SparkTestBase {
+
+  private def run(name: String) =
+    SparkEntry.all.find(_.name == name).get.run(spark, sf001)
+
+  test("dd67: selection is target-seeking — mean LLR of the selected 20 beats the pool mean") {
+    // DSIR's whole point: the kept slice must score higher under the
+    // target LM than a random slice would. The top-20 per-token LLR mean
+    // must strictly exceed 0 (the pool-average LLR is ~0 by construction:
+    // raw includes the target).
+    val sel = run("dd67_dsir_select").agg(avg(col("llr_per_token"))).head.getDouble(0)
+    assert(sel > 0, s"selected mean LLR $sel not positive")
+  }
+
+  test("dd68: terciles within each language differ by at most one doc in size") {
+    val out = run("dd68_ppl_buckets").cache()
+    val spread = out.groupBy(col("lang"))
+      .agg((max(col("n_docs")) - min(col("n_docs"))).as("d"))
+      .filter(col("d") > 1).count()
+    assert(spread == 0, "ntile(3) buckets must be balanced within 1")
+    // head bits <= middle bits <= tail bits per language
+    val viol = out.as("a").join(out.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.bucket") === "head" && col("b.bucket") === "tail" &&
+          col("a.mean_bits") > col("b.mean_bits")).count()
+    assert(viol == 0, "head bucket must have lower mean bits than tail")
+  }
+
+  test("dd69: entropy is 0 exactly on the unique band and l-bands partition the classes") {
+    val out = run("dd69_ldiversity").cache()
+    val uniq = out.filter(col("l_band") === "unique").head
+    assert(uniq.getAs[Double]("avg_entropy") == 0.0 &&
+      uniq.getAs[Double]("min_entropy") == 0.0,
+      "a single-sensitive-value class has zero entropy by definition")
+    // log2(l) upper-bounds entropy: the low band (l < 5) stays under log2(4)
+    val low = out.filter(col("l_band") === "low")
+    if (low.count() > 0)
+      assert(low.head.getAs[Double]("avg_entropy") <= 2.0)
+  }
+
+  test("ir10: fused ranks come only from the two top-50 lists and rrf is bounded") {
+    val out = run("ir10_rrf_fusion").cache()
+    assert(out.filter(col("n_lists") > 2 || col("n_lists") < 1).count() == 0)
+    // max possible rrf = 1/61 + 1/61 (rank 1 in both lists)
+    assert(out.filter(col("rrf") > 2.0 / 61 + 1e-9).count() == 0)
+    // a doc in both lists must outrank docs in one list at equal ranks:
+    // the top fused doc is in both lists on this corpus
+    assert(out.orderBy(col("rrf").desc).head.getAs[Long]("n_lists") == 2)
+  }
+
+  test("dd70: BPE merge application never increases token count and is bounded below by words") {
+    val out = run("dd70_bpe_encode").cache()
+    // chars >= bpe tokens (merges only shrink) and compression >= 1
+    assert(out.filter(col("n_bpe_tokens") > col("n_chars")).count() == 0)
+    assert(out.filter(col("compression") < 1.0).count() == 0)
+  }
+
+  test("dd72: release is reproducible and non-negative") {
+    val a = run("dd72_dp_release").collect().map(_.toSeq)
+    val b = run("dd72_dp_release").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "seeded noise must make the release deterministic")
+    assert(a.forall(r => r(3).asInstanceOf[Long] >= 0L), "released counts clamp at 0")
+  }
+
+  test("ir11: ndcg is in (0, 1] and idcg dominates dcg") {
+    val r = run("ir11_ndcg_eval").head
+    val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+      r.getAs[Double]("ndcg"))
+    assert(idcg >= dcg, "ideal ordering maximizes DCG by definition")
+    assert(ndcg > 0 && ndcg <= 1.0 + 1e-9, s"ndcg $ndcg out of range")
+  }
+
+  test("e8: metrics are probabilities and candidate pairs bound hit pairs") {
+    val r = run("e8_blocking_eval").head
+    assert(r.getAs[Double]("reduction_ratio") >= 0 &&
+      r.getAs[Double]("reduction_ratio") <= 1)
+    assert(r.getAs[Double]("pair_completeness") >= 0 &&
+      r.getAs[Double]("pair_completeness") <= 1)
+    assert(r.getAs[Long]("hit_pairs") <= r.getAs[Long]("cand_pairs"),
+      "a hit pair is by definition a candidate pair")
+    assert(r.getAs[Long]("hit_pairs") <= r.getAs[Long]("true_pairs"))
+  }
+
+  test("w28: residuals recompute from the published baseline and day values") {
+    val out = run("w28_seasonal_residuals")
+    val bad = out.filter(
+      abs(col("residual") - round(col("daily_value") - col("dow_mean"), 6)) > 1e-9).count()
+    assert(bad == 0, "residual must equal daily_value - dow_mean")
+  }
+}
