@@ -231,6 +231,8 @@ object SelectOps {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"),
           floor(col("value") / 50).as("vbucket"), col("user_id"))
         .agg(count(lit(1)).as("cu"))
+        .cache() // 3 consumers (tot, ent, perClass): cache the QI-cell
+                 // relation so the events scan + cell groupBy run once
       val tot = cells.groupBy(col("event_type"), col("day"), col("vbucket"))
         .agg(sum(col("cu")).as("n_rows"), count(lit(1)).as("l_distinct"))
       val p = col("cu") / col("n_rows").cast("double")
