@@ -630,15 +630,96 @@ object SelectOps {
         .select(col("event_type"), col("d").cast("timestamp").as("day"),
           round(col("v"), 6).as("daily_value"), col("dow_mean"), col("residual"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- DD71: checksum-validated PII detection ---------------------------
+    QueryDef(
+      "dd71_luhn_pii",
+      "Luhn-validated card-number detection (the false-positive killer regex-only PII scans need): 16-digit candidates from regex, then the Luhn mod-10 checksum recomputed FROM THE EXTRACTED STRING decides real vs coincidental. Planted ground truth: every 5th doc carries a 16-digit number whose check digit is constructed valid on even doc ids and broken (+5) on odd — so expected valid = planted/2 exactly. One narrow codegen pass; the report is a 1-row fold",
+      Some(SelectOpsSql.luhnOracle)) { (s, dir) =>
+      // The plant and the validation share ONE digit/Luhn chain definition
+      // (SelectOpsSql.luhn*, emitted per SQL dialect) — the same
+      // single-source-of-truth discipline as dd70's merge table. The
+      // validation is honest: it sees only the extracted 16-char string,
+      // never the planting parity.
+      import SelectOpsSql._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("ptext", expr(
+          s"""CASE WHEN doc_id % 5 = 0 THEN
+                concat(text, ' card ', ${luhnPlant15("h", spark = true)},
+                  CAST(CASE WHEN doc_id % 2 = 0
+                       THEN (10 - (${luhnSum15("h", spark = true)}) % 10) % 10
+                       ELSE ((10 - (${luhnSum15("h", spark = true)}) % 10) % 10 + 5) % 10
+                       END AS STRING))
+              ELSE text END"""))
+        .filter(expr("ptext rlike '[0-9]{16}'"))
+        .select(expr("regexp_extract(ptext, '[0-9]{16}', 0)").as("num"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(expr(s"(${luhnSum16("num", spark = true)}) % 10 = 0"), 1L)
+            .otherwise(0L)).as("n_luhn_valid"))
+        .select(col("n_candidates"), col("n_luhn_valid"),
+          (col("n_candidates") - col("n_luhn_valid")).as("n_luhn_rejected"))
     })
 
-  /** Shared literals for dd70: the fixed merge table (rank order) and the
-    * oracle SQL generated from the SAME list — one source of truth, so the
-    * Spark chain and the DuckDB chain can never drift. */
+  /** Shared literals for dd70/dd71: the fixed merge table and the Luhn
+    * digit chains, with the oracle SQL generated from the SAME definitions
+    * — one source of truth, so the Spark chain and the DuckDB chain can
+    * never drift. */
   private[queries] object SelectOpsSql {
     val merges: Seq[(String, String)] = Seq(
       "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
       "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+    // ---- dd71 Luhn chains, emitted per SQL dialect -----------------------
+    /** digit i (1-based) of the md5-hex column `h`, mapped to 0-9. */
+    private def digit(h: String, i: Int, spark: Boolean): String =
+      if (spark) s"((instr('0123456789abcdef', substring($h,$i,1))-1) % 10)"
+      else s"((strpos('0123456789abcdef', substr($h,$i,1))-1) % 10)"
+
+    /** Luhn contribution: digits at odd left-positions of a 16-digit
+      * number (even positions from the right) double, folding >9 to -9. */
+    private def luhnTerm(d: String, doubled: Boolean): String =
+      if (doubled) s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)" else d
+
+    def luhnSum15(h: String, spark: Boolean): String =
+      (1 to 15).map(i => luhnTerm(digit(h, i, spark), i % 2 == 1)).mkString(" + ")
+
+    def luhnSum16(s: String, spark: Boolean): String =
+      (1 to 16).map(i => luhnTerm(digit(s, i, spark), i % 2 == 1)).mkString(" + ")
+
+    def luhnPlant15(h: String, spark: Boolean): String =
+      (1 to 15).map(i =>
+        s"CAST(${digit(h, i, spark)} AS ${if (spark) "STRING" else "VARCHAR"})")
+        .mkString(if (spark) "concat(" else "", if (spark) ", " else " || ",
+          if (spark) ")" else "")
+
+    val luhnOracle: String = s"""
+      WITH seeds AS (
+        SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+      ),
+      planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN
+            text || ' card ' || ${luhnPlant15("h", spark = false)} ||
+            CAST(CASE WHEN doc_id % 2 = 0
+                 THEN (10 - (${luhnSum15("h", spark = false)}) % 10) % 10
+                 ELSE ((10 - (${luhnSum15("h", spark = false)}) % 10) % 10 + 5) % 10
+                 END AS VARCHAR)
+          ELSE text END AS text
+        FROM seeds
+      ),
+      cands AS (
+        SELECT doc_id, regexp_extract(text, '[0-9]{16}') AS num
+        FROM planted WHERE regexp_matches(text, '[0-9]{16}')
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN (${luhnSum16("num", spark = false)}) % 10 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+             CAST(count(*) - sum(CASE WHEN (${luhnSum16("num", spark = false)}) % 10 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_rejected
+      FROM cands
+    """
 
     val bpeOracle: String = {
       val enc = merges.foldLeft(

@@ -88,6 +88,18 @@ class SelectOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("hit_pairs") <= r.getAs[Long]("true_pairs"))
   }
 
+  test("dd71: validation recovers the planted ground truth exactly") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val planted = docs.filter(col("doc_id") % 5 === 0).count()
+    val valid = docs.filter(col("doc_id") % 10 === 0).count()
+    val r = run("dd71_luhn_pii").head
+    assert(r.getAs[Long]("n_candidates") == planted,
+      "regex must find every planted number and nothing else (corpus has no digits)")
+    assert(r.getAs[Long]("n_luhn_valid") == valid,
+      "constructed check digits: even ids valid, odd ids broken by +5")
+    assert(r.getAs[Long]("n_luhn_rejected") == planted - valid)
+  }
+
   test("w28: residuals recompute from the published baseline and day values") {
     val out = run("w28_seasonal_residuals")
     val bad = out.filter(
