@@ -660,6 +660,110 @@ object SelectOps {
             .otherwise(0L)).as("n_luhn_valid"))
         .select(col("n_candidates"), col("n_luhn_valid"),
           (col("n_candidates") - col("n_luhn_valid")).as("n_luhn_rejected"))
+    },
+
+    // ---- DD73: capped temperature mixture (water-filling, closed form) ----
+    QueryDef(
+      "dd73_unimax_alloc",
+      "UniMax-style mixture budget (Chung et al. '23): allocate a 39/40-of-corpus token budget across sources by temperature weight sqrt(tokens), capped at 1 epoch per source — solved in CLOSED FORM (sort by cap/weight + prefix sums + threshold pick), no iterative water-filling loop; every stage is source-bounded (~|sources| rows), prefix sums ride a broadcast inequality self-join, weight sums freeze to decimal so the water level is engine-exact",
+      Some("""
+        WITH src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t FROM src),
+        base AS (
+          SELECT source, n_docs, tokens,
+                 CAST(round(sqrt(CAST(tokens AS DOUBLE)), 9) AS DECIMAL(28,9)) AS w,
+                 tokens AS cap,
+                 (39 * tot.t) // 40 AS budget
+          FROM src CROSS JOIN tot
+        ),
+        pre AS (
+          SELECT a.source, a.n_docs, a.tokens, a.w, a.cap, a.budget,
+                 CAST(count(b.source) + 1 AS BIGINT) AS rk,
+                 a.cap + COALESCE(CAST(sum(b.cap) AS BIGINT), 0) AS cum_cap,
+                 a.w + COALESCE(sum(b.w), 0) AS cum_w
+          FROM base a LEFT JOIN base b
+            ON (CAST(b.cap AS DOUBLE)/CAST(b.w AS DOUBLE) < CAST(a.cap AS DOUBLE)/CAST(a.w AS DOUBLE))
+            OR (CAST(b.cap AS DOUBLE)/CAST(b.w AS DOUBLE) = CAST(a.cap AS DOUBLE)/CAST(a.w AS DOUBLE)
+                AND b.source < a.source)
+          GROUP BY 1,2,3,4,5,6
+        ),
+        gw AS (SELECT CAST(sum(w) AS DECIMAL(28,9)) AS w_all FROM base),
+        chk AS (
+          SELECT p.*, g.w_all,
+                 (CAST(p.cap AS DOUBLE)/CAST(p.w AS DOUBLE)) *
+                   CAST(g.w_all - (p.cum_w - p.w) AS DOUBLE)
+                   <= CAST(p.budget - (p.cum_cap - p.cap) AS DOUBLE) AS capped
+          FROM pre p CROSS JOIN gw g
+        ),
+        ksel AS (
+          SELECT COALESCE(max(CASE WHEN capped THEN rk END), 0) AS k,
+                 COALESCE(max(CASE WHEN capped THEN cum_cap END), 0) AS k_cap,
+                 COALESCE(max(CASE WHEN capped THEN cum_w END), 0) AS k_w
+          FROM chk
+        )
+        SELECT c.source, c.n_docs, c.tokens, c.rk <= k.k AS capped,
+               round(CASE WHEN c.rk <= k.k THEN CAST(c.cap AS DOUBLE)
+                     ELSE CAST(c.budget - k.k_cap AS DOUBLE) /
+                          CAST(c.w_all - k.k_w AS DOUBLE) * CAST(c.w AS DOUBLE)
+                     END, 6) AS alloc
+        FROM chk c CROSS JOIN ksel k ORDER BY c.source
+      """)) { (s, dir) =>
+      // alloc_i = min(cap_i, λ·w_i) with Σ alloc = B: sources sorted by
+      // cap/w cap out in order, so the binding prefix k is the largest rank
+      // whose cap-exhaustion test passes, and λ = (B - Σ_{capped} cap) /
+      // (W - Σ_{capped} w). cum_cap/cum_w are monotone in rank, so the
+      // k-prefix sums recover via max-over-capped — no correlated
+      // subquery. Everything after the source aggregate is ~|sources|
+      // rows; the ordering join broadcasts.
+      val src = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+      val tot = src.agg(sum(col("tokens")).as("t"))
+      // w at (18,9), not (28,9): the cum_w addition below is
+      // decimal(p1,9) + decimal(p1+10,9) and Spark drops the SCALE to 8
+      // when the result precision would exceed 38 — the same silent
+      // truncation dd67 documents; (18,9) keeps every sum at scale 9.
+      val base = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(sqrt(col("tokens").cast("double")), 9).cast("decimal(18,9)").as("w"),
+          col("tokens").as("cap"),
+          expr("(39 * t) div 40").as("budget"))
+        .cache()
+      val ratio = (c: Column, w: Column) => c.cast("double") / w.cast("double")
+      val b = base.select(col("source").as("bsource"), col("w").as("bw"),
+        col("cap").as("bcap"))
+      val pre = base.as("a").join(broadcast(b),
+          ratio(col("bcap"), col("bw")) < ratio(col("cap"), col("w")) ||
+            (ratio(col("bcap"), col("bw")) === ratio(col("cap"), col("w")) &&
+              col("bsource") < col("source")), "left")
+        .groupBy(col("source"), col("n_docs"), col("tokens"), col("w"),
+          col("cap"), col("budget"))
+        .agg((count(col("bsource")) + 1).as("rk"),
+          (col("cap") + coalesce(sum(col("bcap")), lit(0L))).as("cum_cap"),
+          (col("w") + coalesce(sum(col("bw")), lit(0))).as("cum_w"))
+      val gw = base.agg(sum(col("w")).cast("decimal(28,9)").as("w_all"))
+      val chk = pre.crossJoin(broadcast(gw))
+        .withColumn("capped",
+          ratio(col("cap"), col("w")) *
+            (col("w_all") - (col("cum_w") - col("w"))).cast("double") <=
+            (col("budget") - (col("cum_cap") - col("cap"))).cast("double"))
+      val ksel = chk.agg(
+        coalesce(max(when(col("capped"), col("rk"))), lit(0L)).as("k"),
+        coalesce(max(when(col("capped"), col("cum_cap"))), lit(0L)).as("k_cap"),
+        coalesce(max(when(col("capped"), col("cum_w"))), lit(0)).as("k_w"))
+      chk.crossJoin(broadcast(ksel))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          (col("rk") <= col("k")).as("capped"),
+          round(when(col("rk") <= col("k"), col("cap").cast("double"))
+            .otherwise((col("budget") - col("k_cap")).cast("double") /
+              (col("w_all") - col("k_w")).cast("double") * col("w").cast("double")),
+            6).as("alloc"))
+        .orderBy(col("source"))
     })
 
   /** Shared literals for dd70/dd71: the fixed merge table and the Luhn

@@ -100,6 +100,25 @@ class SelectOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_luhn_rejected") == planted - valid)
   }
 
+  test("dd73: allocation exhausts the budget exactly and never exceeds a cap") {
+    val out = run("dd73_unimax_alloc").cache()
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val total = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val budget = 39L * total / 40L
+    val allocSum = out.agg(sum(col("alloc"))).head.getDouble(0)
+    assert(math.abs(allocSum - budget) < 1e-3,
+      s"water-filling must exhaust the budget: $allocSum vs $budget")
+    assert(out.filter(col("alloc") > col("tokens") + 1e-9).count() == 0,
+      "no source may exceed its 1-epoch cap")
+    assert(out.filter(col("capped") && col("alloc") =!= col("tokens").cast("double"))
+      .count() == 0, "a capped source is allocated exactly its cap")
+    // uncapped sources all sit at the same water level alloc/w
+    val lam = out.filter(!col("capped"))
+      .select((col("alloc") / sqrt(col("tokens").cast("double"))).as("lam"))
+      .agg(max(col("lam")) - min(col("lam"))).head.getDouble(0)
+    assert(lam < 1e-4, s"uncapped sources must share one water level, spread $lam")
+  }
+
   test("w28: residuals recompute from the published baseline and day values") {
     val out = run("w28_seasonal_residuals")
     val bad = out.filter(
