@@ -632,6 +632,73 @@ object SelectOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // ---- DD74: Kneser-Ney smoothed LM scoring -----------------------------
+    QueryDef(
+      "dd74_kneser_ney",
+      "Kneser-Ney bigram LM (D=0.75), the published standard dd30's Laplace approximates: absolute discounting plus the continuation-probability backoff (how many contexts a word FOLLOWS, not how often it occurs); per-doc mean bits. Every LM relation — pair counts, context totals, continuation counts, type count — is vocabulary-bounded, so the scoring join shuffles on a key set that stops growing long before the corpus does",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        big AS (
+          SELECT doc_id, b.prev AS prev, b.next AS next
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-1),
+                i -> struct_pack(prev := arr[i], next := arr[i+1]))) AS b FROM tok)
+        ),
+        pc AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY prev, next),
+        pv AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp, CAST(COUNT(*) AS BIGINT) AS n1v FROM pc GROUP BY prev),
+        cw AS (SELECT next, CAST(COUNT(*) AS BIGINT) AS n1w FROM pc GROUP BY next),
+        alltypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM pc),
+        lm AS (
+          SELECT pc.prev, pc.next,
+                 CAST(round(-log2(
+                   (greatest(pc.c - 0.75, 0) / pv.cp) +
+                   (0.75 * pv.n1v / pv.cp) * (cw.n1w / CAST(a.n1all AS DOUBLE))
+                 ), 9) AS DECIMAL(28,9)) AS cost
+          FROM pc JOIN pv ON pc.prev = pv.prev JOIN cw ON pc.next = cw.next
+          CROSS JOIN alltypes a
+        )
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(CAST(SUM(l.cost) AS DOUBLE) / COUNT(*), 6) AS kn_bits
+        FROM big b JOIN lm l ON b.prev = l.prev AND b.next = l.next
+        GROUP BY b.doc_id
+      """)) { (s, dir) =>
+      // dd30's exact plan shape with the KN formula folded into the LM
+      // table: P_KN(w|v) = max(c(v,w)-D, 0)/c(v) + D·N1+(v,·)/c(v) ·
+      // N1+(·,w)/N1+(·,·). The continuation term is what distinguishes KN
+      // — "york" is frequent but follows only "new", so its unigram
+      // backoff weight collapses. Per-bigram cost freezes round(9) decimal
+      // so doc sums are order-free.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val bigrams = docs.select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("arr")) - 2),
+        i => struct(element_at(col("arr"), i + 1).as("prev"),
+          element_at(col("arr"), i + 2).as("next")))).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.next").as("next"))
+      val pc = bigrams.groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("c")).cache()
+      val pv = pc.groupBy(col("prev"))
+        .agg(sum(col("c")).as("cp"), count(lit(1)).as("n1v"))
+      val cw = pc.groupBy(col("next")).agg(count(lit(1)).as("n1w"))
+      val allTypes = pc.agg(count(lit(1)).as("n1all"))
+      val lm = pc.join(pv, Seq("prev")).join(cw, Seq("next"))
+        .crossJoin(broadcast(allTypes))
+        .select(col("prev"), col("next"),
+          round(-log2(
+            greatest(col("c") - lit(0.75), lit(0)) / col("cp") +
+              (lit(0.75) * col("n1v") / col("cp")) *
+                (col("n1w") / col("n1all").cast("double"))), 9)
+            .cast("decimal(28,9)").as("cost"))
+      bigrams.join(lm, Seq("prev", "next"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("tot"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("tot").cast("double") / col("n_bigrams"), 6).as("kn_bits"))
+    },
+
     // ---- DD71: checksum-validated PII detection ---------------------------
     QueryDef(
       "dd71_luhn_pii",

@@ -119,6 +119,29 @@ class SelectOpsSpec extends SparkTestBase {
     assert(lam < 1e-4, s"uncapped sources must share one water level, spread $lam")
   }
 
+  test("dd74: KN is a sub-probability over SEEN continuations (mass reserved for unseen)") {
+    // rebuild P_KN per (prev, next) and check sum over seen nexts <= 1 per
+    // context — the discount D reserves exactly the unseen mass, so a sum
+    // above 1 means the formula (not just a value) is wrong
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val bigrams = docs.select(explode(expr(
+      "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS prev, arr[i+1] AS next))")).as("b"))
+      .select(col("b.prev").as("prev"), col("b.next").as("next"))
+    val pc = bigrams.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
+    val pv = pc.groupBy(col("prev")).agg(sum(col("c")).as("cp"), count(lit(1)).as("n1v"))
+    val cw = pc.groupBy(col("next")).agg(count(lit(1)).as("n1w"))
+    val n1all = pc.count().toDouble
+    val p = pc.join(pv, Seq("prev")).join(cw, Seq("next"))
+      .select(col("prev"),
+        (greatest(col("c") - lit(0.75), lit(0)) / col("cp") +
+          lit(0.75) * col("n1v") / col("cp") * (col("n1w") / lit(n1all))).as("p"))
+    val over = p.groupBy(col("prev")).agg(sum(col("p")).as("s"))
+      .filter(col("s") > 1.0 + 1e-9).count()
+    assert(over == 0, s"$over contexts with seen-mass > 1")
+  }
+
   test("w28: residuals recompute from the published baseline and day values") {
     val out = run("w28_seasonal_residuals")
     val bad = out.filter(
