@@ -632,6 +632,91 @@ object SelectOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // ---- E10: B-cubed clustering evaluation -------------------------------
+    QueryDef(
+      "e10_bcubed_eval",
+      "B-cubed precision/recall/F1 (Bagga & Baldwin '98, the ER-standard extrinsic clustering metric) of a 3-plane sign-LSH bucketing against the embeddings' ground-truth labels — every per-item average folds from (cluster, label) CELL counts (sum n_cl^2/n_c terms), so the eval is count-space like e8: no item pair is ever materialized. The +-1 projection matrix is md5-seeded Scala literals embedded IDENTICALLY in the plan and the oracle",
+      Some(SelectOpsSql.bcubedOracle)) { (s, dir) =>
+      // B3: P = (1/N) sum_cells n_cl^2/n_c, R = (1/N) sum_cells n_cl^2/n_l
+      // — the per-item definition collapses to cell counts because every
+      // item in a (cluster, label) cell has the same precision/recall.
+      // The bucketing under eval is deliberately the cheap one (3 sign
+      // bits); the metric exposes how weak it is against the labels —
+      // that exposure is the point of an extrinsic eval.
+      import SelectOpsSql._
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val dotN = (a: Column, b: Column) => graft.functions.NativeExpressions.dot_native(a, b)
+      def plane(p: Int): Column =
+        dotN(col("v"), array(lshSigns(p).map(s => lit(s.toDouble)): _*))
+      val bucketed = vecs.select(col("label"),
+        (when(plane(0) >= 0, 4).otherwise(0) +
+          when(plane(1) >= 0, 2).otherwise(0) +
+          when(plane(2) >= 0, 1).otherwise(0)).as("bucket"))
+      val cells = bucketed.groupBy(col("bucket"), col("label"))
+        .agg(count(lit(1)).as("n_cl")).cache()
+      val cl = cells.groupBy(col("bucket")).agg(sum(col("n_cl")).as("n_c"))
+      val lb = cells.groupBy(col("label")).agg(sum(col("n_cl")).as("n_l"))
+      val tot = cells.agg(sum(col("n_cl")).as("n"))
+      val terms = cells.join(cl, Seq("bucket")).join(lb, Seq("label"))
+        .select(
+          round(col("n_cl").cast("double") * col("n_cl") / col("n_c"), 9)
+            .cast("decimal(28,9)").as("pterm"),
+          round(col("n_cl").cast("double") * col("n_cl") / col("n_l"), 9)
+            .cast("decimal(28,9)").as("rterm"))
+      val agg = terms.agg(sum(col("pterm")).as("sp"), sum(col("rterm")).as("sr"))
+        .crossJoin(broadcast(tot))
+      val p = col("sp").cast("double") / col("n")
+      val r = col("sr").cast("double") / col("n")
+      agg.select(col("n").as("n_items"),
+        round(p, 6).as("b3_precision"), round(r, 6).as("b3_recall"),
+        round(lit(2) * p * r / (p + r), 6).as("b3_f1"))
+    },
+
+    // ---- IR12: embedding-space hard negatives -----------------------------
+    QueryDef(
+      "ir12_dense_negatives",
+      "Dense hard-negative mining, the embedding dual of ir9's BM25 version: per query vector its top-2 cosine neighbors with a DIFFERENT ground-truth label — near in embedding space but semantically wrong, the pairs a contrastive reranker trains hardest on. Query set broadcast; the rank window partitions per query",
+      Some("""
+        WITH vecs AS (
+          SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, norm AS qn
+              FROM vecs WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS neg_id,
+                 round(list_dot_product(q.qv, c.v)/(q.qn*c.norm), 6) AS cos
+          FROM q JOIN vecs c ON c.label <> q.q_label
+        )
+        SELECT q_id, neg_id, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id) AS rn
+          FROM scored
+        ) WHERE rn <= 2
+      """)) { (s, dir) =>
+      // e5's broadcast-query brute shape + the label-exclusion predicate;
+      // at real corpus scale the scoring side swaps for e5's LSH/IVF
+      // candidates — the exclusion predicate is the part this op adds.
+      val dotN = (a: Column, b: Column) => graft.functions.NativeExpressions.dot_native(a, b)
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", sqrt(dotN(col("v"), col("v"))))
+      val q = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("norm").as("qn"))
+      val scored = vecs.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          round(dotN(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neg_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select(col("q_id"), col("neg_id"), col("cos"))
+    },
+
     // ---- DD74: Kneser-Ney smoothed LM scoring -----------------------------
     QueryDef(
       "dd74_kneser_ney",
@@ -841,6 +926,49 @@ object SelectOps {
     val merges: Seq[(String, String)] = Seq(
       "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
       "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+    // ---- e10 sign-LSH projection literals --------------------------------
+    /** md5-seeded +-1 sign for (plane p, dim d) — computed ONCE here and
+      * embedded as identical literals in the Spark plan and the oracle. */
+    def lshSigns(p: Int): Seq[Int] = (1 to 64).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p${p}d$d".getBytes("UTF-8"))
+      val hex0 = (md(0) >> 4) & 0xf
+      if (hex0 % 2 == 0) 1 else -1
+    }
+
+    val bcubedOracle: String = {
+      def planeSql(p: Int): String =
+        "list_dot_product(v, [" + lshSigns(p).map(s => s"CAST($s AS DOUBLE)").mkString(", ") + "])"
+      s"""
+        WITH vecs AS (
+          SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        bucketed AS (
+          SELECT label,
+                 (CASE WHEN ${planeSql(0)} >= 0 THEN 4 ELSE 0 END +
+                  CASE WHEN ${planeSql(1)} >= 0 THEN 2 ELSE 0 END +
+                  CASE WHEN ${planeSql(2)} >= 0 THEN 1 ELSE 0 END) AS bucket
+          FROM vecs
+        ),
+        cells AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS n_cl FROM bucketed GROUP BY 1,2),
+        cl AS (SELECT bucket, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+        lb AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cells),
+        terms AS (
+          SELECT CAST(round(CAST(c.n_cl AS DOUBLE)*c.n_cl/cl.n_c, 9) AS DECIMAL(28,9)) AS pterm,
+                 CAST(round(CAST(c.n_cl AS DOUBLE)*c.n_cl/lb.n_l, 9) AS DECIMAL(28,9)) AS rterm
+          FROM cells c JOIN cl ON c.bucket = cl.bucket JOIN lb ON c.label = lb.label
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n_items,
+               round(CAST(sum(pterm) AS DOUBLE)/tot.n, 6) AS b3_precision,
+               round(CAST(sum(rterm) AS DOUBLE)/tot.n, 6) AS b3_recall,
+               round(2*(CAST(sum(pterm) AS DOUBLE)/tot.n)*(CAST(sum(rterm) AS DOUBLE)/tot.n) /
+                     ((CAST(sum(pterm) AS DOUBLE)/tot.n)+(CAST(sum(rterm) AS DOUBLE)/tot.n)), 6) AS b3_f1
+        FROM terms CROSS JOIN tot GROUP BY tot.n
+      """
+    }
 
     // ---- dd71 Luhn chains, emitted per SQL dialect -----------------------
     /** digit i (1-based) of the md5-hex column `h`, mapped to 0-9. */
