@@ -717,6 +717,115 @@ object SelectOps {
         .select(col("q_id"), col("neg_id"), col("cos"))
     },
 
+    // ---- DD76: margin-scored bitext mining --------------------------------
+    QueryDef(
+      "dd76_bitext_mine",
+      "Cross-lingual pair mining with the margin criterion (Artetxe & Schwenk ACL'19, simplified absolute-margin k=4): for each English query vector, its best non-English neighbor scored by cos / mean(top-4 cos) — the ratio test that kills hubness false positives a raw cosine threshold ships. Query slice broadcast, per-query rank window; top-4 means freeze to decimal",
+      Some("""
+        WITH vecs AS (
+          SELECT e.vec_id, d.lang, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) AS norm
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        q AS (SELECT * FROM vecs WHERE lang = 'en' AND vec_id % 20 = 0),
+        cand AS (
+          SELECT q.vec_id AS src_id, c.vec_id AS tgt_id,
+                 round(list_dot_product(q.v, c.v)/(q.norm*c.norm), 6) AS cos
+          FROM q JOIN vecs c ON c.lang <> 'en'
+        ),
+        knn AS (
+          SELECT src_id, tgt_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
+          FROM cand
+        ),
+        top4 AS (SELECT src_id, CAST(sum(CAST(round(cos, 9) AS DECIMAL(28,9))) AS DOUBLE)/4 AS avg4
+                 FROM knn WHERE rn <= 4 GROUP BY src_id),
+        margin AS (
+          SELECT k.src_id, k.tgt_id, k.cos, round(k.cos / t.avg4, 6) AS margin
+          FROM knn k JOIN top4 t ON k.src_id = t.src_id WHERE k.rn = 1
+        )
+        SELECT src_id, tgt_id, cos, margin FROM margin
+      """)) { (s, dir) =>
+      // vec_id = doc_id gives every vector a language; the margin
+      // denominator is the query's OWN neighborhood density, so hub
+      // vectors that are near everything score ~1 and drop out. Brute
+      // scoring here (query slice broadcast); at corpus scale the
+      // candidate side swaps for e5's LSH buckets — the margin arithmetic
+      // is what this op adds.
+      val dotN = (a: Column, b: Column) => graft.functions.NativeExpressions.dot_native(a, b)
+      val vecs = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("lang"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", sqrt(dotN(col("v"), col("v"))))
+      val q = vecs.filter(col("lang") === "en" && col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("src_id"), col("v").as("qv"), col("norm").as("qn"))
+      val cand = vecs.filter(col("lang") =!= "en").crossJoin(broadcast(q))
+        .select(col("src_id"), col("vec_id").as("tgt_id"),
+          round(dotN(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+      val wr = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id"))
+      val knn = cand.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 4).cache()
+      val top4 = knn.groupBy(col("src_id"))
+        .agg((sum(round(col("cos"), 9).cast("decimal(28,9)")).cast("double") / 4).as("avg4"))
+      knn.filter(col("rn") === 1)
+        .join(top4, Seq("src_id"))
+        .select(col("src_id"), col("tgt_id"), col("cos"),
+          round(col("cos") / col("avg4"), 6).as("margin"))
+    },
+
+    // ---- W29: click attribution with a time-bounded lookback --------------
+    QueryDef(
+      "w29_click_attribution",
+      "Last-touch attribution: each purchase attributed to the latest click within a 3-day lookback, per user — ONE user-keyed window with a RANGE frame on epoch seconds (the calendar-bounded dual of w22's range frames); daily attribution-rate rollup. No join: the lookback rides the frame, so a hot user is one partition's sort, never a pair blowup",
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, ts, epoch_us(ts) AS sec FROM events
+          WHERE event_type IN ('click','purchase','view')
+        ),
+        w AS (
+          SELECT user_id, event_type, ts, sec,
+                 max(CASE WHEN event_type = 'click' THEN sec END)
+                   OVER (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS last_click_sec
+          FROM ev
+        )
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS purchases,
+               CAST(sum(CASE WHEN last_click_sec IS NOT NULL AND last_click_sec < sec
+                        THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+               round(sum(CASE WHEN last_click_sec IS NOT NULL AND last_click_sec < sec
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS attribution_rate
+        FROM w WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+      """)) { (s, dir) =>
+      // Strictly-prior rule (last_click_sec < sec): a click at the exact
+      // purchase instant does not claim it — deterministic on both
+      // engines. INTEGER MICROSECONDS on both sides (unix_micros /
+      // epoch_us): DuckDB's epoch() returns FRACTIONAL seconds while
+      // Spark's unix_timestamp truncates, which shifted one borderline
+      // click across the 3-day frame boundary at sf0.1.
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase", "view"))
+        .select(col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("sec"))
+      val w = Window.partitionBy("user_id").orderBy(col("sec"))
+        .rangeBetween(-259200000000L, 0L)
+      val attributed = ev
+        .withColumn("last_click_sec",
+          max(when(col("event_type") === "click", col("sec"))).over(w))
+        .filter(col("event_type") === "purchase")
+      val hit = col("last_click_sec").isNotNull && col("last_click_sec") < col("sec")
+      attributed
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("purchases"),
+          sum(when(hit, 1L).otherwise(0L)).as("attributed"))
+        .select(col("d").cast("timestamp").as("day"), col("purchases"), col("attributed"),
+          round(col("attributed") / col("purchases").cast("double"), 6).as("attribution_rate"))
+        .orderBy(col("day"))
+    },
+
     // ---- DD74: Kneser-Ney smoothed LM scoring -----------------------------
     QueryDef(
       "dd74_kneser_ney",
