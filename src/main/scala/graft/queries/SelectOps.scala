@@ -717,6 +717,55 @@ object SelectOps {
         .select(col("q_id"), col("neg_id"), col("cos"))
     },
 
+    // ---- DD77: in-engine logistic regression (2 Newton steps) -------------
+    QueryDef(
+      "dd77_logreg_train",
+      "Distributed logistic-regression TRAINING inside the engine (the 'ML in pure SQL' pattern, ICDE'25 operator-fusion line): 2 Newton-Raphson steps on 3 features — each step is ONE narrow pass + a 9-sum aggregate (per-row terms round(9) decimal so the normal-equation sums are order-free), the 3x3 solve is a closed-form adjugate on the 1-row aggregate, coefficients broadcast back. Reports coefficients + training accuracy; per-step cost is a single map-reduce at any corpus size",
+      Some(SelectOpsSql.logregOracle)) { (s, dir) =>
+      // Same adjugate-solve expressions as the oracle (generated once in
+      // SelectOpsSql.solve3 — pure arithmetic, dialect-free). Feature map:
+      // x1 = ln(tokens), x2 = distinct-token ratio; label = lang='en'.
+      // Newton from beta=0 gives A = S/4 (p=1/2), so step 1 multiplies
+      // the plain X'X solve by 4.
+      import SelectOpsSql._
+      val feats = t(s, dir, "documents")
+        .select(
+          log(size(split(col("text"), " ")).cast("double")).as("x1"),
+          (size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " "))).as("x2"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .cache()
+      def frozen(e: String, alias: String): Column =
+        expr(s"sum(cast(round($e, 9) as decimal(28,9)))").cast("double").as(alias)
+      val s1 = feats.agg(
+        frozen("1.0", "s00"), frozen("x1", "s01"), frozen("x2", "s02"),
+        frozen("x1*x1", "s11"), frozen("x1*x2", "s12"), frozen("x2*x2", "s22"),
+        frozen("(y-0.5)", "g0"), frozen("x1*(y-0.5)", "g1"), frozen("x2*(y-0.5)", "g2"))
+      val Seq(e0, e1, e2) = solve3
+      val beta1 = s1.select(
+        expr(s"4*($e0)").as("b0"), expr(s"4*($e1)").as("b1"), expr(s"4*($e2)").as("b2"))
+      val s2 = feats.crossJoin(broadcast(beta1))
+        .withColumn("p", expr("1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2)))"))
+        .withColumn("w", expr("p*(1.0-p)"))
+        .groupBy(col("b0"), col("b1"), col("b2"))
+        .agg(
+          frozen("w", "s00"), frozen("w*x1", "s01"), frozen("w*x2", "s02"),
+          frozen("w*x1*x1", "s11"), frozen("w*x1*x2", "s12"), frozen("w*x2*x2", "s22"),
+          frozen("(y-p)", "g0"), frozen("x1*(y-p)", "g1"), frozen("x2*(y-p)", "g2"))
+      val beta2 = s2.select(
+        expr(s"b0 + ($e0)").as("c0"), expr(s"b1 + ($e1)").as("c1"),
+        expr(s"b2 + ($e2)").as("c2"))
+      feats.crossJoin(broadcast(beta2))
+        .agg(count(lit(1)).as("n"),
+          sum(when(expr("(c0 + c1*x1 + c2*x2 >= 0) = (y = 1.0)"), 1L).otherwise(0L))
+            .as("correct"),
+          first(col("c0")).as("f0"), first(col("c1")).as("f1"), first(col("c2")).as("f2"))
+        .select(col("n"),
+          round(col("f0"), 6).as("b0"), round(col("f1"), 6).as("b1"),
+          round(col("f2"), 6).as("b2"),
+          round(col("correct") / col("n").cast("double"), 6).as("accuracy"))
+    },
+
     // ---- DD76: margin-scored bitext mining --------------------------------
     QueryDef(
       "dd76_bitext_mine",
@@ -1035,6 +1084,68 @@ object SelectOps {
     val merges: Seq[(String, String)] = Seq(
       "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
       "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+    // ---- dd77 closed-form 3x3 solve (shared, dialect-free arithmetic) ----
+    /** Adjugate solve of the SYMMETRIC system S b = g over columns
+      * s00,s01,s02,s11,s12,s22,g0,g1,g2 — emitted once, used verbatim in
+      * the Spark plan and the oracle so the algebra cannot drift. */
+    val solve3: Seq[String] = {
+      val det = "(s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02) + s02*(s01*s12 - s11*s02))"
+      Seq(
+        s"((s11*s22 - s12*s12)*g0 + (s02*s12 - s01*s22)*g1 + (s01*s12 - s02*s11)*g2) / $det",
+        s"((s02*s12 - s01*s22)*g0 + (s00*s22 - s02*s02)*g1 + (s01*s02 - s00*s12)*g2) / $det",
+        s"((s01*s12 - s02*s11)*g0 + (s01*s02 - s00*s12)*g1 + (s00*s11 - s01*s01)*g2) / $det")
+    }
+
+    val logregOracle: String = {
+      val Seq(e0, e1, e2) = solve3
+      s"""
+        WITH feats AS (
+          SELECT ln(CAST(len(string_split(text,' ')) AS DOUBLE)) AS x1,
+                 CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                   / len(string_split(text,' ')) AS x2,
+                 CASE WHEN lang='en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents
+        ),
+        s1 AS (
+          SELECT CAST(sum(CAST(round(1.0, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s00,
+                 CAST(sum(CAST(round(x1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s01,
+                 CAST(sum(CAST(round(x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s02,
+                 CAST(sum(CAST(round(x1*x1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s11,
+                 CAST(sum(CAST(round(x1*x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s12,
+                 CAST(sum(CAST(round(x2*x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s22,
+                 CAST(sum(CAST(round((y-0.5), 9) AS DECIMAL(28,9))) AS DOUBLE) AS g0,
+                 CAST(sum(CAST(round(x1*(y-0.5), 9) AS DECIMAL(28,9))) AS DOUBLE) AS g1,
+                 CAST(sum(CAST(round(x2*(y-0.5), 9) AS DECIMAL(28,9))) AS DOUBLE) AS g2
+          FROM feats
+        ),
+        beta1 AS (SELECT 4*($e0) AS b0, 4*($e1) AS b1, 4*($e2) AS b2 FROM s1),
+        scored AS (
+          SELECT f.*, b.b0, b.b1, b.b2,
+                 1.0/(1.0 + exp(-(b.b0 + b.b1*f.x1 + b.b2*f.x2))) AS p
+          FROM feats f CROSS JOIN beta1 b
+        ),
+        s2 AS (
+          SELECT b0, b1, b2,
+                 CAST(sum(CAST(round(p*(1.0-p), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s00,
+                 CAST(sum(CAST(round(p*(1.0-p)*x1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s01,
+                 CAST(sum(CAST(round(p*(1.0-p)*x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s02,
+                 CAST(sum(CAST(round(p*(1.0-p)*x1*x1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s11,
+                 CAST(sum(CAST(round(p*(1.0-p)*x1*x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s12,
+                 CAST(sum(CAST(round(p*(1.0-p)*x2*x2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s22,
+                 CAST(sum(CAST(round((y-p), 9) AS DECIMAL(28,9))) AS DOUBLE) AS g0,
+                 CAST(sum(CAST(round(x1*(y-p), 9) AS DECIMAL(28,9))) AS DOUBLE) AS g1,
+                 CAST(sum(CAST(round(x2*(y-p), 9) AS DECIMAL(28,9))) AS DOUBLE) AS g2
+          FROM scored GROUP BY b0, b1, b2
+        ),
+        beta2 AS (SELECT b0 + ($e0) AS c0, b1 + ($e1) AS c1, b2 + ($e2) AS c2 FROM s2)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(max(c0), 6) AS b0, round(max(c1), 6) AS b1, round(max(c2), 6) AS b2,
+               round(sum(CASE WHEN (c0 + c1*x1 + c2*x2 >= 0) = (y = 1.0)
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        FROM feats CROSS JOIN beta2
+      """
+    }
 
     // ---- e10 sign-LSH projection literals --------------------------------
     /** md5-seeded +-1 sign for (plane p, dim d) — computed ONCE here and

@@ -142,6 +142,55 @@ class SelectOpsSpec extends SparkTestBase {
     assert(over == 0, s"$over contexts with seen-mass > 1")
   }
 
+  test("dd77: the distributed Newton steps match a driver-side reference fit") {
+    // recompute the exact 2-step Newton fit on collected rows in plain
+    // Scala doubles; the engine's decimal-frozen distributed sums must
+    // land on the same coefficients to 4 dp
+    val feats = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(
+        log(size(split(col("text"), " ")).cast("double")).as("x1"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def solve(s: Array[Double], g: Array[Double]): Array[Double] = {
+      val Array(s00, s01, s02, s11, s12, s22) = s
+      val det = s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02) +
+        s02 * (s01 * s12 - s11 * s02)
+      Array(
+        ((s11 * s22 - s12 * s12) * g(0) + (s02 * s12 - s01 * s22) * g(1) +
+          (s01 * s12 - s02 * s11) * g(2)) / det,
+        ((s02 * s12 - s01 * s22) * g(0) + (s00 * s22 - s02 * s02) * g(1) +
+          (s01 * s02 - s00 * s12) * g(2)) / det,
+        ((s01 * s12 - s02 * s11) * g(0) + (s01 * s02 - s00 * s12) * g(1) +
+          (s00 * s11 - s01 * s01) * g(2)) / det)
+    }
+    def sums(w: ((Double, Double, Double)) => Double,
+             res: ((Double, Double, Double)) => Double) = {
+      val s = Array(0.0, 0, 0, 0, 0, 0); val g = Array(0.0, 0, 0)
+      feats.foreach { f =>
+        val (x1, x2, _) = f; val wi = w(f); val ri = res(f)
+        s(0) += wi; s(1) += wi * x1; s(2) += wi * x2
+        s(3) += wi * x1 * x1; s(4) += wi * x1 * x2; s(5) += wi * x2 * x2
+        g(0) += ri; g(1) += x1 * ri; g(2) += x2 * ri
+      }
+      (s, g)
+    }
+    val (sA, gA) = sums(_ => 0.25, f => f._3 - 0.5)
+    val b1 = solve(sA, gA)
+    def p(f: (Double, Double, Double), b: Array[Double]) =
+      1.0 / (1.0 + math.exp(-(b(0) + b(1) * f._1 + b(2) * f._2)))
+    val (sB, gB) = sums(f => { val pi = p(f, b1); pi * (1 - pi) },
+      f => f._3 - p(f, b1))
+    val d = solve(sB, gB)
+    val b2 = Array(b1(0) + d(0), b1(1) + d(1), b1(2) + d(2))
+    val r = run("dd77_logreg_train").head
+    for ((name, i) <- Seq("b0" -> 0, "b1" -> 1, "b2" -> 2))
+      assert(math.abs(r.getAs[Double](name) - b2(i)) < 5e-4,
+        s"$name: engine ${r.getAs[Double](name)} vs reference ${b2(i)}")
+    assert(r.getAs[Double]("accuracy") >= 0 && r.getAs[Double]("accuracy") <= 1)
+  }
+
   test("w28: residuals recompute from the published baseline and day values") {
     val out = run("w28_seasonal_residuals")
     val bad = out.filter(
