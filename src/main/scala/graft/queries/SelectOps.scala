@@ -1080,7 +1080,7 @@ object SelectOps {
     * digit chains, with the oracle SQL generated from the SAME definitions
     * — one source of truth, so the Spark chain and the DuckDB chain can
     * never drift. */
-  private[queries] object SelectOpsSql {
+  private[graft] object SelectOpsSql {
     val merges: Seq[(String, String)] = Seq(
       "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
       "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
