@@ -717,6 +717,119 @@ object SelectOps {
         .select(col("q_id"), col("neg_id"), col("cos"))
     },
 
+    // ---- DD79: URL canonicalization ---------------------------------------
+    QueryDef(
+      "dd79_url_canonical",
+      "URL canonicalization, the dedup step BEFORE web-corpus dedup (RFC 3986 §6 normalization + the tracker-param strip every crawl pipeline adds): lowercase scheme+host, strip default ports and fragments, drop utm_* params, sort surviving params, strip the trailing slash. Planted ground truth — 6 messy variants per canonical target — so the collapse is exact: 150 raw forms -> 25 canonical. One narrow codegen pass + a count fold; no shuffle touches the URLs themselves",
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+            CASE (doc_id // 3) % 6
+              WHEN 0 THEN 'https://shop.example.com/item' || CAST((doc_id // 3) % 25 AS VARCHAR) || '?b=2&a=1'
+              WHEN 1 THEN 'HTTPS://SHOP.Example.COM:443/item' || CAST((doc_id // 3) % 25 AS VARCHAR) || '?a=1&b=2#frag'
+              WHEN 2 THEN 'https://shop.example.com/item' || CAST((doc_id // 3) % 25 AS VARCHAR) || '/?utm_source=x&a=1&b=2'
+              WHEN 3 THEN 'https://shop.example.com:443/item' || CAST((doc_id // 3) % 25 AS VARCHAR) || '?b=2&utm_campaign=y&a=1'
+              WHEN 4 THEN 'https://shop.example.com/item' || CAST((doc_id // 3) % 25 AS VARCHAR) || '?a=1&b=2#sec2'
+              ELSE        'https://shop.example.com/item' || CAST((doc_id // 3) % 25 AS VARCHAR) || '/?b=2&a=1'
+            END AS url
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        parts AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '') AS host,
+            regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+            regexp_extract(url, '\?([^#]*)', 1) AS query
+          FROM planted
+        ),
+        canon AS (
+          SELECT doc_id, url,
+            scheme || '://' || host || path ||
+            CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS curl
+          FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+                  x -> NOT (x LIKE 'utm_%') AND x <> '')), '&') AS cq FROM parts)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT url) AS BIGINT) AS raw_distinct,
+               CAST(count(DISTINCT curl) AS BIGINT) AS canon_distinct,
+               round(1 - count(DISTINCT curl)/CAST(count(DISTINCT url) AS DOUBLE), 6) AS collapse_rate
+        FROM canon
+      """)) { (s, dir) =>
+      // Canonicalization is pure per-row string algebra (codegen'd regexp
+      // + higher-order param sort); the only aggregation is the 1-row
+      // distinct-count fold, two-phase under the hood. The rules are the
+      // conservative, semantics-preserving subset: path CASE is kept
+      // (paths are case-sensitive), only the scheme/host lower.
+      val plantedUrl = expr("""
+        CASE (doc_id div 3) % 6
+          WHEN 0 THEN concat('https://shop.example.com/item', CAST((doc_id div 3) % 25 AS STRING), '?b=2&a=1')
+          WHEN 1 THEN concat('HTTPS://SHOP.Example.COM:443/item', CAST((doc_id div 3) % 25 AS STRING), '?a=1&b=2#frag')
+          WHEN 2 THEN concat('https://shop.example.com/item', CAST((doc_id div 3) % 25 AS STRING), '/?utm_source=x&a=1&b=2')
+          WHEN 3 THEN concat('https://shop.example.com:443/item', CAST((doc_id div 3) % 25 AS STRING), '?b=2&utm_campaign=y&a=1')
+          WHEN 4 THEN concat('https://shop.example.com/item', CAST((doc_id div 3) % 25 AS STRING), '?a=1&b=2#sec2')
+          ELSE        concat('https://shop.example.com/item', CAST((doc_id div 3) % 25 AS STRING), '/?b=2&a=1')
+        END""")
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), plantedUrl.as("url"))
+        .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host", regexp_replace(
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)), ":(443|80)$", ""))
+        .withColumn("path", regexp_replace(
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", ""))
+        .withColumn("query", regexp_extract(col("url"), "\\?([^#]*)", 1))
+        .withColumn("cq", expr(
+          "array_join(array_sort(filter(split(query, '&'), x -> NOT (x LIKE 'utm_%') AND x != '')), '&')"))
+        .withColumn("curl", concat(col("scheme"), lit("://"), col("host"), col("path"),
+          when(col("cq") =!= "", concat(lit("?"), col("cq"))).otherwise(lit(""))))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("raw_distinct"),
+          countDistinct(col("curl")).as("canon_distinct"))
+        .select(col("n_urls"), col("raw_distinct"), col("canon_distinct"),
+          round(lit(1) - col("canon_distinct") / col("raw_distinct").cast("double"), 6)
+            .as("collapse_rate"))
+    },
+
+    // ---- DD78: simhash Hamming-ball join ----------------------------------
+    QueryDef(
+      "dd78_simhash_join",
+      "SimHash near-dup JOIN (Manku, Jain, Das Sarma WWW'07 — the Google crawl-dedup shape): 32-bit shingle simhash, pairs within Hamming distance 3 found by the pigeonhole chunk split — d<=3 over 4 8-bit chunks forces agreement on >=1 chunk, so candidates are a chunk-value equi-join (never all pairs) and the exact popcount verify runs only on them. Completes the family: dd4 builds signatures, this op JOINS on them",
+      Some(SelectOpsSql.simhashJoinOracle)) { (s, dir) =>
+      // Lossless by pigeonhole: 3 differing bits cannot touch all 4
+      // chunks. Shingle-based (not dd4's unigram) hashes because the
+      // ~31-word vocabulary makes unigram signatures near-collide
+      // corpus-wide (dd60's lesson); the 3-gram space gives random pairs
+      // Hamming ~16 so the d<=3 ball holds only real near-dups.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 3)
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.NativeExpressions.ngrams_native(col("arr"), 3))).as("s"))
+      val hashed = sh.select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+      val voteExprs = (0 until 32).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$b"))
+      val votes = hashed.groupBy(col("doc_id")).agg(voteExprs.head, voteExprs.tail: _*)
+      val sigBits = (0 until 32).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      val sig = votes.select(col("doc_id"), sigBits.cast("long").as("sig"))
+      val chunks = sig.select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("chunk_idx"))
+        .withColumn("chunk", expr("(sig >> (8 * chunk_idx)) & 255"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cand.withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+    },
+
     // ---- DD77: in-engine logistic regression (2 Newton steps) -------------
     QueryDef(
       "dd77_logreg_train",
@@ -1084,6 +1197,38 @@ object SelectOps {
     val merges: Seq[(String, String)] = Seq(
       "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
       "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+    // ---- dd78 simhash-join oracle (generated bit chains) -----------------
+    val simhashJoinOracle: String = {
+      val bitSums = (0 until 32).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val bits = (0 until 32).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text,' ') AS arr FROM documents
+          WHERE len(string_split(text,' ')) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+          FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-2)) AS i FROM tok)
+        ),
+        hashed AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS h FROM sh),
+        votes AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM votes),
+        chunks AS (
+          SELECT doc_id, sig, i AS chunk_idx, (sig >> (8*i)) & 255 AS chunk
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS i)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+          FROM chunks a JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      """
+    }
 
     // ---- dd77 closed-form 3x3 solve (shared, dialect-free arithmetic) ----
     /** Adjugate solve of the SYMMETRIC system S b = g over columns
