@@ -790,6 +790,31 @@ object SelectOps {
             .as("collapse_rate"))
     },
 
+    // ---- DD80: model calibration curve ------------------------------------
+    QueryDef(
+      "dd80_calibration_curve",
+      "Reliability diagram + per-bin Brier for dd77's model: predictions bucketed into FIXED-WIDTH tenths (floor(p*10) — map-side, no global quantile sort), per-bin count / mean predicted / observed rate / Brier. Mean-vs-observed per bin IS the calibration check; fixed bins keep the whole eval one narrow pass + a 10-row groupBy on top of the shared training pipeline",
+      Some(SelectOpsSql.calibrationOracle)) { (s, dir) =>
+      // Shares the exact training pipeline (logregFit) with dd77 — the
+      // eval scores under the SAME beta2 the trainer reports, so the two
+      // queries can never drift apart. Per-bin sums freeze round(9)
+      // decimal (p, y, and squared error) so bin means are order-free.
+      val (feats, beta2) = logregFit(s, dir)
+      feats.crossJoin(broadcast(beta2))
+        .withColumn("p", expr("1.0/(1.0 + exp(-(c0 + c1*x1 + c2*x2)))"))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cast(round(p, 9) as decimal(28,9)))").as("sp"),
+          expr("sum(cast(round(y, 9) as decimal(28,9)))").as("sy"),
+          expr("sum(cast(round((p-y)*(p-y), 9) as decimal(28,9)))").as("se"))
+        .select(col("bin"), col("n"),
+          round(col("sp").cast("double") / col("n"), 6).as("mean_predicted"),
+          round(col("sy").cast("double") / col("n"), 6).as("observed_rate"),
+          round(col("se").cast("double") / col("n"), 6).as("brier"))
+        .orderBy(col("bin"))
+    },
+
     // ---- DD78: simhash Hamming-ball join ----------------------------------
     QueryDef(
       "dd78_simhash_join",
@@ -840,34 +865,7 @@ object SelectOps {
       // x1 = ln(tokens), x2 = distinct-token ratio; label = lang='en'.
       // Newton from beta=0 gives A = S/4 (p=1/2), so step 1 multiplies
       // the plain X'X solve by 4.
-      import SelectOpsSql._
-      val feats = t(s, dir, "documents")
-        .select(
-          log(size(split(col("text"), " ")).cast("double")).as("x1"),
-          (size(array_distinct(split(col("text"), " "))).cast("double") /
-            size(split(col("text"), " "))).as("x2"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-        .cache()
-      def frozen(e: String, alias: String): Column =
-        expr(s"sum(cast(round($e, 9) as decimal(28,9)))").cast("double").as(alias)
-      val s1 = feats.agg(
-        frozen("1.0", "s00"), frozen("x1", "s01"), frozen("x2", "s02"),
-        frozen("x1*x1", "s11"), frozen("x1*x2", "s12"), frozen("x2*x2", "s22"),
-        frozen("(y-0.5)", "g0"), frozen("x1*(y-0.5)", "g1"), frozen("x2*(y-0.5)", "g2"))
-      val Seq(e0, e1, e2) = solve3
-      val beta1 = s1.select(
-        expr(s"4*($e0)").as("b0"), expr(s"4*($e1)").as("b1"), expr(s"4*($e2)").as("b2"))
-      val s2 = feats.crossJoin(broadcast(beta1))
-        .withColumn("p", expr("1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2)))"))
-        .withColumn("w", expr("p*(1.0-p)"))
-        .groupBy(col("b0"), col("b1"), col("b2"))
-        .agg(
-          frozen("w", "s00"), frozen("w*x1", "s01"), frozen("w*x2", "s02"),
-          frozen("w*x1*x1", "s11"), frozen("w*x1*x2", "s12"), frozen("w*x2*x2", "s22"),
-          frozen("(y-p)", "g0"), frozen("x1*(y-p)", "g1"), frozen("x2*(y-p)", "g2"))
-      val beta2 = s2.select(
-        expr(s"b0 + ($e0)").as("c0"), expr(s"b1 + ($e1)").as("c1"),
-        expr(s"b2 + ($e2)").as("c2"))
+      val (feats, beta2) = logregFit(s, dir)
       feats.crossJoin(broadcast(beta2))
         .agg(count(lit(1)).as("n"),
           sum(when(expr("(c0 + c1*x1 + c2*x2 >= 0) = (y = 1.0)"), 1L).otherwise(0L))
@@ -1193,6 +1191,41 @@ object SelectOps {
     * digit chains, with the oracle SQL generated from the SAME definitions
     * — one source of truth, so the Spark chain and the DuckDB chain can
     * never drift. */
+  /** dd77's 2-Newton-step fit, shared with dd80's calibration eval:
+    * returns (cached feature frame (x1, x2, y), 1-row beta2 (c0, c1, c2)).
+    * Same decimal-frozen sums and adjugate solve as the oracles. */
+  private def logregFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import SelectOpsSql._
+    val feats = t(s, dir, "documents")
+      .select(
+        log(size(split(col("text"), " ")).cast("double")).as("x1"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .cache()
+    def frozen(e: String, alias: String): Column =
+      expr(s"sum(cast(round($e, 9) as decimal(28,9)))").cast("double").as(alias)
+    val s1 = feats.agg(
+      frozen("1.0", "s00"), frozen("x1", "s01"), frozen("x2", "s02"),
+      frozen("x1*x1", "s11"), frozen("x1*x2", "s12"), frozen("x2*x2", "s22"),
+      frozen("(y-0.5)", "g0"), frozen("x1*(y-0.5)", "g1"), frozen("x2*(y-0.5)", "g2"))
+    val Seq(e0, e1, e2) = solve3
+    val beta1 = s1.select(
+      expr(s"4*($e0)").as("b0"), expr(s"4*($e1)").as("b1"), expr(s"4*($e2)").as("b2"))
+    val s2 = feats.crossJoin(broadcast(beta1))
+      .withColumn("p", expr("1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2)))"))
+      .withColumn("w", expr("p*(1.0-p)"))
+      .groupBy(col("b0"), col("b1"), col("b2"))
+      .agg(
+        frozen("w", "s00"), frozen("w*x1", "s01"), frozen("w*x2", "s02"),
+        frozen("w*x1*x1", "s11"), frozen("w*x1*x2", "s12"), frozen("w*x2*x2", "s22"),
+        frozen("(y-p)", "g0"), frozen("x1*(y-p)", "g1"), frozen("x2*(y-p)", "g2"))
+    val beta2 = s2.select(
+      expr(s"b0 + ($e0)").as("c0"), expr(s"b1 + ($e1)").as("c1"),
+      expr(s"b2 + ($e2)").as("c2"))
+    (feats, beta2)
+  }
+
   private[graft] object SelectOpsSql {
     val merges: Seq[(String, String)] = Seq(
       "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
@@ -1242,7 +1275,9 @@ object SelectOps {
         s"((s01*s12 - s02*s11)*g0 + (s01*s02 - s00*s12)*g1 + (s00*s11 - s01*s01)*g2) / $det")
     }
 
-    val logregOracle: String = {
+    /** Shared CTE chain (feats -> s1 -> beta1 -> scored -> s2 -> beta2)
+      * used by both the dd77 trainer and the dd80 calibration eval. */
+    val logregCtes: String = {
       val Seq(e0, e1, e2) = solve3
       s"""
         WITH feats AS (
@@ -1284,13 +1319,31 @@ object SelectOps {
           FROM scored GROUP BY b0, b1, b2
         ),
         beta2 AS (SELECT b0 + ($e0) AS c0, b1 + ($e1) AS c1, b2 + ($e2) AS c2 FROM s2)
+      """
+    }
+
+    val logregOracle: String = logregCtes + """
         SELECT CAST(count(*) AS BIGINT) AS n,
                round(max(c0), 6) AS b0, round(max(c1), 6) AS b1, round(max(c2), 6) AS b2,
                round(sum(CASE WHEN (c0 + c1*x1 + c2*x2 >= 0) = (y = 1.0)
                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS accuracy
         FROM feats CROSS JOIN beta2
       """
-    }
+
+    val calibrationOracle: String = logregCtes + """
+        , scored2 AS (
+          SELECT y, 1.0/(1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS p
+          FROM feats CROSS JOIN beta2
+        ),
+        binned AS (
+          SELECT least(CAST(floor(p*10) AS BIGINT), 9) AS bin, y, p FROM scored2
+        )
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(round(p, 9) AS DECIMAL(28,9))) AS DOUBLE)/count(*), 6) AS mean_predicted,
+               round(CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE)/count(*), 6) AS observed_rate,
+               round(CAST(sum(CAST(round((p-y)*(p-y), 9) AS DECIMAL(28,9))) AS DOUBLE)/count(*), 6) AS brier
+        FROM binned GROUP BY bin ORDER BY bin
+      """
 
     // ---- e10 sign-LSH projection literals --------------------------------
     /** md5-seeded +-1 sign for (plane p, dim d) — computed ONCE here and
