@@ -717,6 +717,51 @@ object SelectOps {
         .select(col("q_id"), col("neg_id"), col("cos"))
     },
 
+    // ---- A24: Poisson bootstrap confidence interval ------------------------
+    QueryDef(
+      "a24_bootstrap_ci",
+      "Poisson bootstrap (Chamandy et al., Google '12 — THE uncertainty method for data too big to multinomial-resample): 100 deterministic resamples where each row's weight per resample is Poisson(1) drawn from an md5 inverse-CDF (integer thresholds, no float compare at the boundary); 95% CI + SE of mean order value. One narrow x100 expansion + a 100-group rollup; resample means rank via the bounded inequality join — no global sort",
+      Some(SelectOpsSql.bootstrapOracle)) { (s, dir) =>
+      // Poisson(1) approximates multinomial(n, 1/n) with INDEPENDENT
+      // per-row draws — the property that makes the bootstrap one
+      // map-side pass at any scale. Weights come from the md5 uniform
+      // against cumulative-Poisson thresholds pre-scaled to 2^32 and
+      // compared as INTEGERS (shared literals with the oracle). Weighted
+      // sums stay in decimal: value freezes to (18,2), weight <= 6 is
+      // (1,0), so every product and sum is exact and order-free.
+      import SelectOpsSql._
+      val x = t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2)
+          .cast("decimal(18,2)").as("x"))
+      val expanded = x.select(col("o_orderkey"), col("x"),
+        explode(expr("sequence(0, 99)")).as("r"))
+        .withColumn("u", expr(
+          "cast(conv(substring(md5(concat(cast(o_orderkey as string), '#', cast(r as string))), 1, 8), 16, 10) as bigint)"))
+        .withColumn("w", expr(poissonWeightSql("u")))
+      val means = expanded.groupBy(col("r"))
+        .agg((sum(col("w").cast("decimal(1,0)") * col("x")).cast("double") /
+          sum(col("w"))).as("m"))
+      // bounded rank join over the 100 resample means (ir10's shape)
+      val ahead = means.select(col("m").as("bm"), col("r").as("br"))
+      val ranked = means.join(broadcast(ahead),
+          col("bm") < col("m") || (col("bm") === col("m") && col("br") < col("r")), "left")
+        .groupBy(col("r"), col("m"))
+        .agg((lit(1) + count(col("br"))).as("rk"))
+      val lo = ranked.filter(col("rk") === 3).agg(min(col("m")).as("lo"))
+      val hi = ranked.filter(col("rk") === 98).agg(min(col("m")).as("hi"))
+      val stats = means.agg(count(lit(1)).as("n_resamples"),
+        sum(round(col("m"), 9).cast("decimal(28,9)")).as("sm"),
+        sum(round(col("m") * col("m"), 9).cast("decimal(28,9)")).as("sm2"))
+      val est = x.agg((sum(col("x")).cast("double") / count(lit(1))).as("est"))
+      stats.crossJoin(broadcast(est)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_resamples"),
+          round(col("est"), 6).as("estimate"),
+          round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"),
+          round(sqrt((col("sm2").cast("double") -
+            col("sm").cast("double") * col("sm") / col("n_resamples")) /
+            (col("n_resamples") - 1)), 6).as("se"))
+    },
+
     // ---- DD79: URL canonicalization ---------------------------------------
     QueryDef(
       "dd79_url_canonical",
@@ -1230,6 +1275,57 @@ object SelectOps {
     val merges: Seq[(String, String)] = Seq(
       "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
       "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+    // ---- a24 Poisson bootstrap (shared thresholds + oracle) --------------
+    /** Cumulative Poisson(1) probabilities scaled to 2^32 as integer
+      * thresholds — weight k iff u < t(k); u >= t(5) gets weight 6
+      * (P ~ 6e-4, the tail fold). Shared literals with the oracle so the
+      * draw cannot drift. */
+    val poissonThresholds: Seq[Long] = Seq(
+      1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L, 4292415291L)
+
+    def poissonWeightSql(u: String): String =
+      poissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN $u < ${t}L THEN $k" }
+        .mkString("CASE ", " ", " ELSE 6 END")
+        .replace("L THEN", " THEN") // DuckDB/Spark both parse bare longs
+
+    val bootstrapOracle: String = {
+      val w = poissonWeightSql("u")
+      s"""
+        WITH x AS (
+          SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS x
+          FROM orders
+        ),
+        expanded AS (
+          SELECT o_orderkey, x, r,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(r AS VARCHAR)), 1, 8))::BIGINT AS u
+          FROM x CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS r)
+        ),
+        weighted AS (SELECT r, x, $w AS w FROM expanded),
+        means AS (
+          SELECT r, CAST(sum(CAST(w AS DECIMAL(1,0)) * x) AS DOUBLE) / sum(w) AS m
+          FROM weighted GROUP BY r
+        ),
+        ranked AS (
+          SELECT r, m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM means
+        ),
+        lo AS (SELECT m AS lo FROM ranked WHERE rk = 3),
+        hi AS (SELECT m AS hi FROM ranked WHERE rk = 98),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+                 CAST(sum(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sm,
+                 CAST(sum(CAST(round(m*m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sm2
+          FROM means
+        ),
+        est AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS est FROM x)
+        SELECT n_resamples,
+               round(est, 6) AS estimate,
+               round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi,
+               round(sqrt((sm2 - sm*sm/n_resamples) / (n_resamples - 1)), 6) AS se
+        FROM stats CROSS JOIN est CROSS JOIN lo CROSS JOIN hi
+      """
+    }
 
     // ---- dd78 simhash-join oracle (generated bit chains) -----------------
     val simhashJoinOracle: String = {
