@@ -717,6 +717,146 @@ object SelectOps {
         .select(col("q_id"), col("neg_id"), col("cos"))
     },
 
+    // ---- DD81: language-ID evaluation --------------------------------------
+    QueryDef(
+      "dd81_langid_eval",
+      "Per-class precision/recall for dd7's n-gram language identifier against the true lang labels — the confusion-matrix rollup every classifier in the curation stack owes its users (and it honestly exposes how weak a 3-token profile is on a 31-word shared vocabulary). Confusion cells are one (actual, predicted) groupBy; class totals fold from the cells",
+      Some("""
+        WITH tokd AS (
+          SELECT DISTINCT d.doc_id, d.lang, t.w
+          FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(w)
+        ),
+        freq AS (SELECT lang, w, COUNT(*) AS n FROM tokd GROUP BY lang, w),
+        profile AS (
+          SELECT lang AS p_lang, w FROM (
+            SELECT lang, w, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rn FROM freq
+          ) WHERE rn <= 3
+        ),
+        hits AS (
+          SELECT t.doc_id, p.p_lang, COUNT(*) AS score
+          FROM tokd t JOIN profile p ON t.w = p.w GROUP BY t.doc_id, p.p_lang
+        ),
+        pred AS (
+          SELECT h.doc_id, d.lang AS actual, h.p_lang AS predicted
+          FROM (SELECT doc_id, p_lang,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn
+                FROM hits) h JOIN documents d ON h.doc_id = d.doc_id
+          WHERE h.rn = 1
+        ),
+        cells AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS c FROM pred GROUP BY 1,2),
+        act AS (SELECT actual, CAST(sum(c) AS BIGINT) AS n_actual FROM cells GROUP BY 1),
+        prd AS (SELECT predicted, CAST(sum(c) AS BIGINT) AS n_predicted FROM cells GROUP BY 1)
+        SELECT a.actual AS lang, a.n_actual,
+               COALESCE(p.n_predicted, 0) AS n_predicted,
+               COALESCE(tp.c, 0) AS tp,
+               round(COALESCE(tp.c, 0) / CAST(NULLIF(COALESCE(p.n_predicted,0),0) AS DOUBLE), 6) AS precision,
+               round(COALESCE(tp.c, 0) / CAST(a.n_actual AS DOUBLE), 6) AS recall
+        FROM act a
+        LEFT JOIN prd p ON a.actual = p.predicted
+        LEFT JOIN cells tp ON tp.actual = a.actual AND tp.predicted = a.actual
+        ORDER BY a.actual
+      """)) { (s, dir) =>
+      // dd7's exact prediction pipeline (one shared tokd scan), then the
+      // eval is confusion-cell count algebra: class precision = tp over
+      // the PREDICTED column total, recall = tp over the ACTUAL row
+      // total; NULLIF guards classes the model never predicts.
+      val tokd = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .distinct().cache()
+      val freq = tokd.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+      val profile = freq.withColumn("rn", row_number().over(wp)).filter(col("rn") <= 3)
+        .select(col("lang").as("p_lang"), col("w"))
+      val hits = tokd.join(profile, Seq("w"))
+        .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("score"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))
+      val pred = hits.withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang").as("actual")),
+          Seq("doc_id"))
+        .select(col("actual"), col("p_lang").as("predicted"))
+      val cells = pred.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("c")).cache()
+      val act = cells.groupBy(col("actual")).agg(sum(col("c")).as("n_actual"))
+      val prd = cells.groupBy(col("predicted")).agg(sum(col("c")).as("n_predicted"))
+      val tp = cells.filter(col("actual") === col("predicted"))
+        .select(col("actual").as("la"), col("c").as("tp"))
+      act.join(prd, col("actual") === col("predicted"), "left")
+        .join(tp, col("actual") === col("la"), "left")
+        .select(col("actual").as("lang"), col("n_actual"),
+          coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          round(coalesce(col("tp"), lit(0L)) /
+            nullif(coalesce(col("n_predicted"), lit(0L)), lit(0L)).cast("double"), 6)
+            .as("precision"),
+          round(coalesce(col("tp"), lit(0L)) / col("n_actual").cast("double"), 6)
+            .as("recall"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- E11: Fellegi-Sunter m/u estimation --------------------------------
+    QueryDef(
+      "e11_fellegi_sunter",
+      "Fellegi-Sunter m/u probabilities and log2 match weights (the 1969 framework every probabilistic record linker — Splink, dedupe.io — implements): for each comparison field, P(agree | match) vs P(agree | non-match) with Jeffreys +0.5 smoothing, truth = exact-bag pairs. EVERY probability folds from group sizes as C(c,2) — matched, field-agreeing, and matched-and-agreeing pair counts are three groupBys; no pair materialized (e8's count-space discipline)",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS cb,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag
+          FROM documents
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed),
+        m AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS matched
+              FROM (SELECT bag, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY bag)),
+        fields AS (
+          SELECT 'lang' AS field,
+            (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) FROM (SELECT lang, CAST(count(*) AS BIGINT) c FROM keyed GROUP BY 1)) AS agree,
+            (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) FROM (SELECT bag, lang, CAST(count(*) AS BIGINT) c FROM keyed GROUP BY 1,2)) AS m_agree
+          UNION ALL
+          SELECT 'cb',
+            (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) FROM (SELECT cb, CAST(count(*) AS BIGINT) c FROM keyed GROUP BY 1)),
+            (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) FROM (SELECT bag, cb, CAST(count(*) AS BIGINT) c FROM keyed GROUP BY 1,2))
+        )
+        SELECT field,
+          round((m_agree + 0.5) / (m.matched + 1.0), 6) AS m_prob,
+          round((agree - m_agree + 0.5) / (n.n*(n.n-1)//2 - m.matched + 1.0), 6) AS u_prob,
+          round(log2(((m_agree + 0.5) / (m.matched + 1.0)) /
+                     ((agree - m_agree + 0.5) / (n.n*(n.n-1)//2 - m.matched + 1.0))), 6) AS w_agree,
+          round(log2((1 - (m_agree + 0.5) / (m.matched + 1.0)) /
+                     (1 - (agree - m_agree + 0.5) / (n.n*(n.n-1)//2 - m.matched + 1.0))), 6) AS w_disagree
+        FROM fields CROSS JOIN n CROSS JOIN m ORDER BY field
+      """)) { (s, dir) =>
+      // The weights PRICE each field for a linkage rule: on this corpus
+      // cb (size bucket) earns ~+1.3 bits on agreement while lang is
+      // worthless (~0) — exactly the tuning signal a cascade like e3
+      // consumes. Jeffreys smoothing keeps the log finite when a field
+      // perfectly agrees (or never) within matches.
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 100).cast("long").as("cb"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("bag"))
+        .cache()
+      def pairs(df: DataFrame, out: String): DataFrame =
+        df.agg(sum(expr("c*(c-1) div 2")).as(out))
+      val n = keyed.agg(count(lit(1)).as("n"))
+      val matched = pairs(keyed.groupBy(col("bag")).agg(count(lit(1)).as("c")), "matched")
+      def fieldRow(name: String, fcol: String): DataFrame = {
+        val agree = pairs(keyed.groupBy(col(fcol)).agg(count(lit(1)).as("c")), "agree")
+        val mAgree = pairs(keyed.groupBy(col("bag"), col(fcol))
+          .agg(count(lit(1)).as("c")), "m_agree")
+        agree.crossJoin(broadcast(mAgree)).select(lit(name).as("field"),
+          col("agree"), col("m_agree"))
+      }
+      val mP = (col("m_agree") + 0.5) / (col("matched") + 1.0)
+      val uP = (col("agree") - col("m_agree") + 0.5) /
+        (expr("n*(n-1) div 2") - col("matched") + 1.0)
+      fieldRow("lang", "lang").unionByName(fieldRow("cb", "cb"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(matched))
+        .select(col("field"),
+          round(mP, 6).as("m_prob"), round(uP, 6).as("u_prob"),
+          round(log2(mP / uP), 6).as("w_agree"),
+          round(log2((lit(1) - mP) / (lit(1) - uP)), 6).as("w_disagree"))
+        .orderBy(col("field"))
+    },
+
     // ---- A24: Poisson bootstrap confidence interval ------------------------
     QueryDef(
       "a24_bootstrap_ci",
