@@ -860,7 +860,7 @@ object SelectOps {
     // ---- A24: Poisson bootstrap confidence interval ------------------------
     QueryDef(
       "a24_bootstrap_ci",
-      "Poisson bootstrap (Chamandy et al., Google '12 — THE uncertainty method for data too big to multinomial-resample): 100 deterministic resamples where each row's weight per resample is Poisson(1) drawn from an md5 inverse-CDF (integer thresholds, no float compare at the boundary); 95% CI + SE of mean order value. One narrow x100 expansion + a 100-group rollup; resample means rank via the bounded inequality join — no global sort",
+      "Poisson bootstrap (Chamandy et al., Google '12 — THE uncertainty method for data too big to multinomial-resample): 100 deterministic resamples where each row's weight per resample is Poisson(1) drawn from an md5 inverse-CDF (integer thresholds, no float compare at the boundary); 95% CI + SE of mean customer balance (customer keeps the x100 md5 expansion linear, not order-table-sized). One narrow x100 expansion + a 100-group rollup; resample means rank via the bounded inequality join — no global sort",
       Some(SelectOpsSql.bootstrapOracle)) { (s, dir) =>
       // Poisson(1) approximates multinomial(n, 1/n) with INDEPENDENT
       // per-row draws — the property that makes the bootstrap one
@@ -870,13 +870,13 @@ object SelectOps {
       // sums stay in decimal: value freezes to (18,2), weight <= 6 is
       // (1,0), so every product and sum is exact and order-free.
       import SelectOpsSql._
-      val x = t(s, dir, "orders")
-        .select(col("o_orderkey"), round(col("o_totalprice"), 2)
+      val x = t(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2)
           .cast("decimal(18,2)").as("x"))
-      val expanded = x.select(col("o_orderkey"), col("x"),
+      val expanded = x.select(col("c_custkey"), col("x"),
         explode(expr("sequence(0, 99)")).as("r"))
         .withColumn("u", expr(
-          "cast(conv(substring(md5(concat(cast(o_orderkey as string), '#', cast(r as string))), 1, 8), 16, 10) as bigint)"))
+          "cast(conv(substring(md5(concat(cast(c_custkey as string), '#', cast(r as string))), 1, 8), 16, 10) as bigint)"))
         .withColumn("w", expr(poissonWeightSql("u")))
       val means = expanded.groupBy(col("r"))
         .agg((sum(col("w").cast("decimal(1,0)") * col("x")).cast("double") /
@@ -1434,12 +1434,12 @@ object SelectOps {
       val w = poissonWeightSql("u")
       s"""
         WITH x AS (
-          SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS x
-          FROM orders
+          SELECT c_custkey, CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS x
+          FROM customer
         ),
         expanded AS (
-          SELECT o_orderkey, x, r,
-                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(r AS VARCHAR)), 1, 8))::BIGINT AS u
+          SELECT c_custkey, x, r,
+                 ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || CAST(r AS VARCHAR)), 1, 8))::BIGINT AS u
           FROM x CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS r)
         ),
         weighted AS (SELECT r, x, $w AS w FROM expanded),
