@@ -717,6 +717,85 @@ object SelectOps {
         .select(col("q_id"), col("neg_id"), col("cos"))
     },
 
+    // ---- W30: Kaplan-Meier time-to-conversion ------------------------------
+    QueryDef(
+      "w30_kaplan_meier",
+      "Kaplan-Meier survival curve for time-to-first-purchase (the 1958 estimator product analytics calls a conversion curve, with CENSORING done right — users who never purchase contribute risk time instead of being dropped): per-user first-activity -> first-purchase days, day-grain event/censor counts, at-risk and cumulative-product via bounded inequality joins over the <=31-day relation — never a global window; the product runs as exp of a decimal-frozen log sum, with an explicit zero-factor flag so S(t) hits exact 0 instead of exp(-inf)",
+      Some("""
+        WITH users AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_d, max(CAST(ts AS DATE)) AS last_d,
+                 min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS first_p
+          FROM events GROUP BY user_id
+        ),
+        lived AS (
+          SELECT user_id,
+                 CASE WHEN first_p IS NOT NULL THEN date_diff('day', first_d, first_p)
+                      ELSE date_diff('day', first_d, last_d) END AS t,
+                 CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM users
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lived),
+        byt AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1-ev) AS BIGINT) AS c
+          FROM lived GROUP BY t
+        ),
+        risk AS (
+          SELECT a.t, a.d, a.c,
+                 tot.n - COALESCE(CAST(sum(b.d + b.c) AS BIGINT), 0) AS n_risk
+          FROM byt a LEFT JOIN byt b ON b.t < a.t CROSS JOIN tot
+          GROUP BY a.t, a.d, a.c, tot.n
+        ),
+        factors AS (
+          SELECT t, d, c, n_risk, round(1.0 - d/CAST(n_risk AS DOUBLE), 9) AS f
+          FROM risk
+        )
+        SELECT CAST(a.t AS BIGINT) AS t_days, a.n_risk, a.d AS converted, a.c AS censored,
+               CASE WHEN min(b.f) <= 0 THEN 0.0
+                    ELSE round(exp(CAST(sum(CAST(round(ln(CASE WHEN b.f > 0 THEN b.f ELSE 1 END), 9) AS DECIMAL(28,9))) AS DOUBLE)), 6)
+               END AS survival
+        FROM factors a JOIN factors b ON b.t <= a.t
+        GROUP BY a.t, a.d, a.c, a.n_risk
+        ORDER BY t_days
+      """)) { (s, dir) =>
+      // The scale shape: users collapse to ONE row each (user-keyed agg),
+      // then everything is day-grain (<=31 rows) — the at-risk prefix and
+      // the KM product both ride broadcast inequality self-joins on that
+      // tiny relation, so no step depends on the event-log size beyond
+      // the first aggregation.
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"),
+          min(when(col("event_type") === "purchase", to_date(col("ts")))).as("first_p"))
+      val lived = users.select(
+        when(col("first_p").isNotNull, datediff(col("first_p"), col("first_d")))
+          .otherwise(datediff(col("last_d"), col("first_d"))).as("t"),
+        when(col("first_p").isNotNull, 1L).otherwise(0L).as("ev"))
+      val tot = lived.agg(count(lit(1)).as("n"))
+      val byt = lived.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+        .cache()
+      val prior = byt.select(col("t").as("bt"), (col("d") + col("c")).as("bdc"))
+      val risk = byt.join(broadcast(prior), col("bt") < col("t"), "left")
+        .groupBy(col("t"), col("d"), col("c"))
+        .agg(coalesce(sum(col("bdc")), lit(0L)).as("before"))
+        .crossJoin(broadcast(tot))
+        .select(col("t"), col("d"), col("c"), (col("n") - col("before")).as("n_risk"))
+      val factors = risk.select(col("t"), col("d"), col("c"), col("n_risk"),
+        round(lit(1.0) - col("d") / col("n_risk").cast("double"), 9).as("f"))
+      val pref = factors.select(col("t").as("bt"), col("f").as("bf"))
+      factors.join(broadcast(pref), col("bt") <= col("t"))
+        .groupBy(col("t"), col("d"), col("c"), col("n_risk"))
+        .agg(min(col("bf")).as("minf"),
+          sum(round(log(when(col("bf") > 0, col("bf")).otherwise(1.0)), 9)
+            .cast("decimal(28,9)")).as("sl"))
+        .select(col("t").cast("long").as("t_days"), col("n_risk"),
+          col("d").as("converted"), col("c").as("censored"),
+          when(col("minf") <= 0, lit(0.0))
+            .otherwise(round(exp(col("sl").cast("double")), 6)).as("survival"))
+        .orderBy(col("t_days"))
+    },
+
     // ---- DD81: language-ID evaluation --------------------------------------
     QueryDef(
       "dd81_langid_eval",
