@@ -371,14 +371,11 @@ object GoldMvFull {
           col("disposal_details"))
   }
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // ---- firs_mv at full breadth -----------------------------------------
-    QueryDef(
-      "mv_firs_full",
-      "Full-breadth firs_mv gold row: 18 child aggregates over 4 child roles (accused list w/ status normalization, 2-level drug rollup, nested chargesheets w/ sub-lookups, UNION-ALL document list, disposal counters, ||-merged IR mega-doc) — firs_mv.sql:40-229",
-      Some(s"""
-        WITH li_acc0 AS (
+  /** firs_mv rebuild SQL with parameterized fact/parent relation names,
+    * so the incremental row can aim the SAME rebuild at v2 CTEs and
+    * hash-compare incremental maintenance against a from-scratch build. */
+  private def firsOracleSql(extraCtes: String, li: String, ord: String): String = s"""
+        WITH ${extraCtes}li_acc0 AS (
           SELECT l_orderkey, l_linenumber, l_partkey,
                  '{"personCode":"L-' || l_linenumber || '","partId":' || l_partkey || ',"status":"' ||
                  CASE WHEN l_returnflag = 'R' THEN 'Returned'
@@ -390,7 +387,7 @@ object GoldMvFull {
                  CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS disp,
                  CASE WHEN l_linestatus = 'F' THEN l_returnflag END AS disp_flag,
                  CAST(l_quantity AS BIGINT) AS qty
-          FROM lineitem
+          FROM $li
         ),
         li_agg AS (
           SELECT l_orderkey,
@@ -412,7 +409,7 @@ object GoldMvFull {
         drug1 AS (
           SELECT l_orderkey AS d_okey, p_brand, l_returnflag AS d_form,
                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum
-          FROM lineitem JOIN part ON l_partkey = p_partkey
+          FROM $li JOIN part ON l_partkey = p_partkey
           WHERE p_brand <> 'Brand#17'
           GROUP BY 1, 2, 3
         ),
@@ -435,7 +432,7 @@ object GoldMvFull {
                  CASE WHEN l_returnflag = 'R' THEN 'Charged'
                       WHEN l_returnflag = 'A' THEN 'Dropped'
                       ELSE 'Pending' END || '"}' AS js2
-          FROM lineitem
+          FROM $li
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN part ON l_partkey = p_partkey
         ),
@@ -454,11 +451,11 @@ object GoldMvFull {
         docs0 AS (
           SELECT l_orderkey AS f_okey,
                  '{"filePath":"/files/' || l_partkey || '.pdf","type":"FIR_COPY","isDownloaded":false}' AS js
-          FROM lineitem WHERE l_returnflag = 'R'
+          FROM $li WHERE l_returnflag = 'R'
           UNION ALL
           SELECT l_orderkey,
                  '{"filePath":"/generated/chargesheets/' || l_suppkey || '/' || l_partkey || '","type":"CHARGESHEET_FILE","isDownloaded":true}'
-          FROM lineitem WHERE l_linestatus = 'O'
+          FROM $li WHERE l_linestatus = 'O'
         ),
         docs_agg AS (
           SELECT f_okey, '[' || string_agg(DISTINCT js, ',' ORDER BY js) || ']' AS documents
@@ -495,7 +492,7 @@ object GoldMvFull {
                  '"},"socio":{"name":"' || c.c_name || '","segment":"' || c.c_mktsegment ||
                  '","nation":"' || n.n_name ||
                  '"},"associateDetails":' || COALESCE(cs.associates, '[]') || '}' AS ir_doc
-        FROM orders o
+        FROM $ord o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         LEFT JOIN li_agg a ON o.o_orderkey = a.l_orderkey
@@ -503,8 +500,73 @@ object GoldMvFull {
         LEFT JOIN drug_agg d ON o.o_orderkey = d.d_okey
         LEFT JOIN cs_agg cs ON o.o_orderkey = cs.c_okey
         LEFT JOIN docs_agg f ON o.o_orderkey = f.f_okey
-      """)) { (s, dir) =>
+      """
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- firs_mv at full breadth -----------------------------------------
+    QueryDef(
+      "mv_firs_full",
+      "Full-breadth firs_mv gold row: 18 child aggregates over 4 child roles (accused list w/ status normalization, 2-level drug rollup, nested chargesheets w/ sub-lookups, UNION-ALL document list, disposal counters, ||-merged IR mega-doc) — firs_mv.sql:40-229",
+      Some(firsOracleSql("", "lineitem", "orders"))) { (s, dir) =>
       buildFirsFull(s, dir, t(s, dir, "orders"), t(s, dir, "lineitem"))
+    },
+
+    // ---- incremental gold refresh ≡ full rebuild (oracle-gated) ----------
+    // The reference rebuilds its MVs from scratch 3×/day
+    // (etl_refresh_views/views_refresh_sql.py:5-79, dedupe at
+    // master_etl.py:212); the Spark-first engine maintains them
+    // incrementally. This row PROVES refresh ≡ rebuild through the driver
+    // gate: apply a deterministic change batch (parent deletes %101=5,
+    // child-wipe deletes %97=3, quantity updates %89=7, new-line inserts
+    // %93=11), splice ONLY the touched parents via GoldIncremental.refresh,
+    // and hash-compare against DuckDB building v2 from scratch. The
+    // recompute scans are semi-join-pruned to the changed keys, so at
+    // 100 TB the refresh is O(changed parents), not O(fact table).
+    QueryDef(
+      "mv_firs_incremental",
+      "Incremental firs_mv maintenance: deterministic change batch (deletes/updates/inserts), changed-parent-only recompute spliced over gold v1, hash-gated ≡ a from-scratch v2 rebuild — views_refresh_sql.py:5-79",
+      Some(firsOracleSql("""
+        lineitem_v2 AS (
+          SELECT * REPLACE (CASE WHEN l_orderkey % 89 = 7 THEN l_quantity + 5 ELSE l_quantity END AS l_quantity)
+          FROM lineitem WHERE l_orderkey % 101 <> 5 AND l_orderkey % 97 <> 3
+          UNION ALL
+          SELECT * REPLACE (l_linenumber + 100 AS l_linenumber, 'N' AS l_returnflag, 'O' AS l_linestatus)
+          FROM lineitem
+          WHERE l_orderkey % 101 <> 5 AND l_orderkey % 97 <> 3
+            AND l_orderkey % 93 = 11 AND l_linenumber = 1
+        ),
+        orders_v2 AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 5),
+        """, "lineitem_v2", "orders_v2"))) { (s, dir) =>
+      val liV1 = t(s, dir, "lineitem")
+      val ordV1 = t(s, dir, "orders")
+      // v2 state after the change batch (same four rules as the oracle CTEs)
+      val kept = col("l_orderkey") % 101 =!= 5 && col("l_orderkey") % 97 =!= 3
+      val liV2 = liV1.filter(kept)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 89 === 7, col("l_quantity") + 5)
+            .otherwise(col("l_quantity")))
+        .unionByName(liV1
+          .filter(kept && col("l_orderkey") % 93 === 11 && col("l_linenumber") === 1)
+          .withColumn("l_linenumber", (col("l_linenumber") + 100).cast("int"))
+          .withColumn("l_returnflag", lit("N"))
+          .withColumn("l_linestatus", lit("O")))
+      val ordV2 = ordV1.filter(col("o_orderkey") % 101 =!= 5)
+      // gold v1 + the changed-parent key set (union of all four rules —
+      // including the deleted parents, whose stale rows must drop)
+      val goldPrev = buildFirsFull(s, dir, ordV1, liV1)
+      val changed = ordV1.select(col("o_orderkey").as("id")).filter(
+        col("id") % 101 === 5 || col("id") % 97 === 3 ||
+          col("id") % 89 === 7 || col("id") % 93 === 11)
+      graft.gold.GoldIncremental.refresh(goldPrev, changed, "id") { keys =>
+        // broadcast the changed-key set into BOTH scans: the semi-join
+        // pushes the key filter down, so the recompute reads only the
+        // touched parents' facts
+        val k = broadcast(keys.select(col("id").as("ck")))
+        buildFirsFull(s, dir,
+          ordV2.join(k, col("o_orderkey") === col("ck"), "left_semi"),
+          liV2.join(k, col("l_orderkey") === col("ck"), "left_semi"))
+      }
     },
 
 
