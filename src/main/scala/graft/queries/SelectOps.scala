@@ -381,8 +381,14 @@ object SelectOps {
         case (acc, (a, b)) =>
           s"replace($acc, concat('$a', char(31), '$b'), '$a$b')"
       }
+      // empty words (doubled/leading/trailing spaces) are dropped on BOTH
+      // sides: Spark's sequence(1, 0) is the DESCENDING [1, 0] (step
+      // defaults to -1) which would mint 2 phantom tokens per empty word
+      // while DuckDB's generate_series(1, 0) is empty — the one place the
+      // two engines' range semantics diverge
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
         .withColumn("s", expr(enc))
         .groupBy(col("lang"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -397,7 +403,7 @@ object SelectOps {
     // ---- DD72: differentially-private histogram release -------------------
     QueryDef(
       "dd72_dp_release",
-      "DP-shaped histogram release (Dwork et al. TCC'06 Laplace mechanism, eps=1): per-event-type counts plus inverse-CDF Laplace noise from a SEEDED md5 uniform — deterministic across engines and runs, the property a reproducible release pipeline needs; released = max(0, count + noise). The histogram is category-bounded (one tiny groupBy); noise derivation is per-released-row arithmetic",
+      "DP-shaped (deterministic-noise) release KERNEL, not a privacy guarantee: per-event-type counts plus inverse-CDF Laplace-shaped noise (Dwork et al. TCC'06 mechanism shape, eps=1) from a SEEDED md5 uniform; released = max(0, count + noise). The seeded noise is a public function of the category name, hence exactly invertible — determinism is what the cross-engine parity gate REQUIRES; a production DP release must draw the same Laplace noise from a secret, non-recomputable source. Histogram is category-bounded (one tiny groupBy); noise derivation is per-released-row arithmetic",
       Some("""
         WITH hist AS (
           SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
@@ -1163,7 +1169,7 @@ object SelectOps {
                  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
           FROM cand
         ),
-        top4 AS (SELECT src_id, CAST(sum(CAST(round(cos, 9) AS DECIMAL(28,9))) AS DOUBLE)/4 AS avg4
+        top4 AS (SELECT src_id, CAST(sum(CAST(round(cos, 9) AS DECIMAL(28,9))) AS DOUBLE)/count(*) AS avg4
                  FROM knn WHERE rn <= 4 GROUP BY src_id),
         margin AS (
           SELECT k.src_id, k.tgt_id, k.cos, round(k.cos / t.avg4, 6) AS margin
@@ -1191,8 +1197,13 @@ object SelectOps {
           round(dotN(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
       val wr = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id"))
       val knn = cand.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 4).cache()
+      // mean over the neighbors ACTUALLY retrieved (count, not a hard 4):
+      // the Artetxe & Schwenk margin divides by k-as-retrieved, and a
+      // query with <4 non-English candidates must not deflate its
+      // neighborhood mean (which would inflate the margin)
       val top4 = knn.groupBy(col("src_id"))
-        .agg((sum(round(col("cos"), 9).cast("decimal(28,9)")).cast("double") / 4).as("avg4"))
+        .agg((sum(round(col("cos"), 9).cast("decimal(28,9)")).cast("double") /
+          count(lit(1))).as("avg4"))
       knn.filter(col("rn") === 1)
         .join(top4, Seq("src_id"))
         .select(col("src_id"), col("tgt_id"), col("cos"),
@@ -1762,7 +1773,7 @@ object SelectOps {
         WITH words AS (
           SELECT doc_id, lang, unnest(string_split(text,' ')) AS word FROM documents
         ),
-        enc AS (SELECT doc_id, lang, word, $enc AS s FROM words)
+        enc AS (SELECT doc_id, lang, word, $enc AS s FROM words WHERE word <> '')
         SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(sum(length(word)) AS BIGINT) AS n_chars,
                CAST(sum(length(s) - length(replace(s, chr(31), '')) + 1) AS BIGINT) AS n_bpe_tokens,

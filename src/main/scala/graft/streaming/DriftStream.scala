@@ -35,6 +35,7 @@ final class DriftMonitor(
 
   /** Pin the reference histogram; start the current window empty. */
   def init(reference: DataFrame, valueCol: String): Unit = synchronized {
+    VersionedState.dropVersions(workDir, "cur")
     bucketize(reference, valueCol).write.mode("overwrite").parquet(refPath)
     spark.emptyDataFrame
       .select(lit(0).as("bucket"), lit(0L).as("n")).limit(0)

@@ -51,6 +51,7 @@ final class FunnelMaintainer(spark: SparkSession, workDir: String) {
   }
 
   def init(events0: DataFrame): Unit = synchronized {
+    VersionedState.dropVersions(workDir, "funnel")
     events0.write.mode("overwrite").parquet(logPath)
     cascade(spark.read.parquet(logPath))
       .write.mode("overwrite").parquet(funnelPath(0))

@@ -34,6 +34,7 @@ final class GoldMaintainer(
 
   /** Seed v0 from the initial fact state; builds the initial gold. */
   def init(fact0: DataFrame): Unit = synchronized {
+    VersionedState.dropVersions(workDir, "fact", "gold")
     fact0.write.mode("overwrite").parquet(factPath(0))
     buildGold(spark.read.parquet(factPath(0)))
       .write.mode("overwrite").parquet(goldPath(0))

@@ -23,6 +23,7 @@ final class IndexMaintainer(spark: SparkSession, workDir: String) {
   private def indexPath(v: Int) = s"$workDir/index_v$v"
 
   def init(docs0: DataFrame): Unit = synchronized {
+    VersionedState.dropVersions(workDir, "postings", "index")
     val p0 = IndexMaintain.postings(docs0)
     p0.write.mode("overwrite").parquet(postingsPath(0))
     IndexMaintain.buildIndex(spark.read.parquet(postingsPath(0)))

@@ -44,6 +44,10 @@ final class OnlineLogit(spark: SparkSession, workDir: String) {
   }
 
   def init(): Unit = synchronized {
+    // a fresh model must not resurrect state: recover() takes the MAX
+    // committed version, so any sums_v{N>0} left by a prior run in the
+    // same workDir would silently fold old data into the new coefficients
+    VersionedState.dropVersions(workDir, "sums")
     spark.range(1)
       .select(cols.map(c => lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)").as(c)): _*)
       .write.mode("overwrite").parquet(path(0))

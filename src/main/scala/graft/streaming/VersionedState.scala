@@ -28,4 +28,24 @@ object VersionedState {
       .map(p => versionsOf(workDir, p).toSet)
       .reduceOption(_ intersect _)
       .flatMap(_.maxOption)
+
+  /** Remove EVERY `<prefix>_v*` directory (committed or torn) under
+    * workDir. Maintainers call this from init(): recover() takes the MAX
+    * committed version, so a "fresh" init that only writes v0 over a
+    * workDir holding higher versions from a prior run would silently
+    * resurrect stale state on the next recovery. */
+  def dropVersions(workDir: String, prefixes: String*): Unit = {
+    val base = new java.io.File(workDir)
+    for {
+      name <- Option(base.list()).toSeq.flatten
+      p <- prefixes
+      if name.startsWith(p + "_v") &&
+        name.stripPrefix(p + "_v").forall(_.isDigit)
+    } deleteRec(new java.io.File(base, name))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
+  }
 }

@@ -62,6 +62,23 @@ class ModelStreamSpec extends SparkTestBase {
     for (i <- 0 until 3) assert(before.getDouble(i) == after.getDouble(i))
   }
 
+  test("init() on a reused workDir fences out a prior run's committed versions") {
+    val work = java.nio.file.Files.createTempDirectory("graft-logitfence").toString
+    val m = new OnlineLogit(spark, work)
+    m.init()
+    m.applyBatch(featsOf(Seq(FeatRow(1.0, 0.5, 1.0), FeatRow(2.0, 0.25, 0.0),
+      FeatRow(0.5, 0.9, 1.0), FeatRow(3.0, 0.1, 0.0))))
+    // a "fresh" model over the same dir: without the fence, recover()
+    // takes the max committed version and resurrects the old sums
+    val m2 = new OnlineLogit(spark, work)
+    m2.init()
+    val m3 = new OnlineLogit(spark, work)
+    assert(m3.recover() == 0, "recovery must land on the fresh v0, not stale v1")
+    val sums = m3.currentSums.head
+    for (i <- 0 until 9)
+      assert(sums.getDecimal(i).signum == 0, s"sum $i must be zero after re-init")
+  }
+
   test("the streamed step-1 estimator matches dd77's first Newton step on documents") {
     // feed the real documents table in 2 batches; the maintainer's
     // coefficients must equal dd77's own beta1 (recomputed here with the
