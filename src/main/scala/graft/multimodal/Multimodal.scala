@@ -109,6 +109,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic corruption of a blob subset — the failure injector for
+    * the quarantine gate (mirrors what 100 TB of scraped media actually
+    * contains: truncated downloads and wrong-magic bytes).
+    *   doc_id % 7 == 0 → truncated to 10 bytes (below the sniff minimum)
+    *   doc_id % 7 == 1 → first magic byte zeroed (container unrecognizable)
+    *   doc_id % 7 == 2 → truncated to 30 bytes (magic intact, header torn)
+    * Everything else passes through untouched. Same mapPartitions batch
+    * shape as the codecs — blobs never cross a shuffle. */
+  def corruptMedia(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaBlobSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val blob = r.get(1).asInstanceOf[Array[Byte]]
+        val out = (id % 7) match {
+          case 0 => java.util.Arrays.copyOf(blob, math.min(10, blob.length))
+          case 1 => val b = blob.clone(); if (b.length > 0) b(0) = 0; b
+          case 2 => java.util.Arrays.copyOf(blob, math.min(30, blob.length))
+          case _ => blob
+        }
+        Row(id, out)
+      }
+    }(enc)
+  }
+
   private val mediaProbeSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("mime", StringType),

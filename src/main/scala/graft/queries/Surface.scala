@@ -121,6 +121,49 @@ object Surface {
         Multimodal.synthesizeMedia(Tables(s, dir, "documents")))
     },
 
+    // ---- multimodal: corrupt-blob quarantine (oracle-checked) ------------
+    // The decoders' failure branch made driver-visible, mirroring N7's
+    // type-dispatch on malformed media (etl_properties.py:706-749) and the
+    // L3 quarantine pattern: a deterministic corruption pass (truncation,
+    // magic-byte damage) runs over the real synthesized containers, the
+    // REAL parsers return None instead of throwing, and failures route to
+    // a quarantine bucket counted per sniffed mime — the oracle predicts
+    // every bucket from the same doc_id arithmetic. At 100 TB this is the
+    // contract that matters: corrupt bytes must cost one partition-local
+    // decode attempt, never a job failure.
+    QueryDef(
+      "mm_decode_quarantine",
+      "Corrupt-media quarantine: deterministic truncation/magic damage → real WAV/BMP parsers return None → per-mime ok/quarantined counts",
+      Some("""
+        WITH cls AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 IN (0, 1) THEN 'application/octet-stream'
+                      WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                      ELSE 'image/bmp' END AS mime,
+                 CASE WHEN doc_id % 7 IN (0, 1, 2) THEN 'quarantined'
+                      ELSE 'ok' END AS status
+          FROM documents
+        )
+        SELECT mime, status, CAST(count(*) AS BIGINT) AS n_blobs,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM cls GROUP BY mime, status
+      """)) { (s, dir) =>
+      val probed = Multimodal.probeMedia(
+        Multimodal.corruptMedia(
+          Multimodal.synthesizeMedia(Tables(s, dir, "documents"))))
+      // quarantine = the parser could not produce a decoded header:
+      // unrecognizable container, or a recognized magic whose header
+      // fields failed to parse (truncated fmt chunk / short BMP header)
+      val quarantined = col("mime") === "application/octet-stream" ||
+        (col("mime") === "audio/wav" && col("sample_rate").isNull) ||
+        (col("mime") === "image/bmp" && col("width").isNull)
+      probed
+        .withColumn("status", when(quarantined, "quarantined").otherwise("ok"))
+        .groupBy(col("mime"), col("status"))
+        .agg(count(lit(1)).as("n_blobs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+
     // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
     //      exact vectors pinned in UdfsSpec) -------------------------------
     QueryDef(

@@ -119,6 +119,25 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("corruptMedia routes exactly the injected failure classes to None") {
+    val probed = Multimodal.probeMedia(
+      Multimodal.corruptMedia(Multimodal.synthesizeMedia(docs))).collect()
+    assert(probed.nonEmpty)
+    probed.foreach { r =>
+      val id = r.getLong(0)
+      id % 7 match {
+        case 0 | 1 => // sniff-level damage: container unrecognizable
+          assert(r.getString(1) == "application/octet-stream", s"doc $id mime")
+        case 2 => // magic intact, header torn: mime sniffs, fields are null
+          assert(r.getString(1) == (if (id % 2 == 0) "audio/wav" else "image/bmp"))
+          assert(r.isNullAt(2) && r.isNullAt(6), s"doc $id must not decode")
+        case _ => // untouched blobs decode fully
+          if (id % 2 == 0) assert(r.getInt(2) == 8000 + (id % 5) * 1000)
+          else assert(r.getInt(6) == 4 + id % 16)
+      }
+    }
+  }
+
   test("metadata-only reads do not require decoding the blob") {
     val meta = Multimodal.pack(docs).select("doc_id", "meta.mime", "meta.lang")
     assert(meta.distinct().count() >= 5) // one row per (doc, mime, lang) combo
