@@ -1197,6 +1197,87 @@ object DocPipeline {
             .as("dup_fraction"))
     },
 
+    // ---- dd75: maximal duplicated-span verifier (suffix-array output
+    //      shape over dd31's shingle hits) ----------------------------------
+    // Lee et al.'s ExactSubstr suffix-array dedup emits MAXIMAL repeated
+    // substrings; dd31 emits per-position coverage. This op closes the
+    // gap: merge dd31's duplicated-8-gram hit positions into maximal
+    // per-doc spans (gaps-and-islands over a doc-keyed window) and report
+    // span structure. VERIFIER LINK: sum(span lengths) per doc must equal
+    // dd31's covered_tokens — the oracle recomputes both independently,
+    // so a merge bug in either representation breaks the hash.
+    QueryDef(
+      "dd75_max_dup_spans",
+      "Maximal cross-doc duplicated spans (ExactSubstr output shape): dd31's duplicated-shingle hits merged into per-doc maximal token spans via gaps-and-islands; n_spans + longest + total covered per doc — doc-keyed windows only, no pairwise doc scan",
+      Some(s"""
+        WITH $corpusSql,
+        tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM corpus
+          WHERE len(string_split(text, ' ')) >= 8
+        ),
+        sh AS (
+          SELECT doc_id, p.s AS s, p.g AS g
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-7),
+                i -> struct_pack(s := i, g := array_to_string(arr[i:i+7], ' ')))) AS p FROM tok)
+        ),
+        dup AS (
+          SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        hits AS (SELECT DISTINCT sh.doc_id, sh.s FROM sh JOIN dup ON sh.g = dup.g),
+        runs AS (
+          SELECT doc_id, s,
+                 CASE WHEN s > COALESCE(max(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM hits
+        ),
+        isl AS (
+          SELECT doc_id, s, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+          FROM runs
+        ),
+        merged AS (
+          SELECT doc_id, gid, min(s) AS sp_start, max(s + 7) AS sp_end
+          FROM isl GROUP BY doc_id, gid
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(max(sp_end - sp_start + 1) AS BIGINT) AS longest_span,
+               CAST(sum(sp_end - sp_start + 1) AS BIGINT) AS covered_tokens
+        FROM merged GROUP BY doc_id
+      """)) { (s, dir) =>
+      // same shingle construction as dd31 (one groupBy finds the global
+      // duplicate-span set); then a doc-keyed gaps-and-islands merge: a
+      // hit starts a new island iff it begins past the running max end+1
+      // (adjacent spans fuse — contiguous duplicated text is ONE maximal
+      // span, exactly what a suffix array would emit). Both windows share
+      // one doc-keyed sort; per-doc hit counts are token-bounded, so the
+      // window partition never exceeds a doc's length at any corpus scale.
+      val tok = corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 8)
+      val sh = tok.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("arr")) - 7),
+        i => struct(i.as("s"),
+          array_join(slice(col("arr"), i, lit(8)), " ").as("g")))).as("p"))
+        .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
+      val dup = sh.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("g"))
+      val hits = sh.join(dup, Seq("g")).select(col("doc_id"), col("s")).distinct()
+      val wOrd = Window.partitionBy("doc_id").orderBy("s")
+      val runs = hits.withColumn("brk",
+        when(col("s") > coalesce(
+          max(col("s") + 7).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1)) + 1, 1).otherwise(0))
+      val isl = runs.withColumn("gid", sum(col("brk")).over(wOrd))
+      isl.groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s")).as("sp_start"), max(col("s") + 7).as("sp_end"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          max(col("sp_end") - col("sp_start") + 1).cast("long").as("longest_span"),
+          sum(col("sp_end") - col("sp_start") + 1).cast("long").as("covered_tokens"))
+    },
+
     // ---- dd33: n-gram novelty curve (first-seen attribution) -------------
     QueryDef(
       "dd33_ngram_novelty",
