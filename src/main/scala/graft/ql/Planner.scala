@@ -742,6 +742,32 @@ object Planner {
   }
 
   /** Q4 — deterministic SQL generation for the supported intents. */
+  /** Clarification early-exit — the reference planner's low-confidence
+    * path (`chatbot/agents/nodes.py:103`, confidence gate `:797`): when a
+    * question cannot be grounded, return a question back instead of
+    * guessing a plan. */
+  final case class Clarification(reason: String, suggestions: Seq[String])
+
+  /** Deterministic confidence: a question grounds iff it names a known
+    * entity (table keyword) or a known dimension. Empty input or a
+    * question with neither early-exits to Clarification — matchTable's
+    * "orders" fallback must never silently answer an off-domain question
+    * (the reference refuses these rather than hallucinating a table). */
+  def planOrClarify(q: String): Either[Clarification, Plan] = {
+    val s = q.toLowerCase.trim
+    lazy val hasEntity = tableKeywords.exists { case (_, kws) => kws.exists(s.contains) }
+    // time words alone don't ground a question: "what is the weather
+    // today" contains the derived dim "day" but names nothing to count
+    lazy val hasDim = dims.exists(d => !timeKw(d.kw) && s.contains(d.kw))
+    if (s.isEmpty)
+      Left(Clarification("empty question",
+        Seq("ask about orders, customers, parts, suppliers, events or documents")))
+    else if (!hasEntity && !hasDim)
+      Left(Clarification("could not identify a data entity in the question",
+        tableKeywords.keys.toSeq.sorted))
+    else Right(plan(q))
+  }
+
   def plan(q: String): Plan = {
     extractStatMetric(q)
       .orElse(extractShare(q))

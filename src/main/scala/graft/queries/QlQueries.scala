@@ -701,5 +701,84 @@ object QlQueries {
       "NL HAVING over the derived month dimension",
       "which months have more than 100 orders",
       """SELECT strftime(o_orderdate, '%Y-%m') AS grp, COUNT(*) AS n
-         FROM orders GROUP BY 1 HAVING COUNT(*) > 100""")())
+         FROM orders GROUP BY 1 HAVING COUNT(*) > 100""")(),
+
+    // ---- qlx: the DENIAL side of the surface -----------------------------
+    // The reference does not only answer: its validator rejects threats
+    // with a threat level (query_validator.py:49-299) and its planner
+    // early-exits to clarification on ungroundable intent (nodes.py:103,
+    // confidence :797). These gates assert the REFUSALS byte-for-byte:
+    // each case actually runs through QueryGuard.validate / planOrClarify
+    // and the oracle is the expected policy table as VALUES literals — a
+    // policy regression (keyword slips through, literal wrongly blocked,
+    // off-domain question silently planned) breaks the hash.
+    QueryDef(
+      "qlx_guard_denials",
+      "SQL threat-policy truth table: DML/DDL, multi-statement, comment tricks, bare forbidden keywords all Denied with threat level; keyword-inside-string-literal and plain SELECT stay allowed",
+      Some("""
+        SELECT * FROM (VALUES
+          ('block_comment',     'denied',  'comments are not allowed', 'medium'),
+          ('comment_trick',     'denied',  'comments are not allowed', 'medium'),
+          ('ddl_drop',          'denied',  'only SELECT/WITH statements are allowed', 'high'),
+          ('dml_insert',        'denied',  'only SELECT/WITH statements are allowed', 'high'),
+          ('dml_update',        'denied',  'only SELECT/WITH statements are allowed', 'high'),
+          ('empty_statement',   'denied',  'empty statement', 'low'),
+          ('keyword_in_body',   'denied',  'forbidden keyword: delete', 'high'),
+          ('literal_is_safe',   'allowed', '', 'none'),
+          ('multi_statement',   'denied',  'multi-statement input is not allowed', 'high'),
+          ('plain_select_safe', 'allowed', '', 'none'),
+          ('with_merge',        'denied',  'forbidden keyword: merge', 'high')
+        ) AS t(case_name, outcome, reason, threat)
+      """)) { (s, dir) =>
+      import s.implicits._
+      val cases = Seq(
+        "block_comment" -> "SELECT /* hidden */ 1",
+        "comment_trick" -> "SELECT * FROM orders -- DROP TABLE orders",
+        "ddl_drop" -> "DROP TABLE orders",
+        "dml_insert" -> "INSERT INTO orders VALUES (1)",
+        "dml_update" -> "UPDATE orders SET o_orderstatus = 'F'",
+        "empty_statement" -> "   ",
+        "keyword_in_body" -> "SELECT * FROM orders WHERE delete",
+        "literal_is_safe" -> "SELECT 'drop table orders; delete from x' AS s FROM nation",
+        "multi_statement" -> "SELECT 1; DROP TABLE orders",
+        "plain_select_safe" -> "SELECT 1 AS one",
+        "with_merge" -> "WITH x AS (SELECT 1) SELECT merge FROM x")
+      cases.map { case (n, sql) =>
+        QueryGuard.validate(sql) match {
+          case Left(d) => (n, "denied", d.reason, d.threat)
+          case Right(_) => (n, "allowed", "", "none")
+        }
+      }.toDF("case_name", "outcome", "reason", "threat")
+    },
+
+    QueryDef(
+      "qlx_clarify",
+      "Clarification truth table: empty/off-domain questions early-exit to a clarification object (reason + suggestion count) instead of a guessed plan; grounded questions plan with the right intent",
+      Some("""
+        SELECT * FROM (VALUES
+          ('empty',          'clarify', 'empty question', CAST(1 AS BIGINT)),
+          ('greeting',       'clarify', 'could not identify a data entity in the question', CAST(8 AS BIGINT)),
+          ('grounded_count', 'planned', 'count', CAST(0 AS BIGINT)),
+          ('grounded_dim',   'planned', 'topk_by', CAST(0 AS BIGINT)),
+          ('grounded_search','planned', 'search', CAST(0 AS BIGINT)),
+          ('no_entity',      'clarify', 'could not identify a data entity in the question', CAST(8 AS BIGINT)),
+          ('whitespace',     'clarify', 'empty question', CAST(1 AS BIGINT))
+        ) AS t(case_name, outcome, detail, n_suggestions)
+      """)) { (s, dir) =>
+      import s.implicits._
+      val cases = Seq(
+        "empty" -> "",
+        "greeting" -> "hello there, how are you",
+        "grounded_count" -> "how many orders in 1996",
+        "grounded_dim" -> "top 3 nations by orders",
+        "grounded_search" -> "find customers named smith",
+        "no_entity" -> "what is the weather today",
+        "whitespace" -> "   ")
+      cases.map { case (n, q) =>
+        Planner.planOrClarify(q) match {
+          case Left(c) => (n, "clarify", c.reason, c.suggestions.size.toLong)
+          case Right(p) => (n, "planned", p.intent, 0L)
+        }
+      }.toDF("case_name", "outcome", "detail", "n_suggestions")
+    })
 }
