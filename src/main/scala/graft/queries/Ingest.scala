@@ -193,5 +193,97 @@ object Ingest {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
           countDistinct(col("p")).as("n_prio"))
+    },
+
+    // ---- §2.11: streaming↔batch parity, gold maintainer (driver-visible) --
+    // The ten streaming suites prove parity in spec only; these two rows
+    // make it ORACLE-visible: replay a deterministic micro-batch schedule
+    // through the maintainer's incremental path (the exact function its
+    // foreachBatch sink calls), emit the FINAL maintained state, and let
+    // DuckDB rebuild that state from scratch — streamed splices must
+    // hash-equal the batch twin. Schedule for gold: init = parents %4==0,
+    // two insert batches (%4==1, %4 in 2..3), then a whole-parent UPDATE
+    // batch (quantity+1 for parents %8==0) exercising the child-replace
+    // path, not just appends.
+    QueryDef(
+      "st_gold_replay_parity",
+      "GoldMaintainer micro-batch replay (2 inserts + 1 whole-parent update) ≡ from-scratch gold build over the final fact state",
+      Some("""
+        WITH fact AS (
+          SELECT l_orderkey,
+                 CAST(l_quantity AS BIGINT) +
+                   (CASE WHEN l_orderkey % 8 = 0 THEN 1 ELSE 0 END) AS qty,
+                 l_returnflag, l_extendedprice
+          FROM lineitem
+        )
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(qty) AS BIGINT) AS qty_tot,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+               CAST(floor(max(l_extendedprice)) AS BIGINT) AS max_price
+        FROM fact GROUP BY l_orderkey
+      """)) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag"), col("l_extendedprice"))
+      def gold(fact: DataFrame): DataFrame = fact.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("qty")).cast("long").as("qty_tot"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long")
+            .as("n_returned"),
+          floor(max(col("l_extendedprice"))).cast("long").as("max_price"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-gold-replay").toString
+      val m = new graft.streaming.GoldMaintainer(s, "l_orderkey", work, gold)
+      m.init(li.filter(col("l_orderkey") % 4 === 0))
+      m.applyBatch(li.filter(col("l_orderkey") % 4 === 1))
+      m.applyBatch(li.filter(col("l_orderkey") % 4 === 2 ||
+        col("l_orderkey") % 4 === 3))
+      m.applyBatch(li.filter(col("l_orderkey") % 8 === 0)
+        .withColumn("qty", col("qty") + 1))
+      m.gold
+    },
+
+    // ---- §2.11: streaming↔batch parity, index maintainer ------------------
+    // Same replay contract for the inverted index: two insert batches and
+    // a whole-document re-text update; the final maintained index (only
+    // touched TERMS were ever recomputed) must hash-equal DuckDB building
+    // the index of the final corpus from scratch — including df-threshold
+    // crossings the update causes.
+    QueryDef(
+      "st_index_replay_parity",
+      "IndexMaintainer micro-batch replay (2 inserts + 1 whole-doc update) ≡ from-scratch index of the final corpus",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0 THEN text || ' refreshed'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        post AS (
+          SELECT w, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+          GROUP BY w, doc_id
+        ),
+        rn AS (
+          SELECT w, doc_id, tf,
+                 ROW_NUMBER() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rn
+          FROM post
+        )
+        SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               string_agg(CASE WHEN rn <= 3 THEN doc_id || ':' || tf END,
+                          ',' ORDER BY rn) AS posting_head
+        FROM rn GROUP BY w HAVING count(*) >= 2
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-index-replay").toString
+      val m = new graft.streaming.IndexMaintainer(s, work)
+      m.init(docs.filter(col("doc_id") % 3 === 0))
+      m.applyBatch(docs.filter(col("doc_id") % 3 === 1))
+      m.applyBatch(docs.filter(col("doc_id") % 3 === 2))
+      m.applyBatch(docs.filter(col("doc_id") % 6 === 0)
+        .withColumn("text", concat(col("text"), lit(" refreshed"))))
+      m.index
     })
 }
