@@ -298,47 +298,52 @@ object SearchRank {
         SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
         FROM c2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
       """)) { (s, dir) =>
-      // The PRF loop's cost model at 100 TB: tf (the inverted index's raw
-      // material) is built once and cached; stage-1 scoring, the feedback
-      // tf slice, and stage-2 scoring are all joins against broadcast
-      // relations of size 3, 5, and 5 — the corpus token stream is read
-      // exactly once. Per-term contributions round(9) into DECIMAL so
-      // both engines sum order-free; the half-weight expansion terms are
-      // exact binary fractions (0.5), so the weighting introduces no
-      // cross-engine float drift.
+      // The PRF loop's cost model at 100 TB: ONE cached doc-length-
+      // enriched tf relation (tfd) feeds both scoring stages AND the
+      // feedback slice — cached partitioned on doc_id, so both stage
+      // groupBys reuse the exchange instead of re-planning it (the r6
+      // audit counted 12 exchanges on the naive form; sharing the
+      // lineage drops the repeated dl/df joins entirely). Per-term df
+      // rides INSIDE the broadcast query relations (3-, then 5-row), so
+      // neither scoring stage ever joins the vocabulary-sized df table.
+      // Per-term contributions round(9) into DECIMAL so both engines sum
+      // order-free; the half-weight expansion terms are exact binary
+      // fractions (0.5), so the weighting introduces no cross-engine
+      // float drift.
       val tf = tok(s, dir).groupBy(col("w"), col("doc_id"))
-        .agg(count(lit(1)).as("tf")).cache()
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).cache()
       val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val tfd = tf.join(dl, Seq("doc_id")).cache()
+      val df = tfd.groupBy(col("w")).agg(count(lit(1)).as("df")).cache()
       val seed = df.orderBy(col("df").desc, col("w")).limit(3)
       def bm25c(dfCol: Column): Column =
         log((col("n").cast("double") - dfCol + 0.5) / (dfCol + 0.5) + 1) *
           (col("tf") * 2.2) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val s1 = tf.join(broadcast(seed), Seq("w"))
-        .join(dl, Seq("doc_id"))
+      val s1 = tfd.join(broadcast(seed), Seq("w"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), round(bm25c(col("df")), 9).cast("decimal(28,9)").as("c"))
         .groupBy(col("doc_id"))
         .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
       val fb = s1.orderBy(col("bm25").desc, col("doc_id")).limit(5)
         .select(col("doc_id"))
-      val exp0 = tf.join(broadcast(fb), Seq("doc_id"))
+      val exp0 = tfd.join(broadcast(fb), Seq("doc_id"))
         .join(broadcast(seed.select(col("w"))), Seq("w"), "left_anti")
         .groupBy(col("w")).agg(sum(col("tf")).cast("long").as("fbtf"))
-      val exps = exp0.join(df, Seq("w"))
+      // exp0 is feedback-bounded (vocabulary of 5 docs): broadcast it
+      // into the w-partitioned df instead of shuffling either side
+      val exps = df.join(broadcast(exp0), Seq("w"))
         .crossJoin(broadcast(n))
-        .select(col("w"),
+        .select(col("w"), col("df"),
           round(log(col("n").cast("double") / col("df")) * col("fbtf"), 9)
             .as("escore"))
         .orderBy(col("escore").desc, col("w")).limit(2)
-        .select(col("w"))
-      val qall = seed.select(col("w"), lit(1.0).as("wt"))
-        .unionByName(exps.select(col("w"), lit(0.5).as("wt")))
-      tf.join(broadcast(qall), Seq("w"))
-        .join(df, Seq("w"))
-        .join(dl, Seq("doc_id"))
+      // both query relations carry their own df, so stage 2 joins ONLY
+      // the 5-row broadcast — never the vocabulary table
+      val qall = seed.select(col("w"), col("df"), lit(1.0).as("wt"))
+        .unionByName(exps.select(col("w"), col("df"), lit(0.5).as("wt")))
+      tfd.join(broadcast(qall), Seq("w"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"),
           round(col("wt") * bm25c(col("df")), 9).cast("decimal(28,9)").as("c"))

@@ -67,7 +67,11 @@ object IndexMaintain {
     * index rows are recomputed. */
   def refresh(basePostings: DataFrame, baseIndex: DataFrame,
       deltaDocs: DataFrame, minDf: Int = 2): (DataFrame, DataFrame) = {
-    val deltaIds = deltaDocs.select(col("doc_id")).distinct()
+    // cached: the id set feeds THREE broadcasts (postings anti-join,
+    // affected-term semi-join, splice anti-join) and exchange reuse does
+    // not always unify separately-planned broadcast builds of the same
+    // distinct — without the cache each one re-runs the delta groupBy
+    val deltaIds = deltaDocs.select(col("doc_id")).distinct().cache()
     // tokenize the delta ONCE (cached — delta-bounded by definition):
     // both the postings splice and the affected-term set read it
     val deltaPost = postings(deltaDocs).cache()
