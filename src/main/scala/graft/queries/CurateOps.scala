@@ -303,5 +303,84 @@ object CurateOps {
       contrib.groupBy(col("doc_id"))
         .agg(round(sum(col("c")).cast("double"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ---- DD82: Gopher repetition signals (the other half of dd63) ----------
+    // Rae et al. 2021 §A1.1 filters documents by REPETITION as well as
+    // shape: duplicate-word fraction, most-frequent-2-gram share, and
+    // duplicate-5-gram fraction. dd63 covers the shape rules; this covers
+    // the repetition battery. Every signal computes in array-land inside
+    // one narrow projection — per-doc work is bounded by doc length, the
+    // corpus never shuffles (the ideal 100 TB quality-filter shape: a
+    // full-corpus pass with zero exchanges before the write).
+    QueryDef(
+      "dd82_repetition_signals",
+      "Per-doc repetition battery (Gopher §A1.1): duplicate words, top-bigram share, duplicate 5-grams, integer cross-multiplied repetitive flag — one narrow pass, zero data shuffles",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        base AS (
+          SELECT doc_id, CAST(len(arr) AS BIGINT) AS nt,
+                 CAST(len(list_distinct(arr)) AS BIGINT) AS ndw
+          FROM tok
+        ),
+        bg AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-1),
+                i -> arr[i] || ' ' || arr[i+1])) AS g
+                FROM tok WHERE len(arr) >= 2)
+          GROUP BY doc_id, g
+        ),
+        bga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       CAST(max(c) AS BIGINT) AS top_bigram
+                FROM bg GROUP BY doc_id),
+        g5 AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n5,
+                 CAST(count(DISTINCT g) AS BIGINT) AS nd5
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-4),
+                i -> array_to_string(arr[i:i+4], ' '))) AS g
+                FROM tok WHERE len(arr) >= 5)
+          GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.nt AS n_tokens,
+               b.nt - b.ndw AS dup_words,
+               COALESCE(a.top_bigram, 0) AS top_bigram,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(g.n5 - g.nd5, 0) AS dup_5grams,
+               COALESCE(g.n5, 0) AS n_5grams,
+               CASE WHEN 10 * (b.nt - b.ndw) > 3 * b.nt
+                      OR 5 * COALESCE(a.top_bigram, 0) > COALESCE(a.n_bigrams, 0)
+                      OR 10 * COALESCE(g.n5 - g.nd5, 0) > COALESCE(g.n5, 0)
+                    THEN 1 ELSE 0 END AS repetitive
+        FROM base b LEFT JOIN bga a USING (doc_id) LEFT JOIN g5 g USING (doc_id)
+      """)) { (s, dir) =>
+      // integer thresholds in cross-multiplied form (10*dup > 3*nt, not
+      // dup/nt > 0.3) so boundary docs fall on the same side in both
+      // engines; empty-range guards are explicit because Spark's
+      // sequence(1, 0) is the DESCENDING [1, 0] while DuckDB's
+      // generate_series(1, 0) is empty (the dd70 lesson)
+      val arr = split(col("text"), " ")
+      val d0 = t(s, dir, "documents").select(col("doc_id"), arr.as("arr"))
+        .withColumn("bg", when(size(col("arr")) >= 2,
+          expr("transform(sequence(1, size(arr)-1), i -> concat(element_at(arr, i), ' ', element_at(arr, i+1)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+        .withColumn("g5", when(size(col("arr")) >= 5,
+          expr("transform(sequence(1, size(arr)-4), i -> array_join(slice(arr, i, 5), ' '))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      val nt = size(col("arr")).cast("long")
+      val dupW = (size(col("arr")) - size(array_distinct(col("arr")))).cast("long")
+      // per-doc top-bigram count in array-land: distinct grams × their
+      // occurrence counts — O(distinct·len) on a ≤doc-length array, the
+      // price of keeping the whole battery exchange-free
+      val topBg = coalesce(expr(
+        "array_max(transform(array_distinct(bg), g -> size(filter(bg, x -> x = g))))"),
+        lit(0)).cast("long")
+      val nBg = size(col("bg")).cast("long")
+      val dup5 = (size(col("g5")) - size(array_distinct(col("g5")))).cast("long")
+      val n5 = size(col("g5")).cast("long")
+      d0.select(col("doc_id"), nt.as("n_tokens"), dupW.as("dup_words"),
+        topBg.as("top_bigram"), nBg.as("n_bigrams"),
+        dup5.as("dup_5grams"), n5.as("n_5grams"),
+        when(dupW * 10 > nt * 3 || topBg * 5 > nBg || dup5 * 10 > n5, 1)
+          .otherwise(0).as("repetitive"))
     })
 }

@@ -502,6 +502,57 @@ object GoldMvFull {
         LEFT JOIN docs_agg f ON o.o_orderkey = f.f_okey
       """
 
+  /** accuseds_mv rebuild SQL with a parameterized fact relation, for the
+    * incremental row (same pattern as firsOracleSql). */
+  private def accusedsOracleSql(extraCtes: String, li: String): String = s"""
+        WITH ${extraCtes}person_agg AS (
+          SELECT l_suppkey AS pa_key,
+                 COUNT(DISTINCT l_orderkey) AS no_of_crimes,
+                 '[' || string_agg(DISTINCT '{"crimeId":' || l_orderkey || ',"firNumber":"FIR-' || l_orderkey || '"}',
+                                   ',' ORDER BY '{"crimeId":' || l_orderkey || ',"firNumber":"FIR-' || l_orderkey || '"}') || ']' AS previously_involved
+          FROM $li GROUP BY l_suppkey
+        ),
+        crime0 AS (
+          SELECT l.l_orderkey, l.l_shipdate, l.l_linenumber, l.l_partkey,
+                 '{"name":"' || p.p_brand || '","quantity":"' ||
+                 CASE WHEN CAST(l.l_quantity AS BIGINT) >= 10 THEN CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) || ' Units'
+                      WHEN CAST(l.l_quantity AS BIGINT) > 0 THEN CAST(CAST(l.l_quantity AS BIGINT) * 1000 AS VARCHAR) || ' mg'
+                      ELSE 'N/A' END ||
+                 '","worth":' || CAST(floor(l.l_extendedprice) AS BIGINT) || '}' AS drug_js,
+                 CASE WHEN l.l_linestatus = 'F'
+                      THEN '{"disposalType":"' || l.l_returnflag || '"}' END AS disp_js
+          FROM $li l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        crime_agg AS (
+          SELECT l_orderkey AS ca_key,
+                 '[' || COALESCE(string_agg(drug_js, ',' ORDER BY l_shipdate, l_linenumber, l_partkey, drug_js), '') || ']' AS drug_with_quantity,
+                 '[' || COALESCE(string_agg(DISTINCT disp_js, ',' ORDER BY disp_js), '') || ']' AS disposal_details
+          FROM crime0 GROUP BY l_orderkey
+        )
+        SELECT 'A-' || l.l_orderkey || '-' || l.l_linenumber || '-' || l.l_partkey AS accused_code,
+               l.l_orderkey AS crime_id,
+               'FIR-' || l.l_orderkey AS fir_number,
+               n.n_name AS unit,
+               c.c_name AS ps,
+               o.o_orderstatus AS case_status,
+               o.o_orderpriority AS case_classification,
+               COALESCE(CAST(s.s_suppkey AS VARCHAR), '') AS person_id,
+               COALESCE(s.s_name, '') AS person_name,
+               concat_ws(', ', s.s_name, CAST(s.s_nationkey AS VARCHAR)) AS present_address,
+               COALESCE(pa.no_of_crimes, 0) AS no_of_crimes,
+               COALESCE(pa.previously_involved, '[]') AS previously_involved,
+               ca.drug_with_quantity,
+               ca.disposal_details
+        FROM $li l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_suppkey % 7 <> 0
+        LEFT JOIN person_agg pa ON l.l_suppkey = pa.pa_key
+        LEFT JOIN crime_agg ca ON l.l_orderkey = ca.ca_key
+        WHERE l.l_orderkey % 8 = 1
+      """
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- firs_mv at full breadth -----------------------------------------
@@ -574,56 +625,67 @@ object GoldMvFull {
     QueryDef(
       "mv_accuseds",
       "Per-accused gold row: INNER 4-way chain on the AI flat table (accuseds_mv.sql:132-136, contrast LEFT in advanced_search), nullable persons sub-lookup, decorrelated per-person crime counts + per-crime drug/disposal rollups",
-      Some("""
-        WITH person_agg AS (
-          SELECT l_suppkey AS pa_key,
-                 COUNT(DISTINCT l_orderkey) AS no_of_crimes,
-                 '[' || string_agg(DISTINCT '{"crimeId":' || l_orderkey || ',"firNumber":"FIR-' || l_orderkey || '"}',
-                                   ',' ORDER BY '{"crimeId":' || l_orderkey || ',"firNumber":"FIR-' || l_orderkey || '"}') || ']' AS previously_involved
-          FROM lineitem GROUP BY l_suppkey
-        ),
-        crime0 AS (
-          SELECT l.l_orderkey, l.l_shipdate, l.l_linenumber, l.l_partkey,
-                 '{"name":"' || p.p_brand || '","quantity":"' ||
-                 CASE WHEN CAST(l.l_quantity AS BIGINT) >= 10 THEN CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) || ' Units'
-                      WHEN CAST(l.l_quantity AS BIGINT) > 0 THEN CAST(CAST(l.l_quantity AS BIGINT) * 1000 AS VARCHAR) || ' mg'
-                      ELSE 'N/A' END ||
-                 '","worth":' || CAST(floor(l.l_extendedprice) AS BIGINT) || '}' AS drug_js,
-                 CASE WHEN l.l_linestatus = 'F'
-                      THEN '{"disposalType":"' || l.l_returnflag || '"}' END AS disp_js
-          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        ),
-        crime_agg AS (
-          SELECT l_orderkey AS ca_key,
-                 '[' || COALESCE(string_agg(drug_js, ',' ORDER BY l_shipdate, l_linenumber, l_partkey, drug_js), '') || ']' AS drug_with_quantity,
-                 '[' || COALESCE(string_agg(DISTINCT disp_js, ',' ORDER BY disp_js), '') || ']' AS disposal_details
-          FROM crime0 GROUP BY l_orderkey
-        )
-        SELECT 'A-' || l.l_orderkey || '-' || l.l_linenumber || '-' || l.l_partkey AS accused_code,
-               l.l_orderkey AS crime_id,
-               'FIR-' || l.l_orderkey AS fir_number,
-               n.n_name AS unit,
-               c.c_name AS ps,
-               o.o_orderstatus AS case_status,
-               o.o_orderpriority AS case_classification,
-               COALESCE(CAST(s.s_suppkey AS VARCHAR), '') AS person_id,
-               COALESCE(s.s_name, '') AS person_name,
-               concat_ws(', ', s.s_name, CAST(s.s_nationkey AS VARCHAR)) AS present_address,
-               COALESCE(pa.no_of_crimes, 0) AS no_of_crimes,
-               COALESCE(pa.previously_involved, '[]') AS previously_involved,
-               ca.drug_with_quantity,
-               ca.disposal_details
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_suppkey % 7 <> 0
-        LEFT JOIN person_agg pa ON l.l_suppkey = pa.pa_key
-        LEFT JOIN crime_agg ca ON l.l_orderkey = ca.ca_key
-        WHERE l.l_orderkey % 8 = 1
-      """)) { (s, dir) =>
+      Some(accusedsOracleSql("", "lineitem"))) { (s, dir) =>
       val li = t(s, dir, "lineitem")
       buildAccuseds(s, dir, li, li)
+    },
+
+    // ---- incremental accuseds refresh: the CROSS-PARENT dependency case --
+    // mv_firs_incremental proves parent-local refresh; this row proves the
+    // HARD case GoldIncrementalSpec only showed in spec: the per-person
+    // history (noOfCrimes + previouslyInvolved) spans every crime a person
+    // appears in, so the changed-key set must expand THROUGH THE PERSON
+    // GRAPH — any crime sharing a person with a directly-changed crime
+    // gets recomputed, or its rows keep stale history. The oracle rebuilds
+    // v2 from scratch, so an under-expanded key set hash-fails.
+    QueryDef(
+      "mv_accuseds_incremental",
+      "Incremental accuseds_mv maintenance with person-graph key expansion: child deletes/updates/inserts, changed crimes ∪ all crimes of their persons recomputed over the FULL v2 history, hash ≡ from-scratch v2 rebuild",
+      Some(accusedsOracleSql("""
+        lineitem_v2 AS (
+          SELECT * REPLACE (CASE WHEN l_orderkey % 89 = 7 THEN l_quantity + 5 ELSE l_quantity END AS l_quantity)
+          FROM lineitem WHERE l_orderkey % 97 <> 3
+          UNION ALL
+          SELECT * REPLACE (l_linenumber + 100 AS l_linenumber, 'N' AS l_returnflag, 'O' AS l_linestatus)
+          FROM lineitem
+          WHERE l_orderkey % 97 <> 3 AND l_orderkey % 93 = 11 AND l_linenumber = 1
+        ),
+        """, "lineitem_v2"))) { (s, dir) =>
+      val liV1 = t(s, dir, "lineitem")
+      val liV2 = liV1.filter(col("l_orderkey") % 97 =!= 3)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 89 === 7, col("l_quantity") + 5)
+            .otherwise(col("l_quantity")))
+        .unionByName(liV1
+          .filter(col("l_orderkey") % 97 =!= 3 &&
+            col("l_orderkey") % 93 === 11 && col("l_linenumber") === 1)
+          .withColumn("l_linenumber", (col("l_linenumber") + 100).cast("int"))
+          .withColumn("l_returnflag", lit("N"))
+          .withColumn("l_linestatus", lit("O")))
+      val goldPrev = buildAccuseds(s, dir, liV1, liV1)
+      // direct keys: the three change rules; expanded: any crime of any
+      // person seen in a directly-changed crime (v1 membership covers v2
+      // here — updates keep suppkeys, inserts reuse them, deletes exist
+      // only in v1). Both relations are change-batch-bounded broadcasts.
+      val direct = liV1.select(col("l_orderkey")).distinct().filter(
+        col("l_orderkey") % 97 === 3 || col("l_orderkey") % 89 === 7 ||
+          col("l_orderkey") % 93 === 11)
+      val persons = liV1
+        .join(broadcast(direct), Seq("l_orderkey"), "left_semi")
+        .select(col("l_suppkey")).distinct()
+      val expanded = liV1
+        .join(broadcast(persons), Seq("l_suppkey"), "left_semi")
+        .select(col("l_orderkey")).distinct()
+        .unionByName(direct).distinct()
+        .select(col("l_orderkey").as("crime_id"))
+      graft.gold.GoldIncremental.refresh(goldPrev, expanded, "crime_id") { keys =>
+        val k = broadcast(keys.select(col("crime_id").as("ck")))
+        // child rows pruned to the expanded keys; the HISTORY side must
+        // stay the FULL v2 fact table — a person's crime list spans
+        // crimes outside the recompute slice
+        buildAccuseds(s, dir,
+          liV2.join(k, col("l_orderkey") === col("ck"), "left_semi"), liV2)
+      }
     },
 
     // ---- advanced_search_firs_mv: flat per-parent search surface ---------

@@ -164,6 +164,38 @@ object Surface {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     },
 
+    // ---- multimodal: frame-level dedup (video near-dup shape) ------------
+    // The standard video near-dup trick: hash sampled frames and find
+    // content shared across assets — here over frameSample's 64-byte
+    // frames. One frame-hash groupBy is the only exchange, and it carries
+    // 16-byte hashes, never frame bytes; at 100 TB of video the same plan
+    // holds because sampled-frame hashes are a tiny fraction of the blob
+    // volume. Oracle recomputes the hashes from text slices (the fixture
+    // blobs are ASCII, so byte slices == char slices, as mm_frame_sample
+    // already pins).
+    QueryDef(
+      "mm_frame_dedup",
+      "Cross-asset frame dedup: md5 over sampled 64-byte frames, repeated-frame groups with occurrence + distinct-doc counts; hashes shuffle, frame bytes never do",
+      Some("""
+        WITH fr AS (
+          SELECT doc_id,
+                 md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS h
+          FROM (
+            SELECT doc_id, text,
+                   unnest([i for i in range(0, CAST(ceil(n_chars / 64.0) AS BIGINT), 4)]) AS frame_idx
+            FROM documents WHERE n_chars > 0)
+        )
+        SELECT h AS frame_hash, CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM fr GROUP BY h HAVING count(*) > 1
+      """)) { (s, dir) =>
+      Multimodal.frameSample(Multimodal.pack(Tables(s, dir, "documents")), 64, 4)
+        .select(col("doc_id"), md5(col("frame")).as("frame_hash"))
+        .groupBy(col("frame_hash"))
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occ") > 1)
+    },
+
     // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
     //      exact vectors pinned in UdfsSpec) -------------------------------
     QueryDef(

@@ -154,5 +154,46 @@ object TrainPrep {
         .orderBy(col("sk").desc, col("doc_id"))
         .limit(50)
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    },
+
+    // ---- DD83: overlapping chunker with provenance (RAG/packing prep) -----
+    // The retrieval-corpus (and long-context training) prep step: split
+    // each document into fixed-size overlapping word windows (size 8,
+    // stride 6 → 2-token overlap) carrying full provenance (doc, index,
+    // start offset, actual length). The whole chunker is one narrow
+    // posexplode — zero exchanges before the write, the only acceptable
+    // shape for re-chunking a 100 TB corpus. sequence(1, n, 6) has a
+    // positive step, so the dd70 descending-range trap does not apply;
+    // the size>=1 guard is symmetric anyway.
+    QueryDef(
+      "dd83_chunk_overlap",
+      "Overlapping word-window chunker (size 8 / stride 6) with provenance columns — one narrow posexplode, no shuffle",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+          WHERE len(string_split(text, ' ')) >= 1
+        ),
+        c AS (
+          SELECT doc_id, arr, unnest([i for i in range(1, len(arr)+1, 6)]) AS st
+          FROM tok
+        )
+        SELECT doc_id, CAST((st - 1) / 6 AS BIGINT) AS chunk_idx,
+               CAST(st AS BIGINT) AS start_tok,
+               array_to_string(arr[st:st+7], ' ') AS chunk_text,
+               CAST(least(8, len(arr) - st + 1) AS BIGINT) AS n_tokens
+        FROM c
+      """)) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(1, size(arr), 6), i -> struct(
+             i as st,
+             array_join(slice(arr, i, 8), ' ') as txt,
+             least(8, size(arr) - i + 1) as ntk))""")).as(Seq("idx", "ch")))
+        .select(col("doc_id"), col("idx").cast("long").as("chunk_idx"),
+          col("ch.st").cast("long").as("start_tok"),
+          col("ch.txt").as("chunk_text"),
+          col("ch.ntk").cast("long").as("n_tokens"))
     })
 }
