@@ -878,6 +878,95 @@ object SelectOps {
         .orderBy(col("lang"))
     },
 
+    // ---- DD84: in-engine Naive Bayes language classifier -------------------
+    // The trained counterpart to dd81's 3-token-profile heuristic: a
+    // multinomial NB language identifier trained IN the engine on an 80/20
+    // split (Laplace-smoothed token likelihoods + log priors), scored on
+    // the held-out docs, reported as a confusion matrix. The model is
+    // vocabulary×language bounded — at 100 TB it is still a broadcastable
+    // relation (the same feature-LM shape as dd67's DSIR), and scoring is
+    // test-tokens × 5 langs with one doc-keyed rollup. Log-likelihood
+    // terms freeze to decimal(28,9) per token so the per-doc sums are
+    // order-free; the sum re-casts to (28,9) BEFORE adding the prior
+    // (the decimal-38 ceiling trap).
+    QueryDef(
+      "dd84_naive_bayes",
+      "Multinomial Naive Bayes lang-id trained in-engine (train %5!=0, Laplace +1): argmax over decimal-frozen log scores on held-out docs → confusion matrix",
+      Some("""
+        WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+        test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM train),
+        cwl AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
+        tokl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM cwl GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cwl),
+        pri AS (
+          SELECT lang, CAST(round(ln(CAST(count(*) AS DOUBLE) /
+                 (SELECT count(*) FROM train)), 9) AS DECIMAL(28,9)) AS lp
+          FROM train GROUP BY lang
+        ),
+        stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+        contrib AS (
+          SELECT s.doc_id, t.lang,
+                 CAST(round(ln((COALESCE(m.c, 0) + 1) / CAST(t.tl + v.v AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS lc
+          FROM stok s CROSS JOIN tokl t CROSS JOIN v
+          LEFT JOIN cwl m ON m.lang = t.lang AND m.w = s.w
+        ),
+        scored AS (
+          SELECT c.doc_id, c.lang,
+                 CAST(sum(c.lc) AS DECIMAL(28,9)) + p.lp AS score
+          FROM contrib c JOIN pri p ON c.lang = p.lang
+          GROUP BY c.doc_id, c.lang, p.lp
+        ),
+        pred AS (
+          SELECT doc_id, lang AS predicted FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+            FROM scored) WHERE rn = 1
+        )
+        SELECT d.lang AS actual, p.predicted, CAST(count(*) AS BIGINT) AS n
+        FROM pred p JOIN test d ON p.doc_id = d.doc_id
+        GROUP BY 1, 2
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0).cache()
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val cwl = train.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")).cache()
+      val tokl = cwl.groupBy(col("lang")).agg(sum(col("c")).as("tl"))
+      val v = cwl.agg(countDistinct(col("w")).as("v"))
+      val nTrain = train.agg(count(lit(1)).as("td"))
+      val pri = train.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("lang"),
+          round(log(col("dl").cast("double") / col("td")), 9)
+            .cast("decimal(28,9)").as("lp"))
+      val stok = test.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      // model joins: tokl (5 rows) and the vocab-bounded count table both
+      // broadcast; the test token stream never shuffles until the
+      // (doc, lang) rollup
+      val contrib = stok
+        .crossJoin(broadcast(tokl))
+        .crossJoin(broadcast(v))
+        .join(broadcast(cwl.select(col("lang"), col("w"), col("c"))),
+          Seq("lang", "w"), "left")
+        .select(col("doc_id"), col("lang"),
+          round(log((coalesce(col("c"), lit(0L)) + 1) /
+            (col("tl") + col("v")).cast("double")), 9)
+            .cast("decimal(28,9)").as("lc"))
+      val scored = contrib.groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("lc")).cast("decimal(28,9)").as("s0"))
+        .join(broadcast(pri), Seq("lang"))
+        .select(col("doc_id"), col("lang"), (col("s0") + col("lp")).as("score"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+      scored.withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("predicted"))
+        .join(test.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- E11: Fellegi-Sunter m/u estimation --------------------------------
     QueryDef(
       "e11_fellegi_sunter",

@@ -33,6 +33,71 @@ object SeriesOps {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- W31: Holt linear-trend smoothing (recursive state, exact) --------
+    // w20's EWMA truncates the recursion to 10 taps; Holt's linear method
+    // (level + trend double smoothing) is INHERENTLY recursive, so this op
+    // shows the other idiom: the per-type series collapses to ONE row
+    // (day-grain bounded), and the recursion runs in array-land via
+    // aggregate() — a sequential left fold whose float-op order is written
+    // IDENTICALLY in the DuckDB recursive CTE, so the result is bit-equal
+    // with no decimal freezing of the recursion itself (inputs are frozen
+    // daily sums). alpha = beta = 0.5: exact binary fractions. At 100 TB
+    // the day-level pre-aggregation is the only corpus-scale work; the
+    // fold touches <= days-per-type elements per row.
+    QueryDef(
+      "w31_holt_linear",
+      "Holt linear-trend smoothing (alpha=beta=0.5) of each type's daily value sum: l1=y1, b1=y2-y1, sequential update fold, final level/trend + 7-day forecast — one day-grain pre-agg, recursion in array-land",
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type, y,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+          FROM daily
+        ),
+        mx AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+        rec AS (
+          SELECT a.event_type, 1 AS i, a.y AS l, b.y - a.y AS b
+          FROM idx a JOIN idx b ON a.event_type = b.event_type
+                                AND a.i = 1 AND b.i = 2
+          UNION ALL
+          SELECT r.event_type, r.i + 1,
+                 0.5 * x.y + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * x.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+          FROM rec r JOIN idx x ON x.event_type = r.event_type
+                                AND x.i = r.i + 1
+        )
+        SELECT r.event_type, round(r.l, 6) AS level, round(r.b, 6) AS trend,
+               round(r.l + 7 * r.b, 6) AS forecast_7d
+        FROM rec r JOIN mx m ON r.event_type = m.event_type AND r.i = m.n
+      """)) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+        .select(col("event_type"), expr("transform(sd, x -> x.y)").as("ys"))
+        .filter(size(col("ys")) >= 2)
+        // the fold consumes elements 2..n against the (l1, b1) init — y2
+        // feeds BOTH the init's trend and the first update, the standard
+        // Holt convention; expression shapes mirror the CTE exactly
+        .withColumn("st", expr(
+          """aggregate(slice(ys, 2, size(ys) - 1),
+               named_struct('l', element_at(ys, 1),
+                            'b', element_at(ys, 2) - element_at(ys, 1)),
+               (acc, y) -> named_struct(
+                 'l', 0.5d * y + 0.5d * (acc.l + acc.b),
+                 'b', 0.5d * ((0.5d * y + 0.5d * (acc.l + acc.b)) - acc.l)
+                      + 0.5d * acc.b))"""))
+        .select(col("event_type"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(col("st.l") + lit(7.0) * col("st.b"), 6).as("forecast_7d"))
+    },
+
     // ---- W20: truncated EWMA smoothing of the daily event signal ---------
     QueryDef(
       "w20_ewma_smoothing",
