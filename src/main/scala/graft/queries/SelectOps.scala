@@ -967,6 +967,114 @@ object SelectOps {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- DD85: rule-battery distillation into a classifier -----------------
+    // The CCNet/LLaMA-prep pattern: expensive quality RULES label a
+    // training slice, a cheap classifier distills them, and the filter
+    // ships the classifier. Labels = dd63's Gopher battery (pass all four
+    // rules, integer cross-multiplied); model = binary multinomial NB
+    // (dd84's machinery with a 2-class label); report = rule-vs-classifier
+    // agreement cells on the held-out 20% — the fidelity check a distilled
+    // filter owes its users before replacing the rules at corpus scale.
+    QueryDef(
+      "dd85_rule_distillation",
+      "Distill the dd63 Gopher rule battery into an in-engine binary NB classifier (train %5!=0) and report rule-vs-classifier agreement cells on held-out docs",
+      Some("""
+        WITH lab AS (
+          SELECT doc_id, text,
+                 CASE WHEN nw BETWEEN 20 AND 80 AND nc >= 4 * nw AND nc <= 5 * nw
+                           AND 10 * aw >= 7 * nw AND 10 * dw <= 3 * nw
+                      THEN 1 ELSE 0 END AS y
+          FROM (
+            SELECT doc_id, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                   CAST(len(replace(text, ' ', '')) AS BIGINT) AS nc,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '^[0-9]+$'))) AS BIGINT) AS dw
+            FROM documents)
+        ),
+        train AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+        test AS (SELECT * FROM lab WHERE doc_id % 5 = 0),
+        ttok AS (SELECT y, unnest(string_split(text, ' ')) AS w FROM train),
+        cwl AS (SELECT y, w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
+        tokl AS (SELECT y, CAST(sum(c) AS BIGINT) AS tl FROM cwl GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cwl),
+        pri AS (
+          SELECT y, CAST(round(ln(CAST(count(*) AS DOUBLE) /
+                 (SELECT count(*) FROM train)), 9) AS DECIMAL(28,9)) AS lp
+          FROM train GROUP BY y
+        ),
+        stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+        contrib AS (
+          SELECT s.doc_id, t.y,
+                 CAST(round(ln((COALESCE(m.c, 0) + 1) / CAST(t.tl + v.v AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS lc
+          FROM stok s CROSS JOIN tokl t CROSS JOIN v
+          LEFT JOIN cwl m ON m.y = t.y AND m.w = s.w
+        ),
+        scored AS (
+          SELECT c.doc_id, c.y,
+                 CAST(sum(c.lc) AS DECIMAL(28,9)) + p.lp AS score
+          FROM contrib c JOIN pri p ON c.y = p.y
+          GROUP BY c.doc_id, c.y, p.lp
+        ),
+        pred AS (
+          SELECT doc_id, y AS nb_label FROM (
+            SELECT doc_id, y,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, y) AS rn
+            FROM scored) WHERE rn = 1
+        )
+        SELECT t.y AS rule_label, p.nb_label, CAST(count(*) AS BIGINT) AS n
+        FROM pred p JOIN test t ON p.doc_id = t.doc_id
+        GROUP BY 1, 2
+      """)) { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"),
+        size(filter(split(col("text"), " "),
+          w => w.rlike("[A-Za-z]"))).cast("long").as("aw"),
+        size(filter(split(col("text"), " "),
+          w => w.rlike("^[0-9]+$"))).cast("long").as("dw"))
+      val lab = base.select(col("doc_id"), col("text"),
+        when(col("nw").between(20, 80) &&
+          col("nc") >= col("nw") * 4 && col("nc") <= col("nw") * 5 &&
+          col("aw") * 10 >= col("nw") * 7 && col("dw") * 10 <= col("nw") * 3, 1)
+          .otherwise(0).as("y"))
+      val train = lab.filter(col("doc_id") % 5 =!= 0).cache()
+      val test = lab.filter(col("doc_id") % 5 === 0)
+      val cwl = train.select(col("y"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("y"), col("w")).agg(count(lit(1)).as("c")).cache()
+      val tokl = cwl.groupBy(col("y")).agg(sum(col("c")).as("tl"))
+      val v = cwl.agg(countDistinct(col("w")).as("v"))
+      val nTrain = train.agg(count(lit(1)).as("td"))
+      val pri = train.groupBy(col("y")).agg(count(lit(1)).as("dl"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("y"),
+          round(log(col("dl").cast("double") / col("td")), 9)
+            .cast("decimal(28,9)").as("lp"))
+      val stok = test.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val contrib = stok
+        .crossJoin(broadcast(tokl))
+        .crossJoin(broadcast(v))
+        .join(broadcast(cwl.select(col("y"), col("w"), col("c"))),
+          Seq("y", "w"), "left")
+        .select(col("doc_id"), col("y"),
+          round(log((coalesce(col("c"), lit(0L)) + 1) /
+            (col("tl") + col("v")).cast("double")), 9)
+            .cast("decimal(28,9)").as("lc"))
+      val scored = contrib.groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("lc")).cast("decimal(28,9)").as("s0"))
+        .join(broadcast(pri), Seq("y"))
+        .select(col("doc_id"), col("y"), (col("s0") + col("lp")).as("score"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("score").desc, col("y"))
+      scored.withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("y").as("nb_label"))
+        .join(test.select(col("doc_id"), col("y").as("rule_label")), Seq("doc_id"))
+        .groupBy(col("rule_label"), col("nb_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- E11: Fellegi-Sunter m/u estimation --------------------------------
     QueryDef(
       "e11_fellegi_sunter",
