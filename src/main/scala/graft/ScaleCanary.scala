@@ -119,9 +119,11 @@ object ScaleCanary {
     }
     def time(dir: String, name: String): Double = {
       val fn = byName(name)
-      // warmup once, then min of 2 (same interference rationale as Bench)
+      // warmup once, then min of 3 — min-of-2 left cold-page-cache
+      // outliers in the ratios (mv_accuseds read 21× on a run whose
+      // min-of-3 is 7.8×); same interference rationale as Bench
       fn(spark, dir).write.format("noop").mode("overwrite").save(); cleanup()
-      (1 to 2).map { _ =>
+      (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9

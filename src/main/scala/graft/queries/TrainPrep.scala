@@ -156,6 +156,52 @@ object TrainPrep {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
     },
 
+    // ---- DD86: packing-efficiency sweep (the dd40 design question) --------
+    // Before committing a training run to a sequence length, measure what
+    // each candidate costs: per-example PADDING (every doc padded to a
+    // chunk multiple — the naive collator) vs concat-and-chunk PACKING
+    // (dd40's stream — waste only in the final chunk). Closed-form integer
+    // math from per-doc token counts; one narrow pass + a 3-row rollup,
+    // so the sweep is free at any corpus size.
+    QueryDef(
+      "dd86_packing_efficiency",
+      "Sequence-length sweep (64/128/256): padded vs packed token waste and efficiency from closed-form integer math — one corpus pass, 3-row rollup",
+      Some("""
+        WITH nt AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents WHERE len(string_split(text, ' ')) > 0
+        ),
+        sw AS (SELECT nt.n, s.cs FROM nt CROSS JOIN (VALUES (64), (128), (256)) AS s(cs))
+        SELECT cs AS chunk_size,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(sum(((n + cs - 1) // cs) * cs - n) AS BIGINT) AS padded_waste,
+               round(sum(n) / CAST(sum(((n + cs - 1) // cs) * cs) AS DOUBLE), 6)
+                 AS padded_efficiency,
+               CAST(((sum(n) + cs - 1) // cs) * cs - sum(n) AS BIGINT) AS packed_waste,
+               round(sum(n) / CAST(((sum(n) + cs - 1) // cs) * cs AS DOUBLE), 6)
+                 AS packed_efficiency
+        FROM sw GROUP BY cs
+      """)) { (s, dir) =>
+      val nt = t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .filter(col("n") > 0)
+      val cs = col("cs")
+      val padChunks = floor((col("n") + cs - 1) / cs)
+      nt.select(col("n"), explode(array(lit(64L), lit(128L), lit(256L))).as("cs"))
+        .groupBy(cs.as("chunk_size"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("total_tokens"),
+          sum(padChunks * cs - col("n")).cast("long").as("padded_waste"),
+          round(sum(col("n")) / sum(padChunks * cs).cast("double"), 6)
+            .as("padded_efficiency"),
+          (floor((sum(col("n")) + first(cs) - 1) / first(cs)) * first(cs) -
+            sum(col("n"))).cast("long").as("packed_waste"),
+          round(sum(col("n")) /
+            (floor((sum(col("n")) + first(cs) - 1) / first(cs)) * first(cs))
+              .cast("double"), 6).as("packed_efficiency"))
+    },
+
     // ---- DD83: overlapping chunker with provenance (RAG/packing prep) -----
     // The retrieval-corpus (and long-context training) prep step: split
     // each document into fixed-size overlapping word windows (size 8,
