@@ -878,6 +878,69 @@ object SelectOps {
         .orderBy(col("lang"))
     },
 
+    // ---- E13: Adjusted Rand Index in count space ---------------------------
+    // The third extrinsic clustering metric alongside e10's B-cubed and
+    // dd37's pairwise dedup eval: Hubert & Arabie's chance-corrected ARI,
+    // evaluating the sorted-word-bag clustering against the planted
+    // near-dup truth (base doc + its stripped variant share doc_id %
+    // 10000). Every term of the formula folds from contingency-cell
+    // counts — C(n,2) sums over cells, row totals, column totals — so no
+    // item pair is ever materialized and the whole eval is three
+    // groupBys + a 1-row finalizer.
+    QueryDef(
+      "e13_adjusted_rand",
+      "Adjusted Rand Index of the word-bag clustering vs planted near-dup truth — pure count-space contingency algebra, 1-row result",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^(\w+ ){3}', '') AS text
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        asg AS (
+          SELECT doc_id % 10000 AS truth,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS pred
+          FROM corpus
+        ),
+        cells AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS c FROM asg GROUP BY 1, 2),
+        rows_ AS (SELECT truth, CAST(sum(c) AS BIGINT) AS a FROM cells GROUP BY 1),
+        cols_ AS (SELECT pred, CAST(sum(c) AS BIGINT) AS b FROM cells GROUP BY 1),
+        s AS (
+          SELECT (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM cells) AS idx,
+                 (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) FROM rows_) AS ra,
+                 (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) FROM cols_) AS cb,
+                 (SELECT CAST(count(*) AS BIGINT) FROM asg) AS n
+        )
+        SELECT n, idx AS pairs_agree, ra AS pairs_truth, cb AS pairs_pred,
+               round((idx - ra * cb / (n * (n - 1) / 2.0)) /
+                     ((ra + cb) / 2.0 - ra * cb / (n * (n - 1) / 2.0)), 6) AS ari
+        FROM s
+      """)) { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          regexp_replace(col("text"), "^(\\w+ ){3}", "").as("text")))
+      val asg = corpus.select((col("doc_id") % 10000).as("truth"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+          .as("pred"))
+      val cells = asg.groupBy(col("truth"), col("pred"))
+        .agg(count(lit(1)).as("c")).cache()
+      def comb(c: Column): Column = (c * (c - 1) / 2).cast("long")
+      val idx = cells.agg(sum(comb(col("c"))).cast("long").as("idx"),
+        sum(col("c")).cast("long").as("n"))
+      val ra = cells.groupBy(col("truth")).agg(sum(col("c")).as("a"))
+        .agg(sum(comb(col("a"))).cast("long").as("ra"))
+      val cb = cells.groupBy(col("pred")).agg(sum(col("c")).as("b"))
+        .agg(sum(comb(col("b"))).cast("long").as("cb"))
+      idx.crossJoin(broadcast(ra)).crossJoin(broadcast(cb))
+        .select(col("n"), col("idx").as("pairs_agree"),
+          col("ra").as("pairs_truth"), col("cb").as("pairs_pred"),
+          round((col("idx") - col("ra") * col("cb") /
+              (col("n") * (col("n") - 1) / lit(2.0))) /
+            ((col("ra") + col("cb")) / lit(2.0) - col("ra") * col("cb") /
+              (col("n") * (col("n") - 1) / lit(2.0))), 6).as("ari"))
+    },
+
     // ---- DD84: in-engine Naive Bayes language classifier -------------------
     // The trained counterpart to dd81's 3-token-profile heuristic: a
     // multinomial NB language identifier trained IN the engine on an 80/20
