@@ -537,6 +537,93 @@ object SelectOps {
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
     },
 
+    // ---- IR13: mean reciprocal rank over a query batch ---------------------
+    // ir11 grades ONE ranking with NDCG; MRR is the multi-query eval a
+    // search pipeline actually tracks: for each of the 5 highest-df terms
+    // as a single-term query, the reciprocal rank of the FIRST strongly-
+    // relevant doc (tf >= 2), averaged. First-relevant rank is computed in
+    // count space — 1 + |docs strictly ahead of the best relevant doc| —
+    // against the per-query best-relevant row, so there is no global
+    // window and no per-query sort; scores stay decimal-frozen so the
+    // ahead-count compares exactly in both engines.
+    QueryDef(
+      "ir13_mrr_eval",
+      "MRR@all over 5 single-term queries (BM25 scores, relevant = tf>=2): first-relevant rank via count-space ahead-counts, per-query RR rows + the batch MRR",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        q5 AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 5),
+        scored AS (
+          SELECT tf.w, tf.doc_id, tf.tf,
+                 CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                      * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9)
+                      AS DECIMAL(28,9)) AS sc
+          FROM tf JOIN q5 q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        ),
+        best AS (
+          SELECT w, max(sc) AS bs FROM scored WHERE tf >= 2 GROUP BY w
+        ),
+        bestrow AS (
+          SELECT s.w, b.bs, min(s.doc_id) AS bid
+          FROM scored s JOIN best b ON s.w = b.w AND s.sc = b.bs AND s.tf >= 2
+          GROUP BY s.w, b.bs
+        ),
+        ranked AS (
+          SELECT s.w,
+                 CAST(1 + count(*) FILTER (WHERE s.sc > b.bs
+                        OR (s.sc = b.bs AND s.doc_id < b.bid)) AS BIGINT) AS first_rank,
+                 CAST(sum(CASE WHEN s.tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+          FROM scored s JOIN bestrow b ON s.w = b.w
+          GROUP BY s.w
+        ),
+        mrr AS (
+          SELECT round(CAST(sum(CAST(round(1.0 / first_rank, 9) AS DECIMAL(28,9)))
+                       AS DOUBLE) / count(*), 6) AS mrr
+          FROM ranked
+        )
+        SELECT r.w AS query_term, r.n_rel, r.first_rank,
+               round(1.0 / r.first_rank, 6) AS rr, m.mrr
+        FROM ranked r CROSS JOIN mrr m
+      """)) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val q5 = dfr.orderBy(col("df").desc, col("w")).limit(5)
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val scored = tf.join(broadcast(q5), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("w"), col("doc_id"), col("tf"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("sc"))
+        .cache()
+      val best = scored.filter(col("tf") >= 2)
+        .groupBy(col("w")).agg(max(col("sc")).as("bs"))
+      val bestrow = scored.filter(col("tf") >= 2).join(best, Seq("w"))
+        .filter(col("sc") === col("bs"))
+        .groupBy(col("w"), col("bs")).agg(min(col("doc_id")).as("bid"))
+      val ranked = scored.join(broadcast(bestrow), Seq("w"))
+        .groupBy(col("w"))
+        .agg((lit(1) + sum(when(col("sc") > col("bs") ||
+            (col("sc") === col("bs") && col("doc_id") < col("bid")), 1)
+            .otherwise(0))).cast("long").as("first_rank"),
+          sum(when(col("tf") >= 2, 1).otherwise(0)).cast("long").as("n_rel"))
+      val mrr = ranked.agg(
+        round(sum(round(lit(1.0) / col("first_rank"), 9).cast("decimal(28,9)"))
+          .cast("double") / count(lit(1)), 6).as("mrr"))
+      ranked.crossJoin(broadcast(mrr))
+        .select(col("w").as("query_term"), col("n_rel"), col("first_rank"),
+          round(lit(1.0) / col("first_rank"), 6).as("rr"), col("mrr"))
+    },
+
     // ---- E8: blocking-scheme quality evaluation ---------------------------
     QueryDef(
       "e8_blocking_eval",
