@@ -624,6 +624,104 @@ object SelectOps {
           round(lit(1.0) / col("first_rank"), 6).as("rr"), col("mrr"))
     },
 
+    // ---- IR14: chunk-level vs doc-level retrieval agreement ----------------
+    // The RAG design question dd83's chunker raises: does retrieving over
+    // chunks surface the same documents as retrieving over whole docs?
+    // Chunk side: top-10 size-8/stride-6 chunks by integer query-term hit
+    // count (exact — no float anywhere); doc side: ir2's BM25 top-10.
+    // Report the parent-doc overlap. Both cuts are TakeOrdered; the
+    // overlap join is two ≤10-row broadcasts — stage cost independent of
+    // corpus size, like ir5's reranker.
+    QueryDef(
+      "ir14_chunk_retrieval",
+      "Chunk-retrieval agreement: top-10 chunks by integer term hits vs BM25 doc top-10 — parent-doc overlap + chunk-recall, 1-row result",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        doc_score AS (
+          SELECT tf.doc_id, round(CAST(sum(
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+          FROM tf JOIN qterms q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+          GROUP BY tf.doc_id
+        ),
+        doc_top AS (SELECT doc_id FROM doc_score ORDER BY bm25 DESC, doc_id LIMIT 10),
+        chunks AS (
+          SELECT doc_id, CAST((st - 1) / 6 AS BIGINT) AS chunk_idx,
+                 arr[st:st+7] AS carr
+          FROM (SELECT doc_id, arr, unnest([i for i in range(1, len(arr)+1, 6)]) AS st
+                FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+                      WHERE len(string_split(text, ' ')) >= 1))
+        ),
+        chits AS (
+          SELECT c.doc_id, c.chunk_idx, CAST(count(*) AS BIGINT) AS hits
+          FROM (SELECT doc_id, chunk_idx, unnest(carr) AS w FROM chunks) c
+          JOIN qterms q ON c.w = q.w
+          GROUP BY c.doc_id, c.chunk_idx
+        ),
+        chunk_top AS (
+          SELECT doc_id, chunk_idx FROM chits
+          ORDER BY hits DESC, doc_id, chunk_idx LIMIT 10
+        ),
+        parents AS (SELECT DISTINCT doc_id FROM chunk_top)
+        SELECT 10 AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM parents) AS n_chunk_parents,
+               (SELECT CAST(count(*) AS BIGINT) FROM doc_top) AS n_doc_top,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM parents p JOIN doc_top d ON p.doc_id = d.doc_id) AS n_overlap,
+               round((SELECT count(*) FROM parents p JOIN doc_top d ON p.doc_id = d.doc_id)
+                     / CAST((SELECT count(*) FROM doc_top) AS DOUBLE), 6) AS chunk_recall
+      """)) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = dfr.orderBy(col("df").desc, col("w")).limit(3)
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val docTop = tf.join(broadcast(qterms), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"))
+      val chunkWords = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(arr), 6),
+             i -> struct(cast((i - 1) / 6 as long) as chunk_idx,
+                         slice(arr, i, 8) as carr))""")).as("ch"))
+        .select(col("doc_id"), col("ch.chunk_idx"), explode(col("ch.carr")).as("w"))
+      val chunkTop = chunkWords
+        .join(broadcast(qterms.select(col("w"))), Seq("w"))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(count(lit(1)).as("hits"))
+        .orderBy(col("hits").desc, col("doc_id"), col("chunk_idx")).limit(10)
+      val parents = chunkTop.select(col("doc_id")).distinct()
+      val np = parents.agg(count(lit(1)).cast("long").as("n_chunk_parents"))
+      val nd = docTop.agg(count(lit(1)).cast("long").as("n_doc_top"))
+      val ov = parents.join(docTop, Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_overlap"))
+      np.crossJoin(broadcast(nd)).crossJoin(broadcast(ov))
+        .select(lit(10).as("k"), col("n_chunk_parents"), col("n_doc_top"),
+          col("n_overlap"),
+          round(col("n_overlap") / col("n_doc_top").cast("double"), 6)
+            .as("chunk_recall"))
+    },
+
     // ---- E8: blocking-scheme quality evaluation ---------------------------
     QueryDef(
       "e8_blocking_eval",
