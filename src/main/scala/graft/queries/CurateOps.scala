@@ -382,5 +382,78 @@ object CurateOps {
         dup5.as("dup_5grams"), n5.as("n_5grams"),
         when(dupW * 10 > nt * 3 || topBg * 5 > nBg || dup5 * 10 > n5, 1)
           .otherwise(0).as("repetitive"))
+    },
+
+    // ---- DD87: per-source datasheet rollup ---------------------------------
+    // The "datasheets for datasets" triage table a curation pipeline
+    // publishes per source: volume (docs/tokens), language mix, exact-dup
+    // rate (within-source md5 groups), and Gopher shape-rule pass rate —
+    // the existing per-doc signals folded to the grain operators actually
+    // make keep/drop decisions at. One narrow flag pass + one source
+    // groupBy (the md5-group dup count rides a source-keyed subaggregate).
+    QueryDef(
+      "dd87_source_datasheet",
+      "Per-source datasheet: docs, tokens, language count, en share, within-source exact-dup rate, Gopher pass rate — one flag pass + source-grain rollups",
+      Some("""
+        WITH f AS (
+          SELECT source, lang, md5(text) AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 CASE WHEN nw0 BETWEEN 20 AND 80 AND nc >= 4 * nw0 AND nc <= 5 * nw0
+                           AND 10 * aw >= 7 * nw0 AND 10 * dw <= 3 * nw0
+                      THEN 1 ELSE 0 END AS pass
+          FROM (
+            SELECT source, lang, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw0,
+                   CAST(len(replace(text, ' ', '')) AS BIGINT) AS nc,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '^[0-9]+$'))) AS BIGINT) AS dw
+            FROM documents)
+        ),
+        dup AS (
+          SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup
+          FROM (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY source, h)
+          GROUP BY source
+        )
+        SELECT f.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f.nw) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs,
+               round(sum(CASE WHEN f.lang = 'en' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS en_share,
+               CAST(max(d.n_dup) AS BIGINT) AS n_exact_dups,
+               round(max(d.n_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+               round(sum(f.pass) / CAST(count(*) AS DOUBLE), 6) AS gopher_pass_rate
+        FROM f JOIN dup d ON f.source = d.source
+        GROUP BY f.source
+      """)) { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"),
+        size(filter(split(col("text"), " "),
+          w => w.rlike("[A-Za-z]"))).cast("long").as("aw"),
+        size(filter(split(col("text"), " "),
+          w => w.rlike("^[0-9]+$"))).cast("long").as("dw"))
+      val f = base.select(col("source"), col("lang"), col("h"), col("nw"),
+        when(col("nw").between(20, 80) &&
+          col("nc") >= col("nw") * 4 && col("nc") <= col("nw") * 5 &&
+          col("aw") * 10 >= col("nw") * 7 && col("dw") * 10 <= col("nw") * 3, 1L)
+          .otherwise(0L).as("pass")).cache()
+      val dup = f.groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source")).agg(sum(col("c") - 1).cast("long").as("n_dup"))
+      f.join(dup, Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).cast("long").as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(when(col("lang") === "en", 1).otherwise(0)) /
+            count(lit(1)).cast("double"), 6).as("en_share"),
+          max(col("n_dup")).cast("long").as("n_exact_dups"),
+          round(max(col("n_dup")) / count(lit(1)).cast("double"), 6).as("dup_rate"),
+          round(sum(col("pass")) / count(lit(1)).cast("double"), 6)
+            .as("gopher_pass_rate"))
     })
 }
