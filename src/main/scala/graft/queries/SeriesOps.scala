@@ -98,6 +98,112 @@ object SeriesOps {
           round(col("st.l") + lit(7.0) * col("st.b"), 6).as("forecast_7d"))
     },
 
+    // ---- W32: forecast-residual anomaly flags (w31's monitoring face) -----
+    // What a monitoring pipeline does with a forecaster: one-step-ahead
+    // Holt residuals (resid_t = y_t - (l_{t-1} + b_{t-1})) flagged by the
+    // robust 3-MAD rule. Residuals ride the SAME array fold as w31 (the
+    // accumulator carries the growing resid list); medians are EXACT —
+    // avg-of-middle-two over the sorted per-type array, written with the
+    // identical expression in both engines, so the flag boundary compares
+    // bit-equal doubles. Per-type series are day-grain bounded, so the
+    // fold and both medians are one row's array work at any event volume.
+    QueryDef(
+      "w32_holt_anomaly",
+      "One-step-ahead Holt residuals per type + exact-median 3-MAD anomaly flags — same fold as w31 with a residual accumulator, medians in array-land",
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type, y,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+          FROM daily
+        ),
+        rec AS (
+          SELECT a.event_type, 1 AS i, a.y AS l, b.y - a.y AS b
+          FROM idx a JOIN idx b ON a.event_type = b.event_type
+                                AND a.i = 1 AND b.i = 2
+          UNION ALL
+          SELECT r.event_type, r.i + 1,
+                 0.5 * x.y + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * x.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+          FROM rec r JOIN idx x ON x.event_type = r.event_type
+                                AND x.i = r.i + 1
+        ),
+        resids AS (
+          SELECT r.event_type, r.i + 1 AS i, x.y,
+                 x.y - (r.l + r.b) AS resid
+          FROM rec r JOIN idx x ON x.event_type = r.event_type
+                                AND x.i = r.i + 1
+        ),
+        sr AS (
+          SELECT event_type, list_sort(list(resid)) AS s FROM resids GROUP BY 1
+        ),
+        med AS (
+          SELECT event_type, s,
+                 CASE WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
+                      ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2.0 END AS med
+          FROM sr
+        ),
+        mad AS (
+          SELECT event_type, med,
+                 CASE WHEN len(sa) % 2 = 1 THEN sa[(len(sa) + 1) // 2]
+                      ELSE (sa[len(sa) // 2] + sa[len(sa) // 2 + 1]) / 2.0 END AS mad
+          FROM (SELECT event_type, med,
+                       list_sort(list_transform(s, v -> abs(v - med))) AS sa
+                FROM med)
+        )
+        SELECT r.event_type, CAST(r.i AS BIGINT) AS day_idx,
+               round(r.y, 6) AS y, round(r.y - r.resid, 6) AS forecast,
+               round(r.resid, 6) AS resid,
+               CASE WHEN abs(r.resid - m.med) > 3 * m.mad THEN 1 ELSE 0 END AS anomaly
+        FROM resids r JOIN mad m ON r.event_type = m.event_type
+      """)) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      val series = daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+        .select(col("event_type"), expr("transform(sd, x -> x.y)").as("ys"))
+        .filter(size(col("ys")) >= 2)
+      // the w31 fold with a residual accumulator: resid uses the PRE-update
+      // state (acc at t-1), exactly like the CTE's r.l + r.b at step i
+      val folded = series.withColumn("r", expr(
+        """aggregate(slice(ys, 2, size(ys) - 1),
+             named_struct('l', element_at(ys, 1),
+                          'b', element_at(ys, 2) - element_at(ys, 1),
+                          'r', cast(array() as array<double>)),
+             (acc, y) -> named_struct(
+               'l', 0.5d * y + 0.5d * (acc.l + acc.b),
+               'b', 0.5d * ((0.5d * y + 0.5d * (acc.l + acc.b)) - acc.l)
+                    + 0.5d * acc.b,
+               'r', concat(acc.r, array(y - (acc.l + acc.b))))).r"""))
+        .withColumn("sr", array_sort(col("r")))
+        .withColumn("med", expr(
+          """CASE WHEN size(sr) % 2 = 1
+                  THEN element_at(sr, cast((size(sr) + 1) / 2 as int))
+                  ELSE (element_at(sr, cast(size(sr) / 2 as int)) +
+                        element_at(sr, cast(size(sr) / 2 as int) + 1)) / 2.0d END"""))
+        .withColumn("sa", expr("array_sort(transform(r, v -> abs(v - med)))"))
+        .withColumn("mad", expr(
+          """CASE WHEN size(sa) % 2 = 1
+                  THEN element_at(sa, cast((size(sa) + 1) / 2 as int))
+                  ELSE (element_at(sa, cast(size(sa) / 2 as int)) +
+                        element_at(sa, cast(size(sa) / 2 as int) + 1)) / 2.0d END"""))
+      folded
+        .select(col("event_type"), col("ys"), col("med"), col("mad"),
+          posexplode(col("r")).as(Seq("p", "resid")))
+        .select(col("event_type"), (col("p") + 2).cast("long").as("day_idx"),
+          round(element_at(col("ys"), col("p") + 2), 6).as("y"),
+          round(element_at(col("ys"), col("p") + 2) - col("resid"), 6)
+            .as("forecast"),
+          round(col("resid"), 6).as("resid"),
+          when(abs(col("resid") - col("med")) > lit(3.0) * col("mad"), 1)
+            .otherwise(0).as("anomaly"))
+    },
+
     // ---- W20: truncated EWMA smoothing of the daily event signal ---------
     QueryDef(
       "w20_ewma_smoothing",
