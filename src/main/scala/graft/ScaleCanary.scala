@@ -5,30 +5,49 @@ import org.apache.spark.sql.functions._
 
 /** Scale canary: a MEASURED datapoint behind the 100×-scale plan claims.
   *
-  * The shipped testdata tops out at sf0.1, so the canary derives a 10×
-  * dataset from it — 10 key-offset replicas per table, FK relationships
+  * The shipped testdata tops out at sf0.1, so the canary derives scaled
+  * datasets from it — key-offset replicas per table, FK relationships
   * preserved within each replica, dims (nation/region) fixed like TPC-H —
-  * then times the heaviest inventory queries at both scales and reports
-  * the ratio. Near-linear operators should land at ≈10× (±JVM noise and
-  * the fixed per-query overhead, which at these sizes biases ratios
-  * BELOW 10); anything super-linear is a scale bug the plan audit missed.
+  * then times inventory queries at both scales and reports the ratio.
+  * Near-linear operators should land at ≈factor× (±JVM noise and the
+  * fixed per-query overhead, which at these sizes biases ratios BELOW the
+  * factor); anything super-linear is a scale bug the plan audit missed.
   *
   * Corpus realism: replica texts get a per-replica word tag, so each
-  * replica owns its vocabulary slice. Without it, every doc would have 9
-  * exact clones, and the dedup family's candidate sets would grow ~100×
-  * by DATA pathology rather than engine behavior — the canary would
-  * measure the synthetic duplication, not the scaling. Embeddings get a
-  * small per-replica component shift for the same reason.
+  * replica owns its vocabulary slice. Without it, every doc would have
+  * factor−1 exact clones, and the dedup family's candidate sets would grow
+  * quadratically by DATA pathology rather than engine behavior — the
+  * canary would measure the synthetic duplication, not the scaling.
+  * Embeddings get a small per-replica component shift for the same reason.
   *
-  * Usage: `runMain graft.ScaleCanary [maxQueries]` — writes
-  * SCALE_CANARY.json. The derived dataset is cached under
-  * target/sf1-derived and reused if present.
+  * Modes:
+  *   - `runMain graft.ScaleCanary [maxQueries]` — deep 10× canary over the
+  *     maxQueries heaviest queries (by the committed BENCH_LOCAL.json),
+  *     warmup + min-of-3 per scale.
+  *   - `runMain graft.ScaleCanary [maxQueries] name1,name2` — deep 10×
+  *     canary over an explicit query list.
+  *   - `runMain graft.ScaleCanary --sweep` — full-inventory 2× sweep
+  *     (single-shot timing after one warmup), then auto-escalates every
+  *     query whose 2× ratio exceeds 2.5 to the deep 10× canary. This
+  *     closes the "canary selects by base cost" blind spot: a
+  *     cheap-but-superlinear query is invisible to the heaviest-N list
+  *     but lights up in the sweep.
+  *
+  * Output: SCALE_CANARY.json — `queries` holds deep 10× rows,
+  * `sweep2x` (sweep mode) holds the full-inventory 2× ratios.
+  *
+  * Each derived dataset directory carries a _GENERATOR stamp; the dataset
+  * is regenerated whenever the stamp mismatches the current generator
+  * version, so edits to replicate()/offsets can never silently reuse a
+  * stale corpus.
   */
 object ScaleCanary {
 
   private val Base = "/root/testdata/sf0.1"
-  private val Derived = "target/sf1-derived"
-  private val Replicas = 10
+
+  /** Bump on ANY change to replicate()/generate()/offsets: stale derived
+    * data is regenerated on mismatch instead of silently skewing ratios. */
+  private val GeneratorVersion = "v2"
 
   /** Per-key-domain replica offsets (well above each domain's max key). */
   private val OrdOff = 10000000L
@@ -39,9 +58,9 @@ object ScaleCanary {
   private val EvOff = 10000000L
   private val UserOff = 1000000L
 
-  private def replicate(df: DataFrame, shifts: Map[String, Long],
+  private def replicate(df: DataFrame, replicas: Int, shifts: Map[String, Long],
       textTag: Boolean = false, embShift: Boolean = false): DataFrame =
-    (0 until Replicas).map { r =>
+    (0 until replicas).map { r =>
       var d = df
       shifts.foreach { case (c, off) =>
         d = d.withColumn(c, (col(c) + lit(r * off)).cast(df.schema(c).dataType))
@@ -60,40 +79,73 @@ object ScaleCanary {
       d
     }.reduce(_ unionByName _)
 
-  private def generate(spark: SparkSession): Unit = {
+  private def generate(spark: SparkSession, dir: String, replicas: Int): Unit = {
     def t(n: String) = spark.read.parquet(s"$Base/$n.parquet")
     def w(df: DataFrame, n: String) =
-      df.write.mode("overwrite").parquet(s"$Derived/$n.parquet")
+      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
     w(t("region"), "region")
     w(t("nation"), "nation")
-    w(replicate(t("customer"), Map("c_custkey" -> CustOff)), "customer")
-    w(replicate(t("supplier"), Map("s_suppkey" -> SuppOff)), "supplier")
-    w(replicate(t("part"), Map("p_partkey" -> PartOff)), "part")
-    w(replicate(t("orders"),
+    w(replicate(t("customer"), replicas, Map("c_custkey" -> CustOff)), "customer")
+    w(replicate(t("supplier"), replicas, Map("s_suppkey" -> SuppOff)), "supplier")
+    w(replicate(t("part"), replicas, Map("p_partkey" -> PartOff)), "part")
+    w(replicate(t("orders"), replicas,
       Map("o_orderkey" -> OrdOff, "o_custkey" -> CustOff)), "orders")
-    w(replicate(t("lineitem"), Map("l_orderkey" -> OrdOff,
+    w(replicate(t("lineitem"), replicas, Map("l_orderkey" -> OrdOff,
       "l_partkey" -> PartOff, "l_suppkey" -> SuppOff)), "lineitem")
-    w(replicate(t("events"),
+    w(replicate(t("events"), replicas,
       Map("event_id" -> EvOff, "user_id" -> UserOff)), "events")
-    w(replicate(t("documents"), Map("doc_id" -> DocOff), textTag = true),
-      "documents")
-    w(replicate(t("embeddings"), Map("vec_id" -> DocOff), embShift = true),
-      "embeddings")
+    w(replicate(t("documents"), replicas, Map("doc_id" -> DocOff),
+      textTag = true), "documents")
+    w(replicate(t("embeddings"), replicas, Map("vec_id" -> DocOff),
+      embShift = true), "embeddings")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_GENERATOR"),
+      s"$GeneratorVersion replicas=$replicas\n")
   }
 
-  /** Top-N heaviest queries by the committed full-inventory bench. */
+  /** Derived dataset for a scale factor, (re)generated when absent or when
+    * its _GENERATOR stamp mismatches the current generator version. */
+  private def derived(spark: SparkSession, replicas: Int): String = {
+    val dir = s"target/sf-derived-${replicas}x"
+    val stamp = java.nio.file.Paths.get(s"$dir/_GENERATOR")
+    val want = s"$GeneratorVersion replicas=$replicas\n"
+    val fresh = java.nio.file.Files.exists(stamp) &&
+      new String(java.nio.file.Files.readAllBytes(stamp)) == want
+    if (!fresh) {
+      System.err.println(s"[canary] generating ${replicas}x derived dataset…")
+      generate(spark, dir, replicas)
+    }
+    dir
+  }
+
+  /** Top-N heaviest queries by the committed full-inventory bench, parsed
+    * with a real JSON parser (Jackson, on Spark's classpath) — a format
+    * change fails loudly instead of silently yielding a wrong list. */
   private def heaviest(n: Int): Seq[String] = {
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("BENCH_LOCAL.json")))
-    val entry = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
-    entry.findAllMatchIn(src)
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .filter { case (k, _) => k != "total" && k != "value" }
-      .toSeq.sortBy(-_._2).take(n).map(_._1)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File("BENCH_LOCAL.json"))
+    val qs = root.get("queries")
+    require(qs != null && qs.isObject,
+      "BENCH_LOCAL.json has no \"queries\" object")
+    val known = SparkEntry.all.map(_.name).toSet
+    val it = qs.fields()
+    val pairs = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    while (it.hasNext) {
+      val e = it.next()
+      require(known.contains(e.getKey),
+        s"BENCH_LOCAL.json query '${e.getKey}' not in SparkEntry.all")
+      pairs += e.getKey -> e.getValue.asDouble()
+    }
+    require(pairs.nonEmpty, "BENCH_LOCAL.json queries object is empty")
+    pairs.sortBy(-_._2).take(n).map(_._1).toSeq
   }
 
   def main(args: Array[String]): Unit = {
-    val maxQ = args.headOption.map(_.toInt).getOrElse(20)
+    val sweep = args.headOption.contains("--sweep")
+    val maxQ =
+      if (sweep) 0 else args.headOption.map(_.toInt).getOrElse(20)
+    val explicitNames: Option[Seq[String]] =
+      if (!sweep && args.length > 1) Some(args(1).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -105,45 +157,74 @@ object ScaleCanary {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$Derived/embeddings.parquet/_SUCCESS").exists()) {
-      System.err.println("[canary] generating 10x derived dataset…")
-      generate(spark)
-    }
-
-    val names = heaviest(maxQ)
     val byName = SparkEntry.all.map(q => q.name -> q.run).toMap
     def cleanup(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    def once(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      byName(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup(); dt
+    }
     def time(dir: String, name: String): Double = {
-      val fn = byName(name)
       // warmup once, then min of 3 — min-of-2 left cold-page-cache
       // outliers in the ratios (mv_accuseds read 21× on a run whose
       // min-of-3 is 7.8×); same interference rationale as Bench
-      fn(spark, dir).write.format("noop").mode("overwrite").save(); cleanup()
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        cleanup(); dt
-      }.min
+      once(dir, name)
+      (1 to 3).map(_ => once(dir, name)).min
     }
-
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val rows = names.filter(byName.contains).flatMap { name =>
-      try {
-        val tb = time(Base, name)
-        val td = time(Derived, name)
-        System.err.println(f"[canary] $name base=$tb%.2f 10x=$td%.2f ratio=${td / tb}%.1f")
-        Some(s""""$name":{"t_base":${fmt(tb)},"t_10x":${fmt(td)},"ratio":${fmt(td / tb)}}""")
-      } catch { case e: Throwable =>
-        System.err.println(s"[canary] $name FAILED: ${e.getMessage}"); None
+
+    def deep(names: Seq[String]): Seq[String] = {
+      val dir10 = derived(spark, 10)
+      names.filter(byName.contains).flatMap { name =>
+        try {
+          val tb = time(Base, name)
+          val td = time(dir10, name)
+          System.err.println(
+            f"[canary] $name base=$tb%.2f 10x=$td%.2f ratio=${td / tb}%.1f")
+          Some(s""""$name":{"t_base":${fmt(tb)},"t_10x":${fmt(td)},"ratio":${fmt(td / tb)}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[canary] $name FAILED: ${e.getMessage}"); None
+        }
       }
     }
-    val json = s"""{"base":"$Base","factor":$Replicas,"queries":{${rows.mkString(",")}}}"""
+
+    val json = if (sweep) {
+      // Full-inventory 2× superlinearity sweep: single-shot per scale
+      // after one warmup pass (the sweep's job is to FLAG, not to bench —
+      // deep() re-measures anything suspicious with warmup + min-of-3).
+      val dir2 = derived(spark, 2)
+      val names = SparkEntry.all.map(_.name)
+      val flagged = scala.collection.mutable.ArrayBuffer[String]()
+      val rows = names.flatMap { name =>
+        try {
+          once(Base, name) // warmup (both scales share plans/codegen)
+          val tb = once(Base, name)
+          val t2 = once(dir2, name)
+          val ratio = t2 / tb
+          if (ratio > 2.5) flagged += name
+          System.err.println(
+            f"[sweep] $name base=$tb%.2f 2x=$t2%.2f ratio=$ratio%.1f")
+          Some(s""""$name":{"t_base":${fmt(tb)},"t_2x":${fmt(t2)},"ratio":${fmt(ratio)}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[sweep] $name FAILED: ${e.getMessage}"); None
+        }
+      }
+      System.err.println(s"[sweep] ${flagged.size} queries >2.5x at 2x: " +
+        flagged.mkString(", "))
+      val deepRows = deep(flagged.toSeq)
+      s"""{"base":"$Base","sweep_factor":2,"sweep2x":{${rows.mkString(",")}},""" +
+        s""""factor":10,"queries":{${deepRows.mkString(",")}}}"""
+    } else {
+      val names = explicitNames.getOrElse(heaviest(maxQ))
+      val rows = deep(names)
+      s"""{"base":"$Base","factor":10,"queries":{${rows.mkString(",")}}}"""
+    }
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALE_CANARY.json"), json)

@@ -582,9 +582,22 @@ object OlapOps {
     },
 
     // ---- A21: exact weighted median --------------------------------------
+    // Scale note (round-8 rewrite): the oracle SQL below is the SPEC — a
+    // cumulative-weight RANGE frame partitioned by l_returnflag (3 values),
+    // which as an executed plan would sort the whole fact table inside 3
+    // window partitions (parallelism capped at 3; measured 7.0× wall-clock
+    // for 10× data). The engine plan is a two-phase EXACT median instead:
+    // (1) per-(flag, value) weights — one well-distributed map-side-
+    // combined shuffle, which also makes a ROWS frame ≡ the spec's RANGE
+    // frame since each value appears once; (2) fixed-width value buckets
+    // fold that to a ~thousand-row relation where a tiny window locates
+    // the half-weight bucket and its preceding cumulative weight; (3) only
+    // the target bucket's values (bounded by bucket width, not data size)
+    // get the final cumulative sum. All weights accumulate in DECIMAL, so
+    // the result is bit-identical to the spec — the oracle is unchanged.
     QueryDef(
       "a21_weighted_median",
-      "Exact weighted median (price weighted by quantity) per return flag: smallest v whose cumulative weight reaches half the total — the running sum uses a RANGE frame, so tied values share one cumulative weight and the answer is deterministic under any shuffle order; weights accumulate in DECIMAL (exact), one flag-keyed shuffle carries both windows and the final min",
+      "Exact weighted median (price weighted by quantity) per return flag: smallest v whose cumulative weight reaches half the total. Engine runs it two-phase (per-value weights → bucket cumsum locates the half-weight bucket → final cumsum over that bucket only), so no full-fact sort ever sits in a 3-partition window; DECIMAL accumulation keeps it bit-equal to the one-window oracle spec",
       Some("""
         WITH w AS (
           SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
@@ -606,12 +619,38 @@ object OlapOps {
       val w = t(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_extendedprice").cast(DecimalType(12, 2)).as("v"),
         col("l_quantity").cast(DecimalType(12, 2)).as("q"))
-      val wr = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val wp = Window.partitionBy(col("l_returnflag"))
-      w.withColumn("cw", sum(col("q")).over(wr))
-        .withColumn("tw", sum(col("q")).over(wp))
-        .filter(col("cw") * 2 >= col("tw"))
+      // Phase 1: exact weight per distinct value — THE data-sized shuffle,
+      // keyed by (flag, v) so it distributes; everything after is bounded.
+      val perV = w.groupBy(col("l_returnflag"), col("v"))
+        .agg(sum(col("q")).cast(DecimalType(22, 2)).as("wv"))
+        .withColumn("bkt", floor(col("v") / 100).cast("long"))
+      // Phase 2: bucket relation (≈ price-range/100 rows per flag) carries
+      // the cumulative scan; windows here touch thousands of rows, not the
+      // fact table.
+      val perB = perV.groupBy(col("l_returnflag"), col("bkt"))
+        .agg(sum(col("wv")).cast(DecimalType(22, 2)).as("bw"))
+      val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumB = perB
+        .withColumn("cumbw", sum(col("bw")).over(wb).cast(DecimalType(22, 2)))
+        .withColumn("tw",
+          sum(col("bw")).over(Window.partitionBy(col("l_returnflag")))
+            .cast(DecimalType(22, 2)))
+      val target = cumB.filter(col("cumbw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("bkt")).as("tbkt"))
+        .join(cumB.select(col("l_returnflag"), col("bkt").as("tbkt"),
+          col("bw"), col("cumbw"), col("tw")), Seq("l_returnflag", "tbkt"))
+        .withColumn("prev", (col("cumbw") - col("bw")).cast(DecimalType(22, 2)))
+        .select(col("l_returnflag"), col("tbkt"), col("prev"), col("tw"))
+      // Phase 3: final exact cumsum over the target bucket's values only —
+      // bounded by bucket width (≤10k distinct cent-values), never by data.
+      val inB = perV.join(broadcast(target),
+        Seq("l_returnflag")).filter(col("bkt") === col("tbkt"))
+      val wv2 = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inB.withColumn("cum", sum(col("wv")).over(wv2))
+        .filter((col("prev") + col("cum")) * 2 >= col("tw"))
         .groupBy(col("l_returnflag"))
         .agg(min(col("v")).cast("double").as("weighted_median"),
           first(col("tw")).cast(DecimalType(18, 2)).cast("double").as("total_weight"))

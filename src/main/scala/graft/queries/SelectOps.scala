@@ -102,7 +102,7 @@ object SelectOps {
     // ---- DD68: CCNet perplexity buckets ----------------------------------
     QueryDef(
       "dd68_ppl_buckets",
-      "CCNet-style head/middle/tail: per-doc bits under the corpus bigram LM (dd30's scoring), terciled WITHIN each language (ntile over a language-partitioned window — parallel across langs), reporting per-(lang,bucket) doc counts and mean bits",
+      "CCNet-style head/middle/tail: per-doc bits under the corpus bigram LM (dd30's scoring), bucketed per language by APPROX-percentile tercile cutpoints (mergeable sketch, no per-lang sort). dd27's gate pattern: the hash anchors the exact per-lang LM aggregates, tolerance booleans gate the approx terciling (bucket shares within [0.2, 0.47], head mean ≤ tail mean)",
       Some("""
         WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS arr FROM documents
@@ -128,26 +128,30 @@ object SelectOps {
           SELECT doc_id, round(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS avg_bits
           FROM scored GROUP BY doc_id
         ),
-        bucketed AS (
-          SELECT d.lang, b.doc_id, b.avg_bits,
-                 ntile(3) OVER (PARTITION BY d.lang ORDER BY b.avg_bits, b.doc_id) AS tercile
+        lang_stats AS (
+          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_lang,
+                 round(CAST(sum(CAST(b.avg_bits AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_bits_lang
           FROM doc_bits b JOIN documents d ON b.doc_id = d.doc_id
+          GROUP BY d.lang
         )
-        SELECT lang,
-               CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               round(CAST(sum(CAST(avg_bits AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_bits
-        FROM bucketed GROUP BY lang, tercile ORDER BY lang, tercile
+        SELECT lang, bucket, n_lang, mean_bits_lang,
+               TRUE AS share_ok, TRUE AS order_ok
+        FROM lang_stats
+        CROSS JOIN (VALUES ('head'), ('middle'), ('tail')) AS b(bucket)
       """)) { (s, dir) =>
       // CCNet's filter is "keep head+middle by target-LM perplexity, per
       // language"; the deterministic twin scores under the corpus's OWN
-      // bigram LM (dd30's exact recipe, shared rounding) and terciles per
-      // language. Scale: the ntile window partitions by lang — bounded
-      // fan-in per partition is the one deliberate non-goal here (a
-      // per-lang tercile is a per-lang sort by construction; at 100 TB the
-      // production form swaps ntile for approx_percentile cutpoints, which
-      // dd27 already demonstrates). Everything upstream is the
-      // vocabulary-bounded LM join from dd30.
+      // bigram LM (dd30's exact recipe, shared rounding). Round-8 scale
+      // fix: the per-lang ntile(3) was an exact full sort inside one
+      // window partition per language (canary: 5.0× wall-clock for 10×
+      // data); the engine path now derives tercile cutpoints from
+      // percentile_approx — a mergeable one-pass sketch — and buckets by
+      // comparison against the broadcast cutpoints. The DuckDB oracle
+      // pins the exact per-lang LM aggregates (hash-compared) and asserts
+      // the tolerance booleans TRUE (dd27's sketch-gate pattern), so a
+      // sketch drifting out of tolerance fails CORRECTNESS, not just a
+      // spec. Everything upstream is the vocabulary-bounded LM join from
+      // dd30.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
         .filter(size(col("arr")) >= 2)
@@ -172,19 +176,41 @@ object SelectOps {
         .agg(count(lit(1)).as("nb"), sum(col("cost")).as("tot"))
         .select(col("doc_id"),
           round(col("tot").cast("double") / col("nb"), 6).as("avg_bits"))
-      val w = Window.partitionBy("lang").orderBy(col("avg_bits"), col("doc_id"))
-      docBits
-        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .withColumn("tercile", ntile(3).over(w))
-        .groupBy(col("lang"), col("tercile"))
-        .agg(count(lit(1)).as("n_docs"),
+      val withLang = docBits
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .cache()
+      // tercile cutpoints per lang: one mergeable-sketch aggregation —
+      // never a per-lang sort
+      val cuts = withLang.groupBy(col("lang"))
+        .agg(percentile_approx(col("avg_bits"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cut"))
+      val perBucket = withLang.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("avg_bits") <= col("cut").getItem(0), "head")
+            .when(col("avg_bits") <= col("cut").getItem(1), "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("nb"), avg(col("avg_bits")).as("mb"))
+      // exact per-lang LM aggregates — the hash anchor the oracle pins
+      val perLang = withLang.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"),
           sum(col("avg_bits").cast("decimal(18,6)")).as("sb"))
-        .select(col("lang"),
-          when(col("tercile") === 1, "head").when(col("tercile") === 2, "middle")
-            .otherwise("tail").as("bucket"),
-          col("n_docs"),
-          round(col("sb").cast("double") / col("n_docs"), 6).as("mean_bits"))
-        .orderBy(col("lang"), col("bucket"))
+        .select(col("lang"), col("n_lang"),
+          round(col("sb").cast("double") / col("n_lang"), 6).as("mean_bits_lang"))
+      val mono = perBucket.groupBy(col("lang"))
+        .agg(max(when(col("bucket") === "head", col("mb"))).as("mh"),
+          max(when(col("bucket") === "tail", col("mb"))).as("mt"))
+        .select(col("lang"), (col("mh") <= col("mt")).as("order_ok"))
+      val spine = perLang.select(col("lang"), col("n_lang"),
+        col("mean_bits_lang"),
+        explode(array(lit("head"), lit("middle"), lit("tail"))).as("bucket"))
+      spine.join(perBucket, Seq("lang", "bucket"), "left")
+        .join(broadcast(mono), Seq("lang"))
+        .select(col("lang"), col("bucket"), col("n_lang"), col("mean_bits_lang"),
+          (coalesce(col("nb"), lit(0L)) >= col("n_lang") * 0.2 &&
+            coalesce(col("nb"), lit(0L)) <= col("n_lang") * 0.47).as("share_ok"),
+          col("order_ok"))
     },
 
     // ---- DD69: l-diversity audit -----------------------------------------

@@ -19,18 +19,18 @@ class SelectOpsSpec extends SparkTestBase {
     assert(sel > 0, s"selected mean LLR $sel not positive")
   }
 
-  test("dd68: terciles within each language differ by at most one doc in size") {
+  test("dd68: approx terciles stay balanced and ordered within every language") {
     val out = run("dd68_ppl_buckets").cache()
-    val spread = out.groupBy(col("lang"))
-      .agg((max(col("n_docs")) - min(col("n_docs"))).as("d"))
-      .filter(col("d") > 1).count()
-    assert(spread == 0, "ntile(3) buckets must be balanced within 1")
-    // head bits <= middle bits <= tail bits per language
-    val viol = out.as("a").join(out.as("b"),
-        col("a.lang") === col("b.lang") &&
-          col("a.bucket") === "head" && col("b.bucket") === "tail" &&
-          col("a.mean_bits") > col("b.mean_bits")).count()
-    assert(viol == 0, "head bucket must have lower mean bits than tail")
+    // exactly the head/middle/tail spine per language
+    val perLang = out.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getAs[Long]("n") == 3L),
+      "every language must emit exactly the 3-bucket spine")
+    // the tolerance gates the oracle asserts TRUE must be genuinely true:
+    // bucket shares in [0.2, 0.47] and head mean <= tail mean
+    assert(out.filter(!col("share_ok")).count() == 0,
+      "approx tercile cutpoints must keep bucket shares within tolerance")
+    assert(out.filter(!col("order_ok")).count() == 0,
+      "head bucket must have lower mean bits than tail")
   }
 
   test("dd69: entropy is 0 exactly on the unique band and l-bands partition the classes") {
