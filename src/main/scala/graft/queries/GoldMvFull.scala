@@ -664,16 +664,24 @@ object GoldMvFull {
           .withColumn("l_linestatus", lit("O")))
       val goldPrev = buildAccuseds(s, dir, liV1, liV1)
       // direct keys: the three change rules; expanded: any crime of any
-      // person seen in a directly-changed crime (v1 membership covers v2
-      // here — updates keep suppkeys, inserts reuse them, deletes exist
-      // only in v1). Both relations are change-batch-bounded broadcasts.
-      val direct = liV1.select(col("l_orderkey")).distinct().filter(
-        col("l_orderkey") % 97 === 3 || col("l_orderkey") % 89 === 7 ||
-          col("l_orderkey") % 93 === 11)
-      val persons = liV1
+      // person seen in a directly-changed crime. The person set comes from
+      // the UNION of v1 and v2 facts restricted to the direct keys — v1
+      // alone would under-expand for a batch whose inserts introduce a NEW
+      // person-crime edge (this batch's inserts happen to reuse existing
+      // pairs, but the template must be sound for any batch). The crime
+      // expansion then scans BOTH versions' facts for those persons: a
+      // new edge makes v2 crimes of that person stale too. All relations
+      // stay change-batch-bounded broadcasts.
+      val direct = liV1.select(col("l_orderkey"))
+        .unionByName(liV2.select(col("l_orderkey"))).distinct().filter(
+          col("l_orderkey") % 97 === 3 || col("l_orderkey") % 89 === 7 ||
+            col("l_orderkey") % 93 === 11)
+      val persons = liV1.select(col("l_orderkey"), col("l_suppkey"))
+        .unionByName(liV2.select(col("l_orderkey"), col("l_suppkey")))
         .join(broadcast(direct), Seq("l_orderkey"), "left_semi")
         .select(col("l_suppkey")).distinct()
-      val expanded = liV1
+      val expanded = liV1.select(col("l_orderkey"), col("l_suppkey"))
+        .unionByName(liV2.select(col("l_orderkey"), col("l_suppkey")))
         .join(broadcast(persons), Seq("l_suppkey"), "left_semi")
         .select(col("l_orderkey")).distinct()
         .unionByName(direct).distinct()

@@ -16,6 +16,23 @@ object Ingest {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Working dir for a replay-parity maintainer: rooted under target/ (so
+    * build cleaning removes it) and wiped at each invocation start, so
+    * repeated bench/verify runs keep exactly ONE copy of the versioned
+    * state on disk instead of leaking a temp dir per run. The returned
+    * DataFrame reads from this dir, so it must survive the invocation —
+    * deletion happens on the NEXT run, never eagerly. */
+  private def replayDir(name: String): String = {
+    val p = java.nio.file.Paths.get("target", "replay", name)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(); ()
+    }
+    del(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S3: greatest-of-maxes incremental watermark ---------------------
@@ -231,8 +248,7 @@ object Ingest {
           sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long")
             .as("n_returned"),
           floor(max(col("l_extendedprice"))).cast("long").as("max_price"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-gold-replay").toString
+      val work = replayDir("gold")
       val m = new graft.streaming.GoldMaintainer(s, "l_orderkey", work, gold)
       m.init(li.filter(col("l_orderkey") % 4 === 0))
       m.applyBatch(li.filter(col("l_orderkey") % 4 === 1))
@@ -276,8 +292,7 @@ object Ingest {
         FROM rn GROUP BY w HAVING count(*) >= 2
       """)) { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-index-replay").toString
+      val work = replayDir("index")
       val m = new graft.streaming.IndexMaintainer(s, work)
       m.init(docs.filter(col("doc_id") % 3 === 0))
       m.applyBatch(docs.filter(col("doc_id") % 3 === 1))

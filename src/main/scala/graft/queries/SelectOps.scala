@@ -574,7 +574,7 @@ object SelectOps {
     // ahead-count compares exactly in both engines.
     QueryDef(
       "ir13_mrr_eval",
-      "MRR@all over 5 single-term queries (BM25 scores, relevant = tf>=2): first-relevant rank via count-space ahead-counts, per-query RR rows + the batch MRR",
+      "MRR@all over 5 single-term queries (BM25 scores, relevant = tf>=2): first-relevant rank via count-space ahead-counts, per-query RR rows + the batch MRR; a term with no relevant doc keeps its row (first_rank NULL) and counts as RR=0 in the mean — the standard convention",
       Some("""
         WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
@@ -599,19 +599,20 @@ object SelectOps {
         ),
         ranked AS (
           SELECT s.w,
-                 CAST(1 + count(*) FILTER (WHERE s.sc > b.bs
-                        OR (s.sc = b.bs AND s.doc_id < b.bid)) AS BIGINT) AS first_rank,
+                 CASE WHEN max(b.bs) IS NULL THEN NULL
+                      ELSE CAST(1 + count(*) FILTER (WHERE s.sc > b.bs
+                        OR (s.sc = b.bs AND s.doc_id < b.bid)) AS BIGINT) END AS first_rank,
                  CAST(sum(CASE WHEN s.tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
-          FROM scored s JOIN bestrow b ON s.w = b.w
+          FROM scored s LEFT JOIN bestrow b ON s.w = b.w
           GROUP BY s.w
         ),
         mrr AS (
-          SELECT round(CAST(sum(CAST(round(1.0 / first_rank, 9) AS DECIMAL(28,9)))
+          SELECT round(CAST(sum(COALESCE(CAST(round(1.0 / first_rank, 9) AS DECIMAL(28,9)), 0))
                        AS DOUBLE) / count(*), 6) AS mrr
           FROM ranked
         )
         SELECT r.w AS query_term, r.n_rel, r.first_rank,
-               round(1.0 / r.first_rank, 6) AS rr, m.mrr
+               COALESCE(round(1.0 / r.first_rank, 6), 0.0) AS rr, m.mrr
         FROM ranked r CROSS JOIN mrr m
       """)) { (s, dir) =>
       val tok = t(s, dir, "documents")
@@ -636,18 +637,28 @@ object SelectOps {
       val bestrow = scored.filter(col("tf") >= 2).join(best, Seq("w"))
         .filter(col("sc") === col("bs"))
         .groupBy(col("w"), col("bs")).agg(min(col("doc_id")).as("bid"))
-      val ranked = scored.join(broadcast(bestrow), Seq("w"))
+      // LEFT join: a query term with zero relevant docs keeps its row with
+      // first_rank NULL and contributes RR = 0 to the MRR denominator —
+      // the standard convention (the prior inner join silently dropped
+      // such terms, inflating MRR)
+      val ranked = scored.join(broadcast(bestrow), Seq("w"), "left")
         .groupBy(col("w"))
         .agg((lit(1) + sum(when(col("sc") > col("bs") ||
             (col("sc") === col("bs") && col("doc_id") < col("bid")), 1)
-            .otherwise(0))).cast("long").as("first_rank"),
-          sum(when(col("tf") >= 2, 1).otherwise(0)).cast("long").as("n_rel"))
+            .otherwise(0))).cast("long").as("fr_raw"),
+          sum(when(col("tf") >= 2, 1).otherwise(0)).cast("long").as("n_rel"),
+          max(col("bs")).as("bs_any"))
+        .select(col("w"), col("n_rel"),
+          when(col("bs_any").isNull, lit(null))
+            .otherwise(col("fr_raw")).cast("long").as("first_rank"))
       val mrr = ranked.agg(
-        round(sum(round(lit(1.0) / col("first_rank"), 9).cast("decimal(28,9)"))
+        round(sum(coalesce(round(lit(1.0) / col("first_rank"), 9)
+            .cast("decimal(28,9)"), lit(0).cast("decimal(28,9)")))
           .cast("double") / count(lit(1)), 6).as("mrr"))
       ranked.crossJoin(broadcast(mrr))
         .select(col("w").as("query_term"), col("n_rel"), col("first_rank"),
-          round(lit(1.0) / col("first_rank"), 6).as("rr"), col("mrr"))
+          coalesce(round(lit(1.0) / col("first_rank"), 6), lit(0.0)).as("rr"),
+          col("mrr"))
     },
 
     // ---- IR14: chunk-level vs doc-level retrieval agreement ----------------
