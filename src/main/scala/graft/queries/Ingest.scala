@@ -300,5 +300,57 @@ object Ingest {
       m.applyBatch(docs.filter(col("doc_id") % 6 === 0)
         .withColumn("text", concat(col("text"), lit(" refreshed"))))
       m.index
+    },
+
+    // ---- §3.1/§3.2: the COMPOSED master pipeline, oracle-gated ------------
+    // OrchestratorSpec proves the orchestration mechanics (lock, retry,
+    // dedupe); this row proves the composed DATA path: the real
+    // Pipeline.runMaster — land (JSON drop + corrupt-record quarantine) →
+    // conform (typing) → merge (upsertClassify into the stale silver
+    // target) → gold (rollup rebuild through WriteOptimizer) → serve —
+    // runs end-to-end, and the FINAL gold table it persisted must
+    // hash-equal DuckDB computing the same composition from the same raw
+    // drops (`master_etl.py:427` full-schedule semantics; the streaming
+    // replay-parity pattern applied to the batch master). Upsert
+    // semantics in the oracle: staged wins on key match, target-only
+    // rows survive — drop_ UNION target-anti-drop.
+    QueryDef(
+      "pipeline_e2e_parity",
+      "Master pipeline land→conform→merge→gold→serve replay: final persisted gold rollup ≡ DuckDB composing quarantine+conform+upsert+rollup from the same drops",
+      Some("""
+        WITH drop_ AS (
+          SELECT o_orderkey AS pk, o_orderstatus AS status,
+                 CAST(o_totalprice AS DOUBLE) AS price,
+                 CAST(epoch(o_orderdate) AS BIGINT) AS updated_epoch
+          FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        tgt AS (
+          SELECT o_orderkey AS pk, o_orderstatus AS status,
+                 CAST(o_totalprice AS DOUBLE) AS price,
+                 CAST(epoch(o_orderdate) AS BIGINT)
+                   - CASE WHEN o_orderkey % 7 = 0 THEN 86400 ELSE 0 END AS updated_epoch
+          FROM orders WHERE o_orderkey % 4 <> 0
+        ),
+        silver AS (
+          SELECT * FROM drop_
+          UNION ALL
+          SELECT t.* FROM tgt t LEFT JOIN drop_ d ON t.pk = d.pk WHERE d.pk IS NULL
+        ),
+        la AS (
+          SELECT l_orderkey, CAST(count(*) AS BIGINT) AS li_count,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_tot
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s.pk, s.status, s.price, s.updated_epoch,
+               COALESCE(la.li_count, 0) AS li_count,
+               COALESCE(la.qty_tot, 0) AS qty_tot
+        FROM silver s LEFT JOIN la ON s.pk = la.l_orderkey
+      """)) { (s, dir) =>
+      val work = replayDir("pipeline")
+      val (report, _) =
+        graft.Pipeline.runMaster(s, dir, work, sleeper = _ => ())
+      require(report.acquired && report.succeeded,
+        s"master pipeline failed: ${report.blocks.mkString("; ")}")
+      s.read.parquet(s"$work/gold/order_rollup")
     })
 }

@@ -116,28 +116,41 @@ object QualityProbes {
           (max(col("run_len")) >= 3).as("is_loopy"))
     },
 
-    // ---- DD57: Count-Min sketch calibration (rows-only; no DuckDB CMS) ---
+    // ---- DD57: Count-Min sketch calibration --------------------------------
     QueryDef(
       "dd57_cms_calibration",
-      "Count-Min sketch frequency estimates vs exact counts for the 20 heaviest users: the streaming-friendly point-query sketch (eps=0.001, conf=0.99, fixed seed) built distributed via mergeable per-partition sketches, probed only for the exact top-20 — CMS never underestimates, and the observed overestimate IS the calibration a capacity planner reads",
-      None) { (s, dir) =>
+      "Count-Min sketch point queries gated against exact counts for the 20 heaviest users (eps=0.001, conf=0.99, fixed seed, mergeable per-partition build): DuckDB has no CMS, but the sketch's CONTRACT is SQL-expressible — the oracle pins the exact top-20 counts and asserts the never-underestimate flag and the eps·N overestimate budget as booleans (dd27's sketch-gate pattern)",
+      Some("""
+        WITH counts AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, exact_n,
+               TRUE AS cms_never_under, TRUE AS cms_within_budget
+        FROM counts ORDER BY exact_n DESC, user_id LIMIT 20
+      """)) { (s, dir) =>
       // Distributed build: df.stat.countMinSketch tree-aggregates
       // per-partition sketches (element-wise addition is commutative, so
       // partition order cannot change the result; the seed pins the hash
       // functions). Only the fixed-size sketch and 20 probe rows ever
-      // reach the driver — the same shape at 100 TB.
+      // reach the driver — the same shape at 100 TB. The booleans are the
+      // CMS guarantee: estimates never undercount, and overshoot at most
+      // eps·N (probed on the heaviest keys, where collisions hurt most);
+      // a sketch drifting out of contract fails CORRECTNESS.
       val ev = t(s, dir, "events")
       val cms = ev.stat.countMinSketch(
         "user_id", eps = 0.001, confidence = 0.99, seed = 42)
+      val budget = 0.001 * ev.count()
       val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(20)
         .collect()
       val rows = top.map { r =>
         val est = cms.estimateCount(r.getLong(0))
-        (r.getLong(0), r.getLong(1), est, est - r.getLong(1))
+        (r.getLong(0), r.getLong(1), est >= r.getLong(1),
+          (est - r.getLong(1)).toDouble <= budget)
       }.toSeq
       import s.implicits._
-      rows.toDF("user_id", "exact_n", "cms_n", "overestimate")
+      rows.toDF("user_id", "exact_n", "cms_never_under", "cms_within_budget")
     },
 
     // ---- DD66: BLEU-2 n-gram support scoring -------------------------------

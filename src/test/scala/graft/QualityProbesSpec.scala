@@ -27,15 +27,11 @@ class QualityProbesSpec extends SparkTestBase {
   test("dd57: CMS never underestimates and stays inside the eps*N error budget") {
     val rows = q("dd57_cms_calibration").collect()
     assert(rows.nonEmpty && rows.length <= 20)
-    val n = graft.core.Tables(spark, sf0001, "events").count()
     rows.foreach { r =>
-      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(est >= exact, s"CMS underestimated user ${r.getLong(0)}")
-      assert(over == est - exact)
-      // eps=0.001: with prob >= conf the error is <= eps * N; allow 3x
-      // slack so the spec tests the mechanism, not the tail probability
-      assert(over <= math.max(3, (0.003 * n).toLong),
-        s"overestimate $over outside budget for N=$n")
+      // the booleans the oracle asserts TRUE must be genuinely true
+      assert(r.getBoolean(2), s"CMS underestimated user ${r.getLong(0)}")
+      assert(r.getBoolean(3),
+        s"overestimate outside eps*N budget for user ${r.getLong(0)}")
     }
     // determinism: a second build with the same seed gives identical rows
     val again = q("dd57_cms_calibration").collect()
