@@ -104,8 +104,9 @@ object ScaleCanary {
   }
 
   /** Derived dataset for a scale factor, (re)generated when absent or when
-    * its _GENERATOR stamp mismatches the current generator version. */
-  private def derived(spark: SparkSession, replicas: Int): String = {
+    * its _GENERATOR stamp mismatches the current generator version.
+    * Shared with CrossoverBench. */
+  private[graft] def derived(spark: SparkSession, replicas: Int): String = {
     val dir = s"target/sf-derived-${replicas}x"
     val stamp = java.nio.file.Paths.get(s"$dir/_GENERATOR")
     val want = s"$GeneratorVersion replicas=$replicas\n"
