@@ -16,8 +16,9 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExc
 object Explain {
 
   /** Expand the executed plan through AQE wrappers, query stages, and
-    * exchange reuse so counts reflect what actually ran. */
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    * exchange reuse so counts reflect what actually ran. Shared with
+    * PlanAssertionSpec's tree-walking pins. */
+  private[graft] def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val children = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)

@@ -75,9 +75,19 @@ object AnnSearch {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- DD14: embedding-cosine near-duplicate pairs ---------------------
+    // Scale note (round-8 rewrite): the original bucketed on a 4-bit sign
+    // sample — 16 FIXED buckets, so bucket sizes and candidate pairs grew
+    // quadratically with data (2× sweep flagged it; 5.1× wall-clock at
+    // 10×). Now it uses dd78's pigeonhole-chunk design on the FULL 64-bit
+    // sign signature: 4 chunks of 16 sign bits each, candidates = pairs
+    // sharing any chunk value (a chunk-value equi-join over a 2^16-per-
+    // chunk key space — realized key count grows with data), exact cosine
+    // verified on the DISTINCT candidate pairs only. Pairs whose sign
+    // patterns differ in ≤3 of 64 components are guaranteed candidates
+    // (pigeonhole); cos ≥ 0.95 near-dups are far inside that ball.
     QueryDef(
       "dd14_embedding_neardup",
-      "Embedding-cosine near-dup detection: sign-LSH bucketed self-join, cosine >= 0.95 pairs only (planted perturbed duplicates; the bucket equi-join keeps it far from all-pairs)",
+      "Embedding-cosine near-dup detection: 64-bit sign signature split into 4×16-bit pigeonhole chunks, candidates = chunk-value equi-join (data-proportional key space, never all-pairs), exact cosine >= 0.95 on distinct candidates (planted perturbed duplicates)",
       Some("""
         WITH vecs0 AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -90,24 +100,31 @@ object AnnSearch {
         ),
         allv AS (SELECT * FROM vecs0 UNION ALL SELECT * FROM dups),
         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM allv),
-        b AS (
-          SELECT *, CAST(CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
-                       + CASE WHEN v[17] >= 0 THEN 4 ELSE 0 END
-                       + CASE WHEN v[33] >= 0 THEN 2 ELSE 0 END
-                       + CASE WHEN v[49] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
-          FROM n
+        chunks AS (
+          SELECT vec_id, j.j AS chunk_idx,
+                 list_sum(list_transform(generate_series(1, 16),
+                   i -> CASE WHEN v[(j.j - 1) * 16 + i] >= 0
+                             THEN 1 << (i - 1) ELSE 0 END)) AS chunk
+          FROM n CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM chunks a JOIN chunks b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+           AND a.vec_id < b.vec_id
         ),
         pairs AS (
-          SELECT a.vec_id AS a_id, x.vec_id AS b_id,
-                 round(list_dot_product(a.v, x.v) / (a.norm * x.norm), 6) AS cos
-          FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+          SELECT c.a_id, c.b_id,
+                 round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cos
+          FROM cand c JOIN n x ON c.a_id = x.vec_id JOIN n y ON c.b_id = y.vec_id
         )
         SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.95
       """)) { (s, dir) =>
       val vecs0 = t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       // planted near-dups: copy every 50th vector with its first component
-      // scaled 1% — cosine vs the original ≈ 0.99995, everything else in
+      // scaled 1% — cosine vs the original ≈ 0.99995 (and identical sign
+      // pattern, Hamming 0 → guaranteed candidate), everything else in
       // this corpus stays below 0.5, so the threshold isolates the plants.
       // Planted ids start at max(vec_id)+1 (broadcast 1-row agg) so they
       // can never collide with real ids if the fixture grows.
@@ -118,12 +135,29 @@ object AnnSearch {
             slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
       val allv = vecs0.unionByName(dups)
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-        .withColumn("bucket", signBucket(col("v"), lshBitsOf(s)))
-      val lhs = allv.select(col("vec_id").as("a_id"), col("v").as("av"),
-        col("norm").as("an"), col("bucket").as("ab"))
-      lhs.join(allv, col("ab") === col("bucket") && col("a_id") < col("vec_id"))
-        .select(col("a_id"), col("vec_id").as("b_id"),
-          round(dot(col("av"), col("v")) / (col("an") * col("norm")), 6).as("cos"))
+        .cache()
+      val chunkStructs = (1 to 4).map { j =>
+        val bits = (1 to 16).map(i =>
+          when(element_at(col("v"), (j - 1) * 16 + i) >= 0, 1 << (i - 1))
+            .otherwise(0)).reduce(_ + _)
+        struct(lit(j).as("chunk_idx"), bits.as("chunk"))
+      }
+      val chunks = allv.select(col("vec_id"),
+        explode(array(chunkStructs: _*)).as("c"))
+        .select(col("vec_id"), col("c.chunk_idx"), col("c.chunk"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      cand
+        .join(allv.select(col("vec_id").as("a_id"), col("v").as("av"),
+          col("norm").as("an")), Seq("a_id"))
+        .join(allv.select(col("vec_id").as("b_id"), col("v").as("bv"),
+          col("norm").as("bn")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
         .filter(col("cos") >= neardupCosOf(s))
     },
 

@@ -338,17 +338,22 @@ object GoldMvFull {
       // rows exist only where the AI table has them); persons is the LEFT
       // sub-lookup with deterministic gaps (every 7th person missing).
       val persons = t(s, dir, "supplier").filter(col("s_suppkey") % 7 =!= 0)
-      // join order minimizes child-row exchanges: the suppkey-keyed join
-      // (personAgg) runs FIRST, then both orderkey-keyed joins (orders,
-      // crimeAgg) ride one orderkey exchange — suppkey→orderkey is 2
-      // shuffles of the child rows where orders-first costs 3
-      // (orderkey→suppkey→orderkey).
+      // join order minimizes BYTES exchanged, not join count: personAgg's
+      // previously_involved is a ~crimes-per-person-sized rendered JSON
+      // (tens of KB per person) — joining it FIRST attached that string to
+      // every child row and then pushed it through the orderkey exchange
+      // (measured 4.3× wall-clock at 2× data: the shuffled volume, child
+      // rows × person-history size, grows with both factors). Now both
+      // orderkey-keyed joins ride the light child rows, the suppkey
+      // exchange carries only slim child attrs, and the person strings
+      // move exactly once — in personAgg's own person-count-bounded
+      // exchange, straight into the final projection.
       liChild.filter(col("l_orderkey") % 8 === 1)
-        .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(crimeAgg, col("l_orderkey") === col("ca_key"), "left")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
         .join(broadcast(persons), col("l_suppkey") === col("s_suppkey"), "left")
         .select(
           concat(lit("A-"), col("l_orderkey"), lit("-"), col("l_linenumber"),

@@ -49,6 +49,51 @@ class PlanAssertionSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("a21_weighted_median never sorts the raw fact inside the flag window") {
+    // the round-8 two-phase rewrite's contract: every Window in the
+    // executed plan runs over an AGGREGATED relation (per-value or
+    // per-bucket weights), never over raw lineitem — reverting to the
+    // naive cumulative-RANGE plan puts a Window directly on the fact
+    // scan (parallelism capped at 3 flags) and fails this pin.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = SparkEntry.all.find(_.name == "a21_weighted_median").get
+      .run(spark, sf0001)
+    df.collect()
+    val windows = Explain.flatten(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "two-phase median must window the bucket relations")
+    windows.foreach { w =>
+      val aggBelow = Explain.flatten(w.child)
+        .exists(_.isInstanceOf[BaseAggregateExec])
+      assert(aggBelow,
+        s"Window sits directly on the fact table:\n$w")
+    }
+  }
+
+  test("e2_blocked_fuzzy joins only broadcast relations and windows on the query key") {
+    // the round-8 rewrite's contract: all candidate-generation relations
+    // are entity-bounded broadcasts (distinct names, name pairs, per-name
+    // extremal keys) — a shuffle join here means row-level pair fan-out
+    // is back; the single window partitions by query_key, whose partition
+    // count GROWS with data instead of being capped by the vocabulary.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    val df = SparkEntry.all.find(_.name == "e2_blocked_fuzzy").get
+      .run(spark, sf0001)
+    df.collect()
+    val nodes = Explain.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      "candidate relations must broadcast — a shuffle join re-fans-out rows")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3,
+      "name pairs, candidate stats, and min1 all join as broadcasts")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty &&
+      windows.forall(_.partitionSpec.exists(_.toString.contains("query_key"))),
+      "top-1 window must partition by query_key")
+  }
+
   test("j13_asof_join compiles to a window pass, not a join") {
     // the point of the union+running-window formulation: the executed
     // plan must contain NO join operator of any kind — an inequality
