@@ -455,5 +455,96 @@ object CurateOps {
           round(max(col("n_dup")) / count(lit(1)).cast("double"), 6).as("dup_rate"),
           round(sum(col("pass")) / count(lit(1)).cast("double"), 6)
             .as("gopher_pass_rate"))
+    },
+
+    // ---- DD88: directional containment join (quote / boilerplate) ---------
+    QueryDef(
+      "dd88_containment_join",
+      "EXACT directional containment join C(A→B)=|A∩B|/|A| >= 3/4 over 3-shingle sets: the quote/boilerplate/doc-inclusion detector Jaccard misses (a short doc quoted inside a long one has high containment but low Jaccard, and dd60's length filter prunes the pair outright). Engine: All-Pairs rarity-prefix on the CONTAINED side only, no length filter, integer cross-multiplied threshold; oracle is the filter-free shared-shingle spec — equality is the losslessness proof",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+                WHERE len(string_split(text, ' ')) >= 3)
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        shd AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+        com AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+          FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, round(c / CAST(na.n AS DOUBLE), 6) AS containment
+        FROM com JOIN n na ON doc_a = na.doc_id
+        WHERE 4 * c >= 3 * na.n
+      """)) { (s, dir) =>
+      graft.resolve.SetSimJoin.containment(
+        t(s, dir, "documents")
+          .select(col("doc_id").as("id"), split(col("text"), " ").as("arr"))
+          .filter(size(col("arr")) >= 3)
+          .select(col("id"), array_distinct(
+            graft.functions.NativeExpressions.ngrams_native(col("arr"), 3)).as("toks")),
+        tNum = 3, tDen = 4)
+    },
+
+    // ---- DD89: inter-rater reliability (Cohen's kappa) ---------------------
+    QueryDef(
+      "dd89_rater_kappa",
+      "Cohen's kappa between two deterministic quality raters (char-length bands vs token-count bands, S/M/L): chance-corrected agreement for labeling-pipeline QA — raw agreement po flatters raters that both say 'M' for everything; kappa subtracts the marginal-product chance term. Everything folds from the 9-cell confusion relation: one doc scan, count-space marginals, no row ever leaves the engine",
+      Some("""
+        WITH lab AS (
+          SELECT CASE WHEN n_chars < 150 THEN 'S' WHEN n_chars < 300 THEN 'M'
+                      ELSE 'L' END AS ra,
+                 CASE WHEN len(string_split(text, ' ')) < 30 THEN 'S'
+                      WHEN len(string_split(text, ' ')) < 60 THEN 'M'
+                      ELSE 'L' END AS rb
+          FROM documents
+        ),
+        cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+                FROM cells),
+        marg AS (
+          SELECT r.ra AS k, CAST(r.rc * c.cc AS BIGINT) AS rxc
+          FROM (SELECT ra, sum(c) AS rc FROM cells GROUP BY ra) r
+          JOIN (SELECT rb, sum(c) AS cc FROM cells GROUP BY rb) c ON r.ra = c.rb
+        ),
+        pe AS (SELECT CAST(sum(rxc) AS BIGINT) AS sum_rxc FROM marg)
+        SELECT n AS n_docs, agree AS agree_n,
+               round(agree / CAST(n AS DOUBLE), 6) AS po,
+               round(sum_rxc / CAST(n * n AS DOUBLE), 6) AS pe,
+               round((agree / CAST(n AS DOUBLE) - sum_rxc / CAST(n * n AS DOUBLE))
+                     / (1 - sum_rxc / CAST(n * n AS DOUBLE)), 6) AS kappa
+        FROM tot CROSS JOIN pe
+      """)) { (s, dir) =>
+      // kappa's po/pe are single divisions of exact BIGINT counts —
+      // deterministic IEEE in both engines, so only the final round(6)
+      // crosses; no decimal freezing needed (contrast the per-term sums
+      // in dd30/dd68).
+      val lab = t(s, dir, "documents").select(
+        when(col("n_chars") < 150, "S").when(col("n_chars") < 300, "M")
+          .otherwise("L").as("ra"),
+        when(size(split(col("text"), " ")) < 30, "S")
+          .when(size(split(col("text"), " ")) < 60, "M")
+          .otherwise("L").as("rb"))
+      val cells = lab.groupBy(col("ra"), col("rb"))
+        .agg(count(lit(1)).as("c")).cache()
+      val tot = cells.agg(sum(col("c")).as("n"),
+        sum(when(col("ra") === col("rb"), col("c")).otherwise(0L)).as("agree"))
+      val rowm = cells.groupBy(col("ra")).agg(sum(col("c")).as("rc"))
+      val colm = cells.groupBy(col("rb")).agg(sum(col("c")).as("cc"))
+      val pe = rowm.join(colm, col("ra") === col("rb"))
+        .agg(sum(col("rc") * col("cc")).as("sum_rxc"))
+      val po = col("agree") / col("n").cast("double")
+      val peX = col("sum_rxc") / (col("n") * col("n")).cast("double")
+      tot.crossJoin(broadcast(pe))
+        .select(col("n").as("n_docs"), col("agree").as("agree_n"),
+          round(po, 6).as("po"), round(peX, 6).as("pe"),
+          round((po - peX) / (lit(1) - peX), 6).as("kappa"))
     })
 }

@@ -66,6 +66,65 @@ object SetSimJoin {
           .as("jaccard"))
   }
 
+  /** EXACT directional containment join: ordered pairs (a, b), a ≠ b,
+    * with C(A→B) = |A∩B| / |A| >= tNum/tDen — the quote / boilerplate /
+    * doc-inclusion detector Jaccard misses (a short doc quoted inside a
+    * long one has high containment but low Jaccard, and dd60's length
+    * filter would prune the pair outright).
+    *
+    * Same All-Pairs prefix machinery as [[exact]], adapted: the prefix
+    * bound depends only on the CONTAINED side (|A∩B| >= ceil(t*|A|) =: α
+    * means A's (|A|-α+1)-token rarity prefix must hit B's full set), and
+    * there is NO length filter — B may be arbitrarily large. Candidate
+    * volume is bounded by A-prefix postings × full postings on the rare
+    * tokens only.
+    */
+  def containment(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val d = docs.select(col("id").cast("long").as("doc_id"),
+      col("toks")).cache()
+    val tokd = d.select(col("doc_id"), explode(col("toks")).as("w"))
+    val dfreq = tokd.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val ranked = tokd.join(dfreq, Seq("w"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") -
+        expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("w"))
+    val probe = ranked.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+    val cand = prefix
+      .join(probe, col("w") === col("wb") && col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("na"))
+      .filter(col("inter") * tDen >= col("na") * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+  }
+
+  /** Filter-free containment specification (every shared-token ordered
+    * pair) — the oracle twin of [[containment]]. */
+  def containmentNaive(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val d = docs.select(col("id").cast("long").as("doc_id"), col("toks"))
+    val tokd = d.select(col("doc_id"), explode(col("toks")).as("w"))
+    val n = d.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    tokd.join(tokd.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+        col("w") === col("wb") && col("doc_id") =!= col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .filter(col("c") * tDen >= col("na") * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c") / col("na").cast("double"), 6).as("containment"))
+  }
+
   /** The filter-free specification: every shared-token pair, exact
     * Jaccard, same threshold algebra. Quadratic in co-occurrence —
     * the oracle `exact` must equal, never the production path. */

@@ -38,6 +38,32 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("containment prefix-filtered join ≡ naive containment on random corpora") {
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.toSeq.sorted) }
+        .toDF("id", "toks")
+      Seq((2, 5), (1, 2), (4, 5), (19, 20), (1, 1)).forall {
+        case (num, den) =>
+          sameRows(SetSimJoin.containment(docs, num, den),
+            SetSimJoin.containmentNaive(docs, num, den))
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("containment is directional: a subset is contained, its superset is not") {
+    val docs = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("a", "b", "c", "d", "e", "f")))
+      .toDF("id", "toks")
+    val out = SetSimJoin.containment(docs, 1, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // C(1→2) = 2/2 = 1.0; C(2→1) = 2/6 — below any threshold = 1
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
   test("identical sets always pair at threshold 1; disjoint sets never pair") {
     val docs = Seq(
       (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
