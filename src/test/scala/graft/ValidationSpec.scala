@@ -103,12 +103,11 @@ class ValidationSpec extends SparkTestBase {
 
   test("oracle SQL exists for every query except the documented rows-only set") {
     val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // The justified rows-only entries: f_custom_functions (uuid_v5 is
-    // SHA-1-based and DuckDB 1.0 has no sha1(); the UDFs are pinned to
-    // reference vectors in UdfsSpec) and dd57_cms_calibration (DuckDB has
-    // no Count-Min sketch; the CMS guarantees are pinned in
-    // QualityProbesSpec instead).
-    assert(rowsOnly == Set("f_custom_functions", "dd57_cms_calibration"),
+    // The single justified rows-only entry: f_custom_functions (uuid_v5
+    // is SHA-1-based and DuckDB 1.0 has no sha1(); the UDFs are pinned
+    // to reference vectors in UdfsSpec). dd57_cms_calibration left this
+    // set in r8 — its CMS contract is oracle-gated as booleans now.
+    assert(rowsOnly == Set("f_custom_functions"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
