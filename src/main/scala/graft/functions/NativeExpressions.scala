@@ -185,6 +185,74 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Jaro-Winkler similarity, semantics pinned to DuckDB 1.0's
+    * `jaro_winkler_similarity` (validated on reference vectors + full
+    * fixture domains): standard Jaro (match window max(l1,l2)/2 - 1,
+    * floor 0; transpositions halved), Winkler prefix boost
+    * 0.1·min(prefix,4)·(1-jaro) applied ONLY when jaro > 0.7, and the
+    * DuckDB quirk that TWO empty strings score 0.0 (not 1.0). Spark has
+    * no built-in JW — this is the classic ER comparator
+    * (`create_person_deduplication_table.py`'s fuzzy tier family), so it
+    * ships as a codegen'd native with a tight JVM loop. ASCII-safe; the
+    * loop runs over UTF-16 units, like DuckDB runs over bytes — both
+    * agree on ASCII, which is the fixture/reference name domain. */
+  def jaroWinklerEval(ua: UTF8String, ub: UTF8String): Double = {
+    val s1 = ua.toString; val s2 = ub.toString
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val tr = t / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+      (m - tr).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      val maxp = math.min(4, math.min(l1, l2))
+      var l = 0
+      while (l < maxp && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + 0.1 * l * (1.0 - jaro)
+    } else jaro
+  }
+
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler_native"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinklerEval(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.NativeExpressions.jaroWinklerEval($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaroWinkler =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
@@ -208,6 +276,8 @@ object NativeExpressions {
     column(TrigramSimilarity(expression(a), expression(b)))
   def dot_native(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def jaro_winkler_native(a: Column, b: Column): Column =
+    column(JaroWinkler(expression(a), expression(b)))
   def ngrams_native(words: Column, n: Int): Column =
     column(NGrams(expression(words), n))
   def minhash_sig_native(shingles: Column): Column =
@@ -239,6 +309,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => NativeExpressions.DotProduct(a, b)
         case other => throw new IllegalArgumentException(
           s"dot_native expects 2 arguments, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler_native"),
+      new ExpressionInfo(classOf[NativeExpressions.JaroWinkler].getName,
+        "jaro_winkler_native"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => NativeExpressions.JaroWinkler(a, b)
+        case other => throw new IllegalArgumentException(
+          s"jaro_winkler_native expects 2 arguments, got ${other.size}")
       }))
   }
 }

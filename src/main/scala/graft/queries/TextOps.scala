@@ -482,5 +482,63 @@ object TextOps {
         nfc(raw).as("norm"),
         length(nfc(raw)).cast("long").as("n_chars"),
         md5(nfc(raw)).as("content_key"))
+    },
+
+    // ---- T22: Jaro-Winkler similarity (native codegen expression) --------
+    // Spark has no built-in Jaro-Winkler; the engine ships it as a
+    // codegen'd Catalyst expression (functions/NativeExpressions.JaroWinkler)
+    // with semantics pinned to DuckDB 1.0's jaro_winkler_similarity \u2014
+    // which makes this the one custom function whose ORACLE can call the
+    // real thing: every similarity below is computed by the native
+    // expression in Spark and by DuckDB's builtin in the oracle, so the
+    // hash compare IS the cross-engine parity proof (boost threshold 0.7,
+    // prefix cap 4, both-empty \u2192 0, and the exact double arithmetic).
+    // Two domains stress it: the 64-name part vocabulary (blocked
+    // distinct-name pairs, e2's entity-bounded shape) and ~45k
+    // same-nation customer-name pairs (long shared prefixes exercise the
+    // Winkler boost and the float edge near the 0.8 threshold).
+    QueryDef(
+      "t22_jaro_winkler",
+      "Jaro-Winkler >= 0.8 name pairs over two domains via the native codegen'd expression, hash-compared against DuckDB's built-in jaro_winkler_similarity \u2014 the oracle-gated \u00a72.12 custom function",
+      Some("""
+        WITH names AS (
+          SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS block FROM part
+        ),
+        pp AS (
+          SELECT 'part' AS domain, a.p_name AS name_a, b.p_name AS name_b,
+                 jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+          FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+        ),
+        cp AS (
+          SELECT 'customer' AS domain, q.c_name AS name_a, c.c_name AS name_b,
+                 jaro_winkler_similarity(q.c_name, c.c_name) AS jw
+          FROM (SELECT * FROM customer WHERE c_custkey % 200 = 0) q
+          JOIN customer c ON q.c_nationkey = c.c_nationkey AND q.c_name < c.c_name
+        )
+        SELECT domain, name_a, name_b, round(jw, 6) AS jw
+        FROM (SELECT * FROM pp UNION ALL SELECT * FROM cp)
+        WHERE jw >= 0.8
+      """)) { (s, dir) =>
+      import graft.functions.NativeExpressions.jaro_winkler_native
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("block", split(col("p_name"), " ").getItem(0))
+      val partPairs = names.select(col("p_name").as("name_a"), col("block"))
+        .join(broadcast(names.select(col("p_name").as("name_b"), col("block"))),
+          Seq("block"))
+        .filter(col("name_a") < col("name_b"))
+        .select(lit("part").as("domain"), col("name_a"), col("name_b"),
+          jaro_winkler_native(col("name_a"), col("name_b")).as("jw"))
+      val cust = t(s, dir, "customer")
+      val custPairs = cust.filter(col("c_custkey") % 200 === 0)
+        .select(col("c_name").as("name_a"), col("c_nationkey").as("nk"))
+        .join(cust.select(col("c_name").as("name_b"), col("c_nationkey").as("nk")),
+          Seq("nk"))
+        .filter(col("name_a") < col("name_b"))
+        .select(lit("customer").as("domain"), col("name_a"), col("name_b"),
+          jaro_winkler_native(col("name_a"), col("name_b")).as("jw"))
+      partPairs.unionByName(custPairs)
+        .filter(col("jw") >= 0.8)
+        .select(col("domain"), col("name_a"), col("name_b"),
+          round(col("jw"), 6).as("jw"))
     })
 }

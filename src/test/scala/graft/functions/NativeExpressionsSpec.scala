@@ -57,6 +57,55 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - 4.0 / 7.0) < 1e-9)
   }
 
+  test("jaro_winkler_native matches DuckDB 1.0 reference vectors exactly") {
+    // vectors computed with DuckDB 1.0's jaro_winkler_similarity —
+    // including its quirks: both-empty → 0.0, boost only when jaro > 0.7
+    // (abcdxxxxxx pair stays at its raw jaro 0.6 despite the 4-char
+    // prefix), transposition halving (martha/marhta), window-0 no-match
+    // (ab/ba), and the short-vs-long prefix boost (ab/abcdefgh = 0.8)
+    val vectors = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("duane", "dwayne", 0.84),
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("hot bolt", "old bolt", 0.8333333333333334),
+      ("ab", "ba", 0.0),
+      ("crate", "trace", 0.7333333333333333),
+      ("ab", "abcdefgh", 0.8),
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),
+      ("abqqqqqqqqqq", "abzzzzzzzzzz", 0.4444444444444444))
+    vectors.foreach { case (a, b, want) =>
+      val got = NativeExpressions.jaroWinklerEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-12, s"jw($a, $b) = $got, want $want")
+    }
+    // symmetric
+    assert(NativeExpressions.jaroWinklerEval(
+      org.apache.spark.unsafe.types.UTF8String.fromString("dixon"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("dicksonx")) ==
+      NativeExpressions.jaroWinklerEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString("dicksonx"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("dixon")))
+  }
+
+  test("jaro_winkler_native stays inside WholeStageCodegen and propagates null") {
+    val df = Tables(spark, sf0001, "nation")
+      .select(NativeExpressions.jaro_winkler_native(
+        col("n_name"), lit("NATION_1")).as("jw"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("jaro_winkler_native"),
+      plan.take(400))
+    assert(!plan.toLowerCase.contains("scalaudf"), plan.take(1000))
+    val nulls = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(NativeExpressions.jaro_winkler_native(col("a"), col("b")).as("jw"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("dot_native is bit-exact with the aggregate/zip_with fold") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
