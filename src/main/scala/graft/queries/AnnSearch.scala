@@ -688,7 +688,90 @@ object AnnSearch {
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("cand_id"), col("cos"))
+    },
+
+    // ---- DD93: in-engine PCA (closed-form power iteration) ----------------
+    QueryDef(
+      "dd93_pca_power",
+      "PCA's leading component computed INSIDE the engine: one corpus pass folds the 8-dim embedding slice into 44 decimal-frozen moment sums (n, means, upper-triangle second moments), the covariance matrix materializes on the 1-ROW aggregate, and 8 power-iteration steps run as chained selects of pure arithmetic on that row — matrix-free distributed PCA where the corpus is touched once and the iteration costs nothing at any scale. Emits eigenvalue, explained-variance share, and loadings; every step expression is generated ONCE (PcaSql) into both the Spark plan and the oracle, dd77's adjugate discipline",
+      Some(PcaSql.oracle)) { (s, dir) =>
+      // Moments freeze round(9) into DECIMAL(28,9) so the covariance
+      // inputs are order-free; from there every step is deterministic
+      // IEEE double arithmetic with identical expression text in both
+      // engines — same left-assoc fold order, so bit-identical results.
+      // v0 = 1/sqrt(8)·ones; 8 steps is plenty at the fixture's spectral
+      // gap, and the step count is a literal, not data-dependent.
+      val xs = t(s, dir, "embeddings").selectExpr(
+        (1 to PcaSql.D).map(i => s"CAST(element_at(embedding, $i) AS DOUBLE) AS x$i"): _*)
+      val momE = PcaSql.momExprs.map(expr)
+      var df = xs.agg(momE.head, momE.tail: _*)
+        .selectExpr(PcaSql.covExprs: _*)
+        .selectExpr(PcaSql.tvExprs: _*)
+        .selectExpr(PcaSql.initExprs: _*)
+      for (k <- 1 to PcaSql.Steps) {
+        df = df.selectExpr(PcaSql.wStep: _*)
+          .selectExpr(PcaSql.vStep(last = k == PcaSql.Steps): _*)
+      }
+      df.selectExpr(PcaSql.finalExprs: _*)
     })
+
+  /** Shared PCA expression generator — dialect-free arithmetic emitted
+    * verbatim into the Spark selectExpr chain AND the DuckDB CTE chain,
+    * so the unrolled power iteration cannot drift between engines. */
+  private[graft] object PcaSql {
+    val D = 8
+    val Steps = 8
+    private def pairs: Seq[(Int, Int)] =
+      for { i <- 1 to D; j <- i to D } yield (i, j)
+    private def frozen(e: String, a: String): String =
+      s"CAST(sum(CAST(round($e, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $a"
+    val momExprs: Seq[String] =
+      Seq("CAST(count(*) AS BIGINT) AS n") ++
+        (1 to D).map(i => frozen(s"x$i", s"s$i")) ++
+        pairs.map { case (i, j) => frozen(s"x$i*x$j", s"s${i}_$j") }
+    val covExprs: Seq[String] =
+      Seq("n") ++ pairs.map { case (i, j) =>
+        s"s${i}_$j/n - (s$i/n)*(s$j/n) AS c${i}_$j" }
+    private val covCols: Seq[String] = pairs.map { case (i, j) => s"c${i}_$j" }
+    val tvExprs: Seq[String] =
+      Seq("n") ++ covCols ++
+        Seq((1 to D).map(i => s"c${i}_$i").mkString(" + ") + " AS tv")
+    private val carry: Seq[String] = Seq("n", "tv") ++ covCols
+    val initExprs: Seq[String] =
+      carry ++ (1 to D).map(i => s"1.0/sqrt(8.0) AS v$i")
+    private def cref(i: Int, j: Int): String =
+      if (i <= j) s"c${i}_$j" else s"c${j}_$i"
+    val wStep: Seq[String] =
+      carry ++ (1 to D).map(i =>
+        (1 to D).map(j => s"${cref(i, j)}*v$j").mkString(" + ") + s" AS w$i")
+    private val normTxt: String =
+      "sqrt(" + (1 to D).map(i => s"w$i*w$i").mkString(" + ") + ")"
+    def vStep(last: Boolean): Seq[String] =
+      carry ++ (1 to D).map(i => s"w$i/$normTxt AS v$i") ++
+        (if (last) Seq(s"$normTxt AS lam") else Nil)
+    val finalExprs: Seq[String] =
+      Seq("n AS n_vecs", "round(tv, 6) AS total_var", "round(lam, 6) AS lambda1",
+        "round(lam/tv, 6) AS explained") ++
+        (1 to D).map(i => s"round(v$i, 6) AS v$i")
+    val oracle: String = {
+      val sb = new StringBuilder
+      sb ++= "WITH xs AS (SELECT "
+      sb ++= (1 to D).map(i => s"CAST(embedding[$i] AS DOUBLE) AS x$i").mkString(", ")
+      sb ++= " FROM embeddings),\n"
+      sb ++= s"mom AS (SELECT ${momExprs.mkString(", ")} FROM xs),\n"
+      sb ++= s"cov0 AS (SELECT ${covExprs.mkString(", ")} FROM mom),\n"
+      sb ++= s"cov AS (SELECT ${tvExprs.mkString(", ")} FROM cov0),\n"
+      sb ++= s"it0 AS (SELECT ${initExprs.mkString(", ")} FROM cov)"
+      var prev = "it0"
+      for (k <- 1 to Steps) {
+        sb ++= s",\nsw$k AS (SELECT ${wStep.mkString(", ")} FROM $prev)"
+        sb ++= s",\nsv$k AS (SELECT ${vStep(last = k == Steps).mkString(", ")} FROM sw$k)"
+        prev = s"sv$k"
+      }
+      sb ++= s"\nSELECT ${finalExprs.mkString(", ")} FROM $prev"
+      sb.toString
+    }
+  }
 
   /** Achlioptas-style +-1 projection signs, md5-seeded so both engines
     * embed the SAME 64x16 matrix as literals: sign(i,j) = +1 iff the

@@ -261,6 +261,66 @@ object MixOps {
             (col("nf_a") + col("nf_b") - col("shared")), 6).as("overlap"))
     },
 
+    // ---- DD92: HLL inclusion-exclusion overlap ----------------------------
+    QueryDef(
+      "dd92_hll_overlap",
+      "dd56's overlap matrix by HLL inclusion-exclusion — est(A∩B) = hll(A) + hll(B) − hll(A∪B), each a ONE-PASS mergeable sketch, gated |est − exact| <= 5%·(|A|+|B|) against the exact self-join answer (dd27's booleans-ARE-the-result pattern). The scale story dd56 can't tell: a superstar fingerprint shared by every source blows the exact self-join's fan-out, but the sketch path never materializes a pair — at 100 TB the gate is how you prove the cheap estimator is safe to serve",
+      Some("""
+        WITH fs AS (
+          SELECT DISTINCT array_to_string(string_split(text, ' ')[1:8], ' ') AS fp,
+                 source
+          FROM documents
+        ),
+        cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS nf FROM fs GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, shared, ca.nf AS nf_a, cb.nf AS nf_b,
+               TRUE AS hll_ok
+        FROM pairs
+        JOIN cnt ca ON source_a = ca.source
+        JOIN cnt cb ON source_b = cb.source
+      """)) { (s, dir) =>
+      // Three rsd=0.005 sketches stack ~sqrt(3)·0.005·(nf_a+nf_b) of 1σ
+      // error on the difference; the 5% gate leaves ~5σ. The pair
+      // expansion joins each (fp, source) row against the BROADCAST
+      // source-pair table (sources are ~tens at any corpus size), so the
+      // union sketches build in one corpus pass with bounded fan-out.
+      val fs = t(s, dir, "documents")
+        .select(array_join(slice(split(col("text"), " "), 1, 8), " ").as("fp"),
+          col("source"))
+        .distinct()
+        .cache()
+      val cnt = fs.groupBy(col("source"))
+        .agg(count(lit(1)).as("nf"),
+          approx_count_distinct(col("fp"), 0.005).as("hll_nf"))
+        .cache()
+      val exact = fs.as("a").join(fs.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      val srcs = cnt.select(col("source"))
+      val pairTbl = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      val unions = fs.join(broadcast(pairTbl),
+          col("source") === col("source_a") || col("source") === col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(approx_count_distinct(col("fp"), 0.005).as("hll_union"))
+      val ca = broadcast(cnt.select(col("source").as("source_a"),
+        col("nf").as("nf_a"), col("hll_nf").as("hll_a")))
+      val cb = broadcast(cnt.select(col("source").as("source_b"),
+        col("nf").as("nf_b"), col("hll_nf").as("hll_b")))
+      exact.join(broadcast(unions), Seq("source_a", "source_b"))
+        .join(ca, Seq("source_a")).join(cb, Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("shared"),
+          col("nf_a"), col("nf_b"),
+          (abs(col("hll_a") + col("hll_b") - col("hll_union") - col("shared"))
+            <= (col("nf_a") + col("nf_b")) * 0.05).as("hll_ok"))
+    },
+
     // ---- DD58: BPE first-merge mining -------------------------------------
     QueryDef(
       "dd58_bpe_pairs",

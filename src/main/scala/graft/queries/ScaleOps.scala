@@ -586,5 +586,69 @@ object ScaleOps {
           round(min(col("o_totalprice")), 2).as("min_price"),
           round(max(col("o_totalprice")), 2).as("max_price"),
           sum(col("o_orderkey")).as("key_checksum"))
+    },
+
+    // ---- DD91: label-propagation communities ------------------------------
+    QueryDef(
+      "dd91_label_propagation",
+      "Community detection by SYNCHRONOUS label propagation (Raghavan et al. '07 made deterministic: every node adopts its neighbors' modal label each round, ties to the MIN label) over the part↔supplier graph, 3 unrolled rounds — per round ONE edge⋈label join + ONE (dst,label)-keyed count + a dst-keyed argmax window; label state stays node-bounded, edges cached and never re-shuffled. Complements dd34 (authority) and dd11 (connectivity): LPA finds DENSE regions, which connected components cannot — a component is one island regardless of internal structure",
+      Some("""
+        WITH e0 AS (
+          SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem
+        ),
+        edges AS (
+          SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        c1 AS (SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+               FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+        l1 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (PARTITION BY node
+                          ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+        c2 AS (SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+               FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        l2 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (PARTITION BY node
+                          ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+        c3 AS (SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+               FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+        l3 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (PARTITION BY node
+                          ORDER BY c DESC, lbl) AS rn FROM c3) WHERE rn = 1),
+        tot AS (SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS n_communities FROM l3)
+        SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+               max(tot.n_communities) AS n_communities
+        FROM l3 CROSS JOIN tot
+        GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20
+      """)) { (s, dir) =>
+      // Synchronous + min-label tie-break = fully deterministic (async
+      // LPA's update-order dependence cannot cross an engine boundary).
+      // The argmax is a dst-keyed window over the (dst,label) count
+      // relation — partition count = node count, so parallelism GROWS
+      // with the graph; nothing here is driver-side. All state is exact
+      // integer counts and string mins: no float discipline needed.
+      val e0 = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        val cnt = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        labels = cnt.withColumn("rn", row_number().over(
+            Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lbl"))
+      }
+      val tot = labels.agg(countDistinct(col("lbl")).as("n_communities"))
+      labels.crossJoin(broadcast(tot))
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), max(col("n_communities")).as("n_communities"))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
     })
 }

@@ -539,5 +539,114 @@ object SearchRank {
           Window.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("neg_id"))))
         .filter(col("rn") <= 2)
         .select(col("q_id"), col("neg_id"), col("bm25"))
+    },
+
+    // ---- IR15: ranker agreement (Kendall tau-b) ---------------------------
+    QueryDef(
+      "ir15_rank_agreement",
+      "Kendall tau-b between the BM25 and Dirichlet-QL (mu=100) rankings over the SHARED BM25 top-10 cut: concordant/discordant/tied pair counts from a bounded inequality self-join on the 10-row score relation — never a global rank window; tau-b's tie correction folds from the same integer pair counts. The ranker-swap decision metric: high tau means the cheaper ranker can serve, low tau means the rankings genuinely disagree",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        cf AS (SELECT tf.w, CAST(sum(tf.tf) AS BIGINT) AS cf FROM tf
+               JOIN qterms q ON tf.w = q.w GROUP BY tf.w),
+        ctot AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+        contrib AS (
+          SELECT tf.doc_id,
+            CAST(round( ln((CAST(n.n AS DOUBLE) - q.df + 0.5)/(q.df + 0.5) + 1)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/n.avgdl)), 9) AS DECIMAL(28,9)) AS c
+          FROM tf JOIN qterms q ON tf.w = q.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+        ),
+        cut AS (
+          SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+          FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+        ),
+        qlc AS (
+          SELECT cut.doc_id,
+            CAST(round( ln((COALESCE(tf.tf, 0) + 100.0*cf.cf/ctot.ctot)
+                           / (dl.dl + 100.0)), 9) AS DECIMAL(28,9)) AS c
+          FROM cut CROSS JOIN cf
+          LEFT JOIN tf ON tf.doc_id = cut.doc_id AND tf.w = cf.w
+          JOIN dl ON dl.doc_id = cut.doc_id CROSS JOIN ctot
+        ),
+        ql AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS ql FROM qlc GROUP BY doc_id),
+        scores AS (SELECT cut.doc_id, cut.bm25, ql.ql FROM cut JOIN ql ON cut.doc_id = ql.doc_id),
+        pairs AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN (a.bm25 - b.bm25)*(a.ql - b.ql) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN (a.bm25 - b.bm25)*(a.ql - b.ql) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+            CAST(sum(CASE WHEN a.bm25 = b.bm25 THEN 1 ELSE 0 END) AS BIGINT) AS tie_bm25,
+            CAST(sum(CASE WHEN a.ql = b.ql THEN 1 ELSE 0 END) AS BIGINT) AS tie_ql
+          FROM scores a JOIN scores b ON a.doc_id < b.doc_id
+        )
+        SELECT n0 AS n_pairs, conc AS concordant, disc AS discordant, tie_bm25, tie_ql,
+               round((conc - disc) / sqrt(CAST((n0 - tie_bm25)*(n0 - tie_ql) AS DOUBLE)), 6) AS tau_b
+        FROM pairs
+      """)) { (s, dir) =>
+      // Two rankers, one cached tf relation (ir6's discipline): BM25
+      // picks the cut, QL rescores ONLY the 10 cut docs (a broadcast
+      // 10x3 term grid LEFT-joined onto tf so absent terms keep the
+      // smoothed background mass — the point of Dirichlet smoothing).
+      // Every pair statistic is an exact BIGINT count off the 45-pair
+      // bounded self-join; tau-b's single sqrt division is the only
+      // float. Scores compare after round(6), so tie detection is
+      // cross-engine exact.
+      val tf = tok(s, dir).groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).cache()
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = df.orderBy(col("df").desc, col("w")).limit(3)
+      val cf = tf.join(broadcast(qterms.select(col("w"))), Seq("w"))
+        .groupBy(col("w")).agg(sum(col("tf")).as("cf"))
+      val ctot = dl.agg(sum(col("dl")).as("ctot"))
+      val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1)
+      val cut = tf.join(broadcast(qterms), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(idf * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .cache()
+      val grid = cut.select(col("doc_id"))
+        .crossJoin(broadcast(cf))
+      // prune tf to the 10 cut docs BEFORE the left join: the grid is 30
+      // rows, so the corpus-sized tf must never shuffle to meet it — the
+      // semi-join prune is a broadcast filter on the scan, and the pruned
+      // slice is itself broadcastable
+      val tfCut = tf.join(broadcast(cut.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      val ql = grid
+        .join(broadcast(tfCut), Seq("doc_id", "w"), "left")
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(ctot))
+        .select(col("doc_id"),
+          round(log((coalesce(col("tf"), lit(0L)) + lit(100.0) * col("cf") / col("ctot")) /
+            (col("dl") + lit(100.0))), 9).cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("ql"))
+      val scores = cut.join(ql, Seq("doc_id"))
+      scores.as("a").join(broadcast(scores.as("b")),
+          col("a.doc_id") < col("b.doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("a.bm25") - col("b.bm25")) * (col("a.ql") - col("b.ql")) > 0, 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("a.bm25") - col("b.bm25")) * (col("a.ql") - col("b.ql")) < 0, 1L)
+            .otherwise(0L)).as("discordant"),
+          sum(when(col("a.bm25") === col("b.bm25"), 1L).otherwise(0L)).as("tie_bm25"),
+          sum(when(col("a.ql") === col("b.ql"), 1L).otherwise(0L)).as("tie_ql"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          col("tie_bm25"), col("tie_ql"),
+          round((col("concordant") - col("discordant")) /
+            sqrt(((col("n_pairs") - col("tie_bm25")) *
+              (col("n_pairs") - col("tie_ql"))).cast("double")), 6).as("tau_b"))
     })
 }

@@ -1567,6 +1567,36 @@ object SelectOps {
         .orderBy(col("bin"))
     },
 
+    // ---- DD90: ROC AUC in count space -------------------------------------
+    QueryDef(
+      "dd90_roc_auc",
+      "ROC AUC of dd77's model as the tie-corrected Mann-Whitney statistic over FIXED-WIDTH score bins (floor(p*1000) — map-side key, no global sort of scores): per-bin (pos, neg) counts, below-bin positives via a broadcast inequality self-join on the <=1000-row bin relation, AUC = sum(neg_b * (2*cumpos_b + pos_b)) / (2*P*N) in EXACT integer/decimal arithmetic — the single division at the end is the only float. Completes the model-eval family: dd77 trains, dd80 calibrates, this ranks",
+      Some(SelectOpsSql.rocAucOracle)) { (s, dir) =>
+      // Bins are tie groups: a pos in bin b counts 1 for every neg in a
+      // strictly lower bin and 1/2 for each neg sharing its bin — the
+      // textbook tie correction, kept integer by doubling both sides.
+      // Products go through DECIMAL(38,0) so P*N stays exact past the
+      // BIGINT range a 100 TB corpus would overflow.
+      val (feats, beta2) = logregFit(s, dir)
+      val cells = feats.crossJoin(broadcast(beta2))
+        .withColumn("p", expr("1.0/(1.0 + exp(-(c0 + c1*x1 + c2*x2)))"))
+        .groupBy(least(floor(col("p") * 1000), lit(999)).cast("long").as("bin"))
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("neg"))
+        .cache()
+      val cum = cells.as("a")
+        .join(broadcast(cells.as("b")), col("b.bin") < col("a.bin"), "left")
+        .groupBy(col("a.bin").as("bin"), col("a.pos").as("pos"), col("a.neg").as("neg"))
+        .agg(coalesce(sum(col("b.neg")), lit(0L)).as("cumneg"))
+      val tot = cells.agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"))
+      val aucExpr = expr(
+        "cast(sum(cast(pos as decimal(38,0)) * (2*cumneg + neg)) as double)" +
+          " / cast(2 * cast(max(np) as decimal(38,0)) * max(nn) as double)")
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("np")).as("n_pos"), max(col("nn")).as("n_neg"),
+          round(aucExpr, 6).as("auc"), round(aucExpr * 2 - 1, 6).as("gini"))
+    },
+
     // ---- DD78: simhash Hamming-ball join ----------------------------------
     QueryDef(
       "dd78_simhash_join",
@@ -2151,6 +2181,32 @@ object SelectOps {
                round(CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE)/count(*), 6) AS observed_rate,
                round(CAST(sum(CAST(round((p-y)*(p-y), 9) AS DECIMAL(28,9))) AS DOUBLE)/count(*), 6) AS brier
         FROM binned GROUP BY bin ORDER BY bin
+      """
+
+    val rocAucOracle: String = logregCtes + """
+        , scored3 AS (
+          SELECT y, 1.0/(1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS p
+          FROM feats CROSS JOIN beta2
+        ),
+        cells AS (
+          SELECT least(CAST(floor(p*1000) AS BIGINT), 999) AS bin,
+                 CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          FROM scored3 GROUP BY 1
+        ),
+        cum AS (
+          SELECT a.bin, a.pos, a.neg,
+                 CAST(COALESCE(sum(b.neg), 0) AS BIGINT) AS cumneg
+          FROM cells a LEFT JOIN cells b ON b.bin < a.bin
+          GROUP BY a.bin, a.pos, a.neg
+        ),
+        tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn FROM cells)
+        SELECT max(np) AS n_pos, max(nn) AS n_neg,
+               round(CAST(sum(CAST(pos AS DECIMAL(38,0)) * (2*cumneg + neg)) AS DOUBLE)
+                     / CAST(2 * CAST(max(np) AS DECIMAL(38,0)) * max(nn) AS DOUBLE), 6) AS auc,
+               round(CAST(sum(CAST(pos AS DECIMAL(38,0)) * (2*cumneg + neg)) AS DOUBLE)
+                     / CAST(2 * CAST(max(np) AS DECIMAL(38,0)) * max(nn) AS DOUBLE) * 2 - 1, 6) AS gini
+        FROM cum CROSS JOIN tot
       """
 
     // ---- e10 sign-LSH projection literals --------------------------------

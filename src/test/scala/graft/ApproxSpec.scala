@@ -84,4 +84,50 @@ class ApproxSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(3) - inter.toDouble / truth(q).size) < 1e-6)
     }
   }
+  test("dd92: HLL inclusion-exclusion matrix agrees with dd56's exact matrix") {
+    val est = SparkEntry.all.find(_.name == "dd92_hll_overlap").get
+      .run(spark, sf001).collect()
+      .map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+        (r.getAs[Long]("shared"), r.getAs[Long]("nf_a"), r.getAs[Long]("nf_b"),
+          r.getAs[Boolean]("hll_ok")))).toMap
+    assert(est.nonEmpty)
+    // every gate boolean must be genuinely TRUE (the oracle pins it)
+    est.values.foreach { case (_, _, _, ok) => assert(ok, "hll gate violated") }
+    // the exact columns must BE dd56's matrix on the same fingerprints
+    val exact = SparkEntry.all.find(_.name == "dd56_source_overlap").get
+      .run(spark, sf001).collect()
+      .map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+        (r.getAs[Long]("shared"), r.getAs[Long]("nf_a"), r.getAs[Long]("nf_b")))).toMap
+    assert(est.keySet == exact.keySet, "pair sets differ from dd56")
+    est.foreach { case (k, (sh, na, nb, _)) =>
+      assert(exact(k) == ((sh, na, nb)), s"pair $k differs from dd56") }
+  }
+
+  test("dd93: engine PCA matches a driver-side power-iteration replay") {
+    val out = SparkEntry.all.find(_.name == "dd93_pca_power").get
+      .run(spark, sf001).collect().head
+    val xs = Tables(spark, sf001, "embeddings")
+      .selectExpr((1 to 8).map(i => s"CAST(element_at(embedding, $i) AS DOUBLE) AS x$i"): _*)
+      .collect().map(r => Array.tabulate(8)(i => r.getDouble(i)))
+    val n = xs.length.toDouble
+    val mean = Array.tabulate(8)(i => xs.map(_(i)).sum / n)
+    val cov = Array.tabulate(8, 8)((i, j) =>
+      xs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j))
+    var v = Array.fill(8)(1.0 / math.sqrt(8.0))
+    var lam = 0.0
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(8)(i => (0 until 8).map(j => cov(i)(j) * v(j)).sum)
+      lam = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lam)
+    }
+    val tv = (0 until 8).map(i => cov(i)(i)).sum
+    assert(math.abs(out.getAs[Double]("total_var") - tv) < 1e-4)
+    assert(math.abs(out.getAs[Double]("lambda1") - lam) < 1e-4,
+      s"engine ${out.getAs[Double]("lambda1")} vs replay $lam")
+    assert(math.abs(out.getAs[Double]("explained") - lam / tv) < 1e-3)
+    // loadings align up to the (deterministic) sign: |cos(v_engine, v_ref)| ~ 1
+    val ve = (1 to 8).map(i => out.getAs[Double](s"v$i"))
+    val dot = ve.zip(v).map { case (a, b) => a * b }.sum
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-3, s"loading alignment |$dot| != 1")
+  }
 }

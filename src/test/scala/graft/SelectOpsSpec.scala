@@ -191,6 +191,37 @@ class SelectOpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("accuracy") >= 0 && r.getAs[Double]("accuracy") <= 1)
   }
 
+  test("dd90: binned AUC matches a driver-side exact Mann-Whitney to bin resolution") {
+    // score every doc under dd77's published coefficients, compute the
+    // EXACT tie-corrected AUC on collected rows, and require the engine's
+    // 1000-bin statistic to agree within binning resolution
+    val b = run("dd77_logreg_train").head
+    val (b0, b1, b2) =
+      (b.getAs[Double]("b0"), b.getAs[Double]("b1"), b.getAs[Double]("b2"))
+    val py = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(
+        log(size(split(col("text"), " ")).cast("double")).as("x1"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .collect().map { r =>
+        (1.0 / (1.0 + math.exp(-(b0 + b1 * r.getDouble(0) + b2 * r.getDouble(1)))),
+          r.getDouble(2))
+      }
+    val pos = py.filter(_._2 == 1.0).map(_._1)
+    val neg = py.filter(_._2 == 0.0).map(_._1)
+    val num = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val exact = num / (pos.length.toDouble * neg.length)
+    val out = run("dd90_roc_auc").head
+    assert(out.getAs[Long]("n_pos") == pos.length &&
+      out.getAs[Long]("n_neg") == neg.length)
+    val auc = out.getAs[Double]("auc")
+    assert(math.abs(auc - exact) < 5e-3,
+      s"binned AUC $auc vs exact $exact — outside bin resolution")
+    assert(math.abs(out.getAs[Double]("gini") - (2 * auc - 1)) < 2e-6)
+  }
+
   test("w28: residuals recompute from the published baseline and day values") {
     val out = run("w28_seasonal_residuals")
     val bad = out.filter(
