@@ -146,6 +146,30 @@ object MediaCodecs {
     buf.array()
   }
 
+  /** Full pixel read of a 24bpp bottom-up BMP (the encodeBmp24 layout):
+    * returns (width, height, gray) with gray row-major TOP-DOWN, one int
+    * per pixel from the blue channel (our fixtures write r=g=b, and blue
+    * is byte 0 of each pixel triple). None on any malformed geometry. */
+  def decodeBmpGray(blob: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeBmp(blob).filter(i => i.bitsPerPixel == 24 && i.width > 0 && i.height > 0)
+      .flatMap { info =>
+        val w = info.width; val h = info.height
+        val rowBytes = w * 3
+        val pad = (4 - rowBytes % 4) % 4
+        if (blob.length < 54 + (rowBytes + pad).toLong * h) None
+        else {
+          val g = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val base = 54 + (h - 1 - y) * (rowBytes + pad)
+            var x = 0
+            while (x < w) { g(y * w + x) = blob(base + x * 3) & 0xff; x += 1 }
+            y += 1
+          }
+          Some((w, h, g))
+        }
+      }
+
   /** Parse BMP dimensions from a BITMAPINFOHEADER (the universal core
     * header; height may be negative = top-down, we report magnitude). */
   def decodeBmp(blob: Array[Byte]): Option[BmpInfo] = {

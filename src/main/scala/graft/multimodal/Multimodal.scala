@@ -175,6 +175,40 @@ object Multimodal {
     }(enc)
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sig", LongType, nullable = false)))
+
+  /** 64-bit average-hash of each decodable BMP: bit k compares the gray
+    * at the (k%8, k/8) cell of an 8x8 sample grid against the image mean,
+    * INTEGER-cross-multiplied (gray*npx > sum) so the threshold is exact.
+    * One decode per blob inside mapPartitions — pixels never leave the
+    * partition; only the 8-byte signature travels. Non-BMP rows drop. */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val blob = r.get(1).asInstanceOf[Array[Byte]]
+        MediaCodecs.decodeBmpGray(blob).map { case (w, h, gray) =>
+          val npx = (w * h).toLong
+          var sum = 0L
+          var i = 0
+          while (i < gray.length) { sum += gray(i); i += 1 }
+          var sig = 0L
+          var k = 0
+          while (k < 64) {
+            val x = (k % 8) * w / 8
+            val y = (k / 8) * h / 8
+            if (gray(y * w + x) * npx > sum) sig |= (1L << k)
+            k += 1
+          }
+          Row(id, sig)
+        }
+      }
+    }(enc)
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false)),

@@ -793,5 +793,70 @@ object OlapOps {
         .unionByName(report("orderdate_not_null", col("null_dates"))(wide))
         .unionByName(report("totalprice_positive", col("bad_prices"))(wide))
         .unionByName(report("status_in_domain", col("bad_status"))(wide))
+    },
+
+    // ---- A25: Welch's two-sample t-test ------------------------------------
+    QueryDef(
+      "a25_welch_ttest",
+      "Welch's unequal-variance t-test between two customer segments on account balance — the A/B significance readout every experimentation pipeline ships: per-group n/Σx/Σx² fold as EXACT decimals in ONE map-side-combined groupBy (sufficient statistics, the at-scale shape — never a second pass for the variance), then t, the Welch–Satterthwaite df, and the |t|>1.96 verdict are pure arithmetic on the 2-row relation. acctbal has 2 decimal digits, so Σx at DECIMAL(28,2) and Σx² at DECIMAL(28,4) are EXACT — the means and variances derive from integers, no float-order concerns at all",
+      Some("""
+        WITH g AS (
+          SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sx,
+                 CAST(sum(CAST(round(c_acctbal*c_acctbal, 4) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sxx
+          FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+          GROUP BY 1
+        ),
+        w AS (
+          SELECT
+            max(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS n_a,
+            max(CASE WHEN seg = 'BUILDING'   THEN n END) AS n_b,
+            max(CASE WHEN seg = 'AUTOMOBILE' THEN CAST(sx AS DOUBLE) END) AS sxa,
+            max(CASE WHEN seg = 'BUILDING'   THEN CAST(sx AS DOUBLE) END) AS sxb,
+            max(CASE WHEN seg = 'AUTOMOBILE' THEN CAST(sxx AS DOUBLE) END) AS sxxa,
+            max(CASE WHEN seg = 'BUILDING'   THEN CAST(sxx AS DOUBLE) END) AS sxxb
+          FROM g
+        ),
+        m AS (
+          SELECT n_a, n_b, sxa/n_a AS mean_a, sxb/n_b AS mean_b,
+                 (sxxa - sxa*sxa/n_a)/(n_a - 1) AS var_a,
+                 (sxxb - sxb*sxb/n_b)/(n_b - 1) AS var_b
+          FROM w
+        )
+        SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+               round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+               round((mean_a - mean_b)/sqrt(var_a/n_a + var_b/n_b), 6) AS t_stat,
+               round((var_a/n_a + var_b/n_b)*(var_a/n_a + var_b/n_b)
+                     / ((var_a/n_a)*(var_a/n_a)/(n_a - 1)
+                        + (var_b/n_b)*(var_b/n_b)/(n_b - 1)), 2) AS df,
+               abs((mean_a - mean_b)/sqrt(var_a/n_a + var_b/n_b)) > 1.96 AS significant
+        FROM m
+      """)) { (s, dir) =>
+      // squares written as explicit multiplication (a20's libm-pow
+      // lesson); the whole test after the groupBy is a 1-row select
+      val g = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DECIMAL(28,2))").as("sx"),
+          expr("CAST(sum(CAST(round(c_acctbal*c_acctbal, 4) AS DECIMAL(18,4))) AS DECIMAL(28,4))").as("sxx"))
+      g.agg(
+          max(when(col("seg") === "AUTOMOBILE", col("n"))).as("n_a"),
+          max(when(col("seg") === "BUILDING", col("n"))).as("n_b"),
+          max(when(col("seg") === "AUTOMOBILE", col("sx").cast("double"))).as("sxa"),
+          max(when(col("seg") === "BUILDING", col("sx").cast("double"))).as("sxb"),
+          max(when(col("seg") === "AUTOMOBILE", col("sxx").cast("double"))).as("sxxa"),
+          max(when(col("seg") === "BUILDING", col("sxx").cast("double"))).as("sxxb"))
+        .selectExpr("n_a", "n_b", "sxa/n_a AS mean_a", "sxb/n_b AS mean_b",
+          "(sxxa - sxa*sxa/n_a)/(n_a - 1) AS var_a",
+          "(sxxb - sxb*sxb/n_b)/(n_b - 1) AS var_b")
+        .selectExpr("n_a", "n_b",
+          "round(mean_a, 6) AS mean_a", "round(mean_b, 6) AS mean_b",
+          "round(var_a, 6) AS var_a", "round(var_b, 6) AS var_b",
+          "round((mean_a - mean_b)/sqrt(var_a/n_a + var_b/n_b), 6) AS t_stat",
+          "round((var_a/n_a + var_b/n_b)*(var_a/n_a + var_b/n_b)" +
+            " / ((var_a/n_a)*(var_a/n_a)/(n_a - 1)" +
+            "    + (var_b/n_b)*(var_b/n_b)/(n_b - 1)), 2) AS df",
+          "abs((mean_a - mean_b)/sqrt(var_a/n_a + var_b/n_b)) > 1.96 AS significant")
     })
 }

@@ -196,6 +196,81 @@ object Surface {
         .filter(col("n_occ") > 1)
     },
 
+    // ---- multimodal: perceptual-hash image near-dup join -----------------
+    // The image dual of mm_frame_dedup: every BMP really decodes
+    // (MediaCodecs.decodeBmpGray reads the 24bpp bottom-up pixel array),
+    // folds to a 64-bit average-hash inside its partition, and only the
+    // 8-byte signatures join — dd78's 4x16-bit pigeonhole makes d<=3 an
+    // equi-join. The oracle never parses a byte: it recomputes the same
+    // hash from the synthesis arithmetic, so a single flipped pixel in
+    // the codec path breaks CORRECTNESS — the decode is genuinely tested.
+    QueryDef(
+      "mm_image_phash",
+      "Perceptual-hash image near-dup join: real BMP pixel decode → 8x8-grid average-hash (integer-exact threshold gray*npx > sum) → Hamming<=3 pairs via the 16-bit-chunk pigeonhole equi-join; pixels never cross a shuffle, the oracle predicts every signature analytically from the synthesis formula",
+      Some("""
+        WITH imgs AS (
+          SELECT doc_id AS id, CAST(4 + doc_id % 16 AS BIGINT) AS w,
+                 CAST(2 + doc_id % 8 AS BIGINT) AS h
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        pix AS (
+          SELECT id, w, h, (x.g*31 + y.g*17 + id) % 256 AS gray
+          FROM imgs,
+               LATERAL unnest(generate_series(0, w - 1)) AS x(g),
+               LATERAL unnest(generate_series(0, h - 1)) AS y(g)
+        ),
+        sums AS (
+          SELECT id, w, h, CAST(sum(gray) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS npx
+          FROM pix GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT s.id, k.g AS k,
+                 CASE WHEN ((((k.g % 8) * s.w) // 8)*31
+                            + (((k.g // 8) * s.h) // 8)*17 + s.id) % 256 * s.npx > s.s
+                      THEN 1 ELSE 0 END AS b
+          FROM sums s, LATERAL unnest(generate_series(0, 63)) AS k(g)
+        ),
+        chunks AS (
+          SELECT id, k // 16 AS ci, CAST(sum(b * (1 << (k % 16))) AS BIGINT) AS chunk
+          FROM bits GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT id, max(CASE WHEN ci = 0 THEN chunk END) AS c0,
+                     max(CASE WHEN ci = 1 THEN chunk END) AS c1,
+                     max(CASE WHEN ci = 2 THEN chunk END) AS c2,
+                     max(CASE WHEN ci = 3 THEN chunk END) AS c3
+          FROM chunks GROUP BY id
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+          FROM chunks a JOIN chunks b
+            ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+                  + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS INT)
+                 AS hamming
+        FROM cand JOIN sig sa ON doc_a = sa.id JOIN sig sb ON doc_b = sb.id
+        WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+            + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3
+      """)) { (s, dir) =>
+      val sigs = Multimodal.imagePhash(
+        Multimodal.synthesizeMedia(Tables(s, dir, "documents"))).cache()
+      val chunks = sigs.select(col("doc_id"), col("sig"),
+          explode(expr("sequence(0, 3)")).as("ci"))
+        .withColumn("chunk", expr("(sig >> (16 * ci)) & 65535"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cand.withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+    },
+
     // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
     //      exact vectors pinned in UdfsSpec) -------------------------------
     QueryDef(

@@ -1,5 +1,7 @@
 package graft
 
+import graft.core.Tables
+
 /** Plan-shape pins for the OLAP-surface operators (a16/a17/w12/w13) —
   * correctness is the DuckDB differential gate; these tests pin the
   * SCALE properties the formulations were chosen for, so a refactor that
@@ -261,5 +263,28 @@ class OlapOpsSpec extends SparkTestBase {
     }
     assert(out.filter(col("contrib") < 0).count() == 0)
     out.unpersist()
+  }
+  test("a25: Welch t recomputes from collected balances") {
+    import org.apache.spark.sql.functions._
+    val r = run("a25_welch_ttest").head
+    def grp(seg: String) = Tables(spark, sf001, "customer")
+      .filter(col("c_mktsegment") === seg)
+      .select(col("c_acctbal").cast("double")).collect().map(_.getDouble(0))
+    val (a, b) = (grp("AUTOMOBILE"), grp("BUILDING"))
+    def stats(x: Array[Double]) = {
+      val n = x.length; val m = x.sum / n
+      (n, m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-4)
+    assert(math.abs(r.getAs[Double]("var_a") - va) < 1e-2)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-4,
+      s"t: engine ${r.getAs[Double]("t_stat")} vs replay $t")
+    val dfW = math.pow(va / na + vb / nb, 2) /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(math.abs(r.getAs[Double]("df") - dfW) < 0.5)
+    assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
   }
 }

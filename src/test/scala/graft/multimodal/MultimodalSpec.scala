@@ -143,4 +143,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta.distinct().count() >= 5) // one row per (doc, mime, lang) combo
     assert(!meta.columns.contains("blob"))
   }
+  test("BMP gray decode returns the exact pixel function, top-down row-major") {
+    // encode with a known asymmetric function (exercises bottom-up
+    // storage + row padding: w=5 gives 15-byte rows padded to 16)
+    val (w, h) = (5, 3)
+    val blob = MediaCodecs.encodeBmp24(w, h,
+      (x, y) => { val g = (x * 40 + y * 7) % 256; (g << 16) | (g << 8) | g })
+    val Some((dw, dh, gray)) = MediaCodecs.decodeBmpGray(blob)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gray(y * w + x) == (x * 40 + y * 7) % 256,
+        s"pixel ($x,$y): got ${gray(y * w + x)}")
+    // malformed: truncated pixel array must decode to None, not throw
+    assert(MediaCodecs.decodeBmpGray(blob.take(60)).isEmpty)
+  }
+
+  test("imagePhash: identical images share a signature, WAVs drop out") {
+    val docs = spark.range(0, 600).toDF("doc_id")
+    val sigs = Multimodal.imagePhash(Multimodal.synthesizeMedia(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only odd ids are BMPs
+    assert(sigs.keySet.forall(_ % 2 == 1) && sigs.size == 300)
+    // the synthesis arithmetic repeats mod 256: id and id+512 (both odd)
+    // are byte-identical images, so the REAL decode must hash them equal
+    for (id <- Seq(1L, 33L, 87L)) {
+      assert(sigs(id) == sigs(id + 512), s"id $id vs ${id + 512}")
+    }
+    // signatures are not degenerate: more than one distinct value
+    assert(sigs.values.toSet.size > 10)
+  }
 }
