@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.QualityProbes.defs ++
       graft.queries.CurateOps.defs ++
       graft.queries.SelectOps.defs ++
+      graft.queries.StatsOps.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -713,6 +713,148 @@ object AnnSearch {
           .selectExpr(PcaSql.vStep(last = k == PcaSql.Steps): _*)
       }
       df.selectExpr(PcaSql.finalExprs: _*)
+    },
+
+    // ---- E15: centroid shift between embedding cohorts -------------------
+    // Beyond-reference drift monitor for the vector zone: pairwise cosine
+    // between per-label centroid DIRECTIONS. Cosine is scale-invariant, so
+    // the engine never divides by the cohort count — it compares the raw
+    // per-dimension SUM vectors, which accumulate as exact DECIMALs (the
+    // float-summation-order trap of averaging embeddings across engines
+    // disappears because no float sum ever happens).
+    QueryDef(
+      "e15_centroid_shift",
+      "Embedding-cohort centroid-shift matrix: per-(label, dim) exact-DECIMAL component sums in ONE map-side-combined groupBy (label x 64 rows — bounded), pairwise centroid cosine via a dim-keyed equi-join of the bounded component relation; vectors themselves never cross a second shuffle and no per-vector pair is ever formed (cohort-pair work is labels^2 x dims, independent of corpus size)",
+      Some("""
+        WITH comps AS (
+          SELECT label, dim,
+                 CAST(SUM(CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                               AS DECIMAL(16,6))) AS DECIMAL(16,6)) AS sx
+          FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+          GROUP BY 1, 2
+        ),
+        norms AS (
+          SELECT label, CAST(SUM(sx * sx) AS DECIMAL(38,12)) AS n2
+          FROM comps GROUP BY 1
+        ),
+        dots AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(SUM(a.sx * b.sx) AS DECIMAL(38,12)) AS dot
+          FROM comps a JOIN comps b ON a.dim = b.dim AND a.label < b.label
+          GROUP BY 1, 2
+        )
+        SELECT d.label_a, d.label_b,
+               round(CAST(d.dot AS DOUBLE)
+                     / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+                 AS cos_centroid
+        FROM dots d
+        JOIN norms na ON na.label = d.label_a
+        JOIN norms nb ON nb.label = d.label_b
+      """)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      // ONE corpus pass: explode to (label, dim, component), fold to exact
+      // decimal sums — 64 x |labels| rows from here on
+      val comps = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("label"), (col("dim0") + 1).as("dim"),
+          round(col("x").cast("double"), 6).cast(DecimalType(16, 6)).as("x"))
+        .groupBy("label", "dim")
+        .agg(sum(col("x")).cast(DecimalType(16, 6)).as("sx"))
+        .cache()
+      val norms = comps.groupBy("label")
+        .agg(sum(col("sx") * col("sx")).cast(DecimalType(38, 12)).as("n2"))
+      val dots = comps.as("a")
+        .join(broadcast(comps.as("b")),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.sx") * col("b.sx")).cast(DecimalType(38, 12)).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("label").as("label_a"), col("n2").as("n2a"))),
+          Seq("label_a"))
+        .join(broadcast(norms.select(col("label").as("label_b"), col("n2").as("n2b"))),
+          Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(col("dot").cast("double")
+            / sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 6)
+            .as("cos_centroid"))
+    },
+
+    // ---- DD98: embedding-space outlier screen (diagonal Mahalanobis) -----
+    // Curation step the embedding zone needs before clustering or ANN
+    // recall is trusted: score every vector against its label cohort's
+    // per-dimension mean/variance (diagonal Mahalanobis z^2; full
+    // covariance needs dims^2 state — the diagonal is the standard
+    // streaming-friendly screen). Two corpus passes, both map-side
+    // combinable; the stats relation is labels x dims = bounded, so the
+    // scoring join broadcasts at any corpus size.
+    QueryDef(
+      "dd98_embedding_outliers",
+      "Diagonal-Mahalanobis embedding outlier screen: pass 1 folds per-(label,dim) count/sum/sum-of-squares as exact DECIMALs (bounded relation), pass 2 broadcasts the stats and folds per-vector z^2 — each dim's contribution rounds to DECIMAL(20,8) so the 64-term per-vector sum is order-free — then a label-grain rollup (n_flagged at z^2>96 ~ 1.5x the 64-dim mean, max/mean score). No window, no sort, no per-pair work",
+      Some("""
+        WITH x AS (
+          SELECT vec_id, label, dim,
+                 CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                      AS DECIMAL(16,6)) AS x
+          FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+        ),
+        stats AS (
+          SELECT label, dim, COUNT(*) AS n,
+                 CAST(SUM(x) AS DECIMAL(20,6)) AS sx,
+                 CAST(SUM(CAST(x * x AS DECIMAL(32,12))) AS DECIMAL(38,12)) AS sxx
+          FROM x GROUP BY 1, 2
+        ),
+        ms AS (
+          SELECT label, dim,
+                 CAST(sx AS DOUBLE) / n AS mu,
+                 CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS v
+          FROM stats
+        ),
+        z AS (
+          SELECT x.vec_id, x.label,
+                 CAST(SUM(CAST(round(
+                   (CAST(x.x AS DOUBLE) - m.mu) * (CAST(x.x AS DOUBLE) - m.mu)
+                     / (CASE WHEN m.v > 1e-12 THEN m.v ELSE 1.0 END), 8)
+                   AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS score
+          FROM x JOIN ms m ON x.label = m.label AND x.dim = m.dim
+          GROUP BY 1, 2
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN CAST(score AS DOUBLE) > 96.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               round(CAST(MAX(score) AS DOUBLE), 6) AS max_score,
+               round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS mean_score
+        FROM z GROUP BY 1
+      """)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val x = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim0", "x0")))
+        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+          round(col("x0").cast("double"), 6).cast(DecimalType(16, 6)).as("x"))
+      val stats = x.groupBy("label", "dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(20, 6)).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(32, 12)))
+          .cast(DecimalType(38, 12)).as("sxx"))
+      val ms = stats.select(col("label"), col("dim"),
+        (col("sx").cast("double") / col("n")).as("mu"),
+        (col("sxx").cast("double") / col("n")
+          - (col("sx").cast("double") / col("n"))
+            * (col("sx").cast("double") / col("n"))).as("v"))
+      val z = x.join(broadcast(ms), Seq("label", "dim"))
+        .withColumn("d", col("x").cast("double") - col("mu"))
+        .withColumn("z2", round(col("d") * col("d")
+          / when(col("v") > 1e-12, col("v")).otherwise(lit(1.0)), 8)
+          .cast(DecimalType(20, 8)))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("z2")).cast(DecimalType(38, 8)).as("score"))
+      z.groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("score").cast("double") > 96.0, 1).otherwise(0))
+          .cast("long").as("n_flagged"),
+        round(max(col("score")).cast("double"), 6).as("max_score"),
+        round(sum(col("score")).cast("double") / count(lit(1)), 6).as("mean_score"))
     })
 
   /** Shared PCA expression generator — dialect-free arithmetic emitted

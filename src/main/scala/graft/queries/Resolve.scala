@@ -212,5 +212,68 @@ object Resolve {
       pairs.filter(col("score") >= 0.5)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_key"), col("cand_key"), col("score"))
+    },
+
+    // ---- E14: mutual-best-match 1:1 linkage -----------------------------
+    // Beyond-reference ER completion step: the reference picks a best
+    // candidate per QUERY row (`brief_facts_ai/main.py:260-376` row_number
+    // top-1), which lets two queries claim the same target. The symmetric
+    // "stable pairs" rule — keep (a, b) only when b is a's argmax AND a is
+    // b's argmax — is the standard greedy-free 1:1 assignment a linkage
+    // pipeline runs before survivorship (e7).
+    QueryDef(
+      "e14_mutual_best_match",
+      "Mutual-best-match 1:1 linkage between two name domains (even/odd-length part names): Jaro-Winkler scored, blocked on first token, candidates generated on the DISTINCT-NAME relation (e2's discipline — vocabulary-sized, never row-fanout), and BOTH argmax windows partition per name so parallelism grows with data; ranking compares the 6-dp-rounded score (engine-independent order), mutual pairs survive an equi-join of the two argmax relations",
+      Some("""
+        WITH names AS (
+          SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS block,
+                 length(p_name) % 2 AS side
+          FROM part
+        ),
+        pairs AS (
+          SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+          FROM names a JOIN names b ON a.block = b.block
+          WHERE a.side = 0 AND b.side = 1
+            AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.7
+        ),
+        ba AS (
+          SELECT name_a, name_b, jw FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY name_a
+                                         ORDER BY jw DESC, name_b) AS rn
+            FROM pairs) WHERE rn = 1
+        ),
+        bb AS (
+          SELECT name_a, name_b FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY name_b
+                                         ORDER BY jw DESC, name_a) AS rn
+            FROM pairs) WHERE rn = 1
+        )
+        SELECT ba.name_a, ba.name_b, ba.jw
+        FROM ba JOIN bb ON ba.name_a = bb.name_a AND ba.name_b = bb.name_b
+      """)) { (s, dir) =>
+      import graft.functions.NativeExpressions.jaro_winkler_native
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("block", split(col("p_name"), " ").getItem(0))
+        .withColumn("side", length(col("p_name")) % 2)
+        .cache()
+      // candidate pairs on the distinct-name relation; the 6-dp round
+      // BEFORE ranking makes the argmax order identical across engines
+      // (raw jw doubles could differ in the last ulp)
+      val pairs = names.filter(col("side") === 0)
+        .select(col("p_name").as("name_a"), col("block"))
+        .join(broadcast(names.filter(col("side") === 1)
+          .select(col("p_name").as("name_b"), col("block"))), Seq("block"))
+        .withColumn("jw0", jaro_winkler_native(col("name_a"), col("name_b")))
+        .filter(col("jw0") >= 0.7)
+        .select(col("name_a"), col("name_b"), round(col("jw0"), 6).as("jw"))
+      val wa = Window.partitionBy("name_a").orderBy(col("jw").desc, col("name_b"))
+      val wb = Window.partitionBy("name_b").orderBy(col("jw").desc, col("name_a"))
+      val ba = pairs.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") === 1).select(col("name_a"), col("name_b"), col("jw"))
+      val bb = pairs.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1).select(col("name_a"), col("name_b"))
+      ba.join(bb, Seq("name_a", "name_b"))
+        .select(col("name_a"), col("name_b"), col("jw"))
     })
 }

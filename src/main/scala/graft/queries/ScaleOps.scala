@@ -650,5 +650,57 @@ object ScaleOps {
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), max(col("n_communities")).as("n_communities"))
         .orderBy(col("n_members").desc, col("community")).limit(20)
+    },
+
+    // ---- J18: interval x interval overlap self-join ----------------------
+    // j15 solved point-in-interval; this is the harder sibling both sides
+    // need at scale: BOTH relations are intervals (order-activity windows),
+    // and the ask is overlapping WINDOW PAIRS per customer. A naive
+    // overlap predicate compiles to a nested-loop join; the bucketized
+    // form stays an equi-join and dedups pairs without a distinct.
+    QueryDef(
+      "j18_interval_overlap",
+      "Interval x interval overlap self-join: order-activity windows [o_orderdate, +1+key%13 days] per customer; both sides explode to width-16 day buckets (span<=14 => <=2 buckets each), pairs equi-join on (custkey, bucket), and each overlapping pair is emitted EXACTLY ONCE by the canonical-bucket rule (bucket == bucket(max(start_a, start_b)) — the overlap's start lies in both windows, so its bucket is shared) — no distinct, no nested-loop join, key cardinality grows with data",
+      Some("""
+        WITH w AS (
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS s,
+                 date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                   + 1 + CAST(o_orderkey % 13 AS INT) AS e
+          FROM orders
+        )
+        SELECT a.c AS custkey, COUNT(*) AS n_overlap_pairs,
+               CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+                 AS sum_overlap_days,
+               MIN(a.k * 10000000 + b.k) AS min_pair_id
+        FROM w a JOIN w b
+          ON a.c = b.c AND a.k < b.k
+         AND greatest(a.s, b.s) <= least(a.e, b.e)
+        GROUP BY 1
+      """)) { (s, dir) =>
+      val base = lit("1990-01-01").cast("date")
+      val w0 = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        datediff(col("o_orderdate").cast("date"), base).as("s"))
+        .withColumn("e", col("s") + lit(1) + (col("k") % 13).cast("int"))
+      // each window spans <=15 days => covers <=2 width-16 buckets
+      val bw = w0.withColumn("b",
+        explode(sequence((col("s") / 16).cast("int"), (col("e") / 16).cast("int"))))
+      val a = bw.select(col("c"), col("b"), col("k").as("ka"),
+        col("s").as("sa"), col("e").as("ea"))
+      val b = bw.select(col("c"), col("b"), col("k").as("kb"),
+        col("s").as("sb"), col("e").as("eb"))
+      a.join(b, Seq("c", "b"))
+        .filter(col("ka") < col("kb")
+          && greatest(col("sa"), col("sb")) <= least(col("ea"), col("eb"))
+          // canonical bucket: emit the pair only from the bucket holding
+          // the overlap's first day — shared by construction, so exactly
+          // one of the <=4 bucket-collisions survives (no distinct needed)
+          && (greatest(col("sa"), col("sb")) / 16).cast("int") === col("b"))
+        .groupBy(col("c").as("custkey"))
+        .agg(count(lit(1)).as("n_overlap_pairs"),
+          sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")) + 1)
+            .cast("long").as("sum_overlap_days"),
+          min(col("ka") * 10000000 + col("kb")).as("min_pair_id"))
     })
 }
