@@ -114,6 +114,46 @@ object MediaCodecs {
     Some(WavInfo(sampleRate, channels, bits, nFrames, peak))
   }
 
+  /** Decode the full interleaved PCM16 sample payload alongside the
+    * header info. Same RIFF-chunk tolerance as decodeWav (the header walk
+    * is shared); None for non-PCM16 or torn blobs. The samples array is
+    * the real bytes-to-shorts pass a fingerprint must run on — never the
+    * synthesis formula. */
+  def decodeWavPcm(blob: Array[Byte]): Option[(WavInfo, Array[Short])] =
+    decodeWav(blob).flatMap { info =>
+      if (info.bitsPerSample != 16) None
+      else {
+        // re-locate the data chunk (headers are tiny; one extra walk)
+        val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+        buf.position(12)
+        var dataPos = -1; var dataLen = 0
+        while (dataPos < 0 && buf.remaining() >= 8) {
+          val id = new String(Array(buf.get(), buf.get(), buf.get(),
+            buf.get()), "US-ASCII")
+          val size = buf.getInt()
+          if (size < 0) return None
+          if (id == "data") {
+            dataPos = buf.position()
+            dataLen = math.min(size.toLong & 0xffffffffL,
+              (blob.length - dataPos).toLong).toInt
+          } else buf.position(math.min(blob.length,
+            buf.position() + size + (size & 1)))
+        }
+        if (dataPos < 0) None
+        else {
+          val n = dataLen / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((blob(dataPos + 2 * i) & 0xff)
+              | (blob(dataPos + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some((info, out))
+        }
+      }
+    }
+
   // ---- BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp bottom-up) --------
 
   /** Encode a 24bpp BMP; pixel(x, y) returns packed 0xRRGGBB. Rows are

@@ -209,6 +209,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize the audio-fingerprint corpus: one mono PCM16 WAV per even
+    * doc_id, samples from pure integer arithmetic so the DuckDB oracle can
+    * predict every fingerprint bit analytically (the mm_image_phash
+    * pattern for audio):
+    *   n   = 96 + (id % 16) * 8        (96..216 frames)
+    *   s_i = ((i*37 + (id % 251)*101) % 512) - 256
+    * The (id%251, id%16) joint class space (~4000 classes) is larger than
+    * the corpus at test scale, so exact-dup classes stay small and the
+    * near-dup join output is non-degenerate without exploding. */
+  def synthesizeAudioFp(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaBlobSchema)
+    docs.select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (96 + (id % 16) * 8).toInt
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (((i * 37 + (id % 251) * 101) % 512) - 256).toShort
+            i += 1
+          }
+          Row(id, MediaCodecs.encodeWavPcm16(8000, 1, samples))
+        }
+      }(enc)
+  }
+
+  /** 64-bit energy fingerprint of each decodable PCM16 WAV: samples split
+    * into 64 index-proportional chunks (chunk k = samples with
+    * i*64/n == k); bit k compares the chunk's MEAN |sample| against the
+    * global mean, integer-cross-multiplied (chunkAbsSum * n >
+    * totalAbsSum * chunkLen) so the threshold is exact. One REAL decode
+    * per blob inside mapPartitions — PCM never leaves the partition; only
+    * the 8-byte signature travels. Non-WAV rows drop. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val blob = r.get(1).asInstanceOf[Array[Byte]]
+        MediaCodecs.decodeWavPcm(blob).map { case (_, samples) =>
+          val n = samples.length
+          val chunkSum = new Array[Long](64)
+          val chunkLen = new Array[Long](64)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val k = ((i.toLong * 64) / n).toInt
+            val a = math.abs(samples(i).toLong)
+            chunkSum(k) += a
+            chunkLen(k) += 1
+            total += a
+            i += 1
+          }
+          var sig = 0L
+          var k = 0
+          while (k < 64) {
+            if (chunkSum(k) * n > total * chunkLen(k)) sig |= (1L << k)
+            k += 1
+          }
+          Row(id, sig)
+        }
+      }
+    }(enc)
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false)),

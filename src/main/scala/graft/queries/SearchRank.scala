@@ -648,5 +648,89 @@ object SearchRank {
           round((col("concordant") - col("discordant")) /
             sqrt(((col("n_pairs") - col("tie_bm25")) *
               (col("n_pairs") - col("tie_ql"))).cast("double")), 6).as("tau_b"))
+    },
+
+    // ---- IR16: BM25F field-weighted retrieval -----------------------------
+    // Structured docs rank better when the title field outweighs the body
+    // (Robertson & Zaragoza's BM25F): per-field tf is normalized by ITS
+    // OWN field-length ratio and field weight BEFORE the shared k1
+    // saturation — a title hit saturates independently of body spam. The
+    // first 8 tokens stand in for the title field (the corpus is
+    // single-column), weights w_title=2 / w_body=1, b_title=0.5 /
+    // b_body=0.75, k1=1.2.
+    QueryDef(
+      "ir16_bm25f",
+      "BM25F field-weighted top-10: positional tokenize once (title = first 8 tokens), per-(term,doc) field tfs fold in ONE conditional groupBy (the same single term-keyed shuffle as ir2 — fields add columns, not passes), field lengths and averages derive from the same relation, the 3-term query broadcasts, per-term contributions round(9) into DECIMAL so the doc score is order-free, distributed TakeOrdered top-10",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, CASE WHEN i.g <= 8 THEN 1 ELSE 0 END AS ist,
+                 arr[i.g] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) t,
+               LATERAL unnest(generate_series(1, len(arr))) AS i(g)
+        ),
+        tff AS (
+          SELECT w, doc_id, CAST(sum(ist) AS BIGINT) AS tft,
+                 CAST(sum(1 - ist) AS BIGINT) AS tfb
+          FROM tok GROUP BY 1, 2
+        ),
+        fl AS (
+          SELECT doc_id, CAST(sum(ist) AS BIGINT) AS lt,
+                 CAST(sum(1 - ist) AS BIGINT) AS lb
+          FROM tok GROUP BY 1
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lt) AS BIGINT) AS slt,
+                 CAST(sum(lb) AS BIGINT) AS slb
+          FROM fl
+        ),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tff GROUP BY 1),
+        qterms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+        contrib AS (
+          SELECT f.doc_id,
+                 CAST(round(
+                   ln((CAST(g.n AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1)
+                   * (2.0 * (f.tft / (1.0 + 0.5 * (fl.lt / (CAST(g.slt AS DOUBLE) / g.n) - 1)))
+                      + f.tfb / (1.0 + 0.75 * (fl.lb / (CAST(g.slb AS DOUBLE) / g.n) - 1)))
+                   / (1.2
+                      + 2.0 * (f.tft / (1.0 + 0.5 * (fl.lt / (CAST(g.slt AS DOUBLE) / g.n) - 1)))
+                      + f.tfb / (1.0 + 0.75 * (fl.lb / (CAST(g.slb AS DOUBLE) / g.n) - 1))), 9)
+                 AS DECIMAL(28,9)) AS c
+          FROM tff f JOIN qterms q ON f.w = q.w
+          JOIN fl ON f.doc_id = fl.doc_id CROSS JOIN g
+        )
+        SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25f
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25f DESC, doc_id LIMIT 10
+      """)) { (s, dir) =>
+      // positional tokenize ONCE; the field flag is a column, so the field
+      // split costs no extra corpus pass (posexplode p is 0-based — p < 8
+      // matches the oracle's 1-based g <= 8)
+      val tokp = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .withColumn("ist", when(col("p") < 8, 1).otherwise(0))
+      val tff = tokp.groupBy(col("w"), col("doc_id"))
+        .agg(sum(col("ist")).cast("long").as("tft"),
+          sum(lit(1) - col("ist")).cast("long").as("tfb")).cache()
+      val fl = tokp.groupBy(col("doc_id"))
+        .agg(sum(col("ist")).cast("long").as("lt"),
+          sum(lit(1) - col("ist")).cast("long").as("lb"))
+      val g = fl.agg(count(lit(1)).as("n"), sum(col("lt")).cast("long").as("slt"),
+        sum(col("lb")).cast("long").as("slb"))
+      val df = tff.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = df.orderBy(col("df").desc, col("w")).limit(3)
+      val ntft = col("tft") / (lit(1.0) + lit(0.5)
+        * (col("lt") / (col("slt").cast("double") / col("n")) - 1))
+      val ntfb = col("tfb") / (lit(1.0) + lit(0.75)
+        * (col("lb") / (col("slb").cast("double") / col("n")) - 1))
+      val idf = log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+      tff.join(broadcast(qterms), Seq("w"))
+        .join(fl, Seq("doc_id"))
+        .crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(idf * (lit(2.0) * ntft + ntfb) / (lit(1.2) + lit(2.0) * ntft + ntfb), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25f"))
+        .orderBy(col("bm25f").desc, col("doc_id")).limit(10)
     })
 }

@@ -271,6 +271,85 @@ object Surface {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
     },
 
+    // ---- MM8: audio energy-fingerprint near-dup join ---------------------
+    // The audio twin of mm_image_phash: every even-id doc synthesizes a
+    // REAL mono PCM16 WAV (RIFF container via MediaCodecs), the
+    // fingerprint decodes the actual bytes back to samples and folds 64
+    // index-proportional chunk energies into a 64-bit signature with an
+    // integer-cross-multiplied threshold, and near-dups join via the same
+    // 16-bit-chunk pigeonhole (Hamming<=3 lossless). The oracle predicts
+    // every signature bit analytically from the synthesis arithmetic, so
+    // a flipped byte anywhere in encode->RIFF walk->PCM pass fails
+    // CORRECTNESS. PCM never crosses a shuffle; only 8-byte sigs travel.
+    QueryDef(
+      "mm_audio_fingerprint",
+      "Audio near-dup join over real WAV decode: 64-chunk energy signature (chunk-mean |sample| vs global mean, integer cross-multiplied), Hamming<=3 pairs via the 16-bit-chunk pigeonhole equi-join; samples never leave their partition, the oracle recomputes signatures from the synthesis formula",
+      Some("""
+        WITH aud AS (
+          SELECT doc_id AS id, CAST(96 + (doc_id % 16) * 8 AS BIGINT) AS n
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        smp AS (
+          SELECT id, n, i.g AS i,
+                 abs(((i.g * 37 + (id % 251) * 101) % 512) - 256) AS a
+          FROM aud, LATERAL unnest(generate_series(0, n - 1)) AS i(g)
+        ),
+        chunks0 AS (
+          SELECT id, n, (i * 64) // n AS k,
+                 CAST(SUM(a) AS BIGINT) AS csum,
+                 CAST(COUNT(*) AS BIGINT) AS clen
+          FROM smp GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT id, CAST(SUM(csum) AS BIGINT) AS total FROM chunks0 GROUP BY 1
+        ),
+        bits AS (
+          SELECT c.id, c.k,
+                 CASE WHEN c.csum * c.n > t.total * c.clen
+                      THEN 1 ELSE 0 END AS b
+          FROM chunks0 c JOIN tot t ON c.id = t.id
+        ),
+        ch AS (
+          SELECT id, k // 16 AS ci,
+                 CAST(sum(b * (1 << (k % 16))) AS BIGINT) AS chunk
+          FROM bits GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT id, max(CASE WHEN ci = 0 THEN chunk END) AS c0,
+                     max(CASE WHEN ci = 1 THEN chunk END) AS c1,
+                     max(CASE WHEN ci = 2 THEN chunk END) AS c2,
+                     max(CASE WHEN ci = 3 THEN chunk END) AS c3
+          FROM ch GROUP BY id
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+          FROM ch a JOIN ch b
+            ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+                  + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+                 AS INT) AS hamming
+        FROM cand JOIN sig sa ON doc_a = sa.id JOIN sig sb ON doc_b = sb.id
+        WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+            + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3
+      """)) { (s, dir) =>
+      val sigs = Multimodal.audioFingerprint(
+        Multimodal.synthesizeAudioFp(Tables(s, dir, "documents"))).cache()
+      val chunks = sigs.select(col("doc_id"), col("sig"),
+          explode(expr("sequence(0, 3)")).as("ci"))
+        .withColumn("chunk", expr("(sig >> (16 * ci)) & 65535"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cand.withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+    },
+
     // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
     //      exact vectors pinned in UdfsSpec) -------------------------------
     QueryDef(

@@ -158,6 +158,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodecs.decodeBmpGray(blob.take(60)).isEmpty)
   }
 
+  test("decodeWavPcm round-trips the exact interleaved sample array") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -1)
+    val blob = MediaCodecs.encodeWavPcm16(8000, 1, samples)
+    val Some((info, got)) = MediaCodecs.decodeWavPcm(blob)
+    assert(info.sampleRate == 8000 && info.channels == 1)
+    assert(got.toSeq == samples.toSeq)
+    // torn payload: decode clamps, never throws
+    val torn = java.util.Arrays.copyOf(blob, blob.length - 3)
+    assert(MediaCodecs.decodeWavPcm(torn).forall(_._2.length < samples.length))
+  }
+
+  test("audioFingerprint matches a driver-side recomputation of the bits") {
+    val media = Multimodal.synthesizeAudioFp(docs)
+    val sigs = Multimodal.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.nonEmpty)
+    // recompute from the synthesis formula for every doc — any codec or
+    // chunking slip shows up as a mismatched signature
+    sigs.foreach { case (id, sig) =>
+      val n = (96 + (id % 16) * 8).toInt
+      val a = Array.tabulate(n)(i => math.abs((((i * 37 + (id % 251) * 101) % 512) - 256).toLong))
+      val total = a.sum
+      var want = 0L
+      for (k <- 0 until 64) {
+        val idx = (0 until n).filter(i => (i.toLong * 64) / n == k)
+        val csum = idx.map(a).sum
+        if (csum * n > total * idx.length) want |= (1L << k)
+      }
+      assert(sig == want, s"doc $id")
+    }
+  }
+
   test("imagePhash: identical images share a signature, WAVs drop out") {
     val docs = spark.range(0, 600).toDF("doc_id")
     val sigs = Multimodal.imagePhash(Multimodal.synthesizeMedia(docs))
