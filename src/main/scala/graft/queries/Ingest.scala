@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -130,6 +131,74 @@ object Ingest {
       EventsStream.attributedPurchases(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
+    },
+
+    // ---- watermark lateness audit (batch face) ----------------------------
+    // Before picking a withWatermark delay, a pipeline audits what that
+    // delay WOULD drop on historical data: replay events in PROCESSING
+    // order (event time + a deterministic per-event delivery delay of
+    // (event_id % 997) seconds — the fixture stream itself arrives
+    // perfectly ordered, so disorder is injected, not assumed); event i
+    // drops iff its event time sits more than the delay behind the max
+    // event time already processed (the strictest per-event variant of
+    // Spark's per-batch global watermark — an upper bound on drops).
+    // The processing-order running max is the scale trap: a naive window
+    // sorts the whole stream in ONE partition. Two-phase instead:
+    // 1-minute processing-time buckets (count grows with the stream),
+    // per-bucket max, strict-lower-bucket prefix max on the bounded
+    // bucket relation, within-bucket running max partitioned per bucket.
+    QueryDef(
+      "st_late_audit",
+      "Watermark lateness audit (10-min delay) per event type over a jittered-delivery replay: processing-order prefix max of event time via the two-phase minute-bucket shape (never a SinglePartition sort over events); all comparisons in exact epoch-microsecond BIGINTs; emits drop counts, drop share, and total lateness mass — the numbers that price a watermark delay before a stream ships",
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type, epoch_us(ts) AS tu,
+                 epoch_us(ts) + (event_id % 997) * 1000000 AS ptu
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, tu,
+                 MAX(tu) OVER (ORDER BY ptu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+          FROM e
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN runmax IS NOT NULL AND runmax - 600000000 > tu
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(sum(CASE WHEN runmax IS NOT NULL AND runmax - 600000000 > tu
+                             THEN runmax - 600000000 - tu ELSE 0 END) AS BIGINT)
+                 AS sum_late_us,
+               round(CAST(sum(CASE WHEN runmax IS NOT NULL
+                                    AND runmax - 600000000 > tu
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                 AS late_share
+        FROM r GROUP BY 1
+      """)) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu"))
+        .withColumn("ptu", col("tu") + (col("event_id") % 997) * lit(1000000L))
+        .withColumn("bkt", (col("ptu") / 60000000L).cast("long"))
+        .cache()
+      val bmax = ev.groupBy("bkt").agg(max(col("tu")).as("bmax"))
+      // strict-lower prefix max on the minute-bucket relation; left join
+      // keeps the first bucket with a null prefix
+      val pre = bmax.as("x").join(bmax.as("y"), col("y.bkt") < col("x.bkt"), "left")
+        .groupBy(col("x.bkt").as("bkt")).agg(max(col("y.bmax")).as("pmax"))
+      val wIn = Window.partitionBy("bkt").orderBy(col("ptu"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.join(broadcast(pre), Seq("bkt"))
+        // greatest() skips nulls; only the very first event sees all-null
+        .withColumn("runmax", greatest(max(col("tu")).over(wIn), col("pmax")))
+        .withColumn("late", col("runmax").isNotNull &&
+          col("runmax") - lit(600000000L) > col("tu"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          sum(when(col("late"), col("runmax") - lit(600000000L) - col("tu"))
+            .otherwise(0L)).cast("long").as("sum_late_us"),
+          round(sum(when(col("late"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("late_share"))
     },
 
     // ---- S11: multi-statement SQL-script runner ---------------------------

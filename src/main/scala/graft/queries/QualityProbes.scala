@@ -254,5 +254,59 @@ object QualityProbes {
           round(when(col("lc") > col("lr"), lit(1.0))
             .otherwise(exp(lit(1) - col("lr") / col("lc").cast("double")))
             * exp((log(p1) + log(p2)) / 2), 6).as("bleu2"))
+    },
+
+    // ---- DD100: per-doc unigram entropy, per-source rollup ----------------
+    // Low token entropy = templated / repetitive / machine-looped text —
+    // the information-theoretic completion of the Gopher battery (dd16
+    // counts repetition shapes; entropy prices them in one number).
+    // H(d) = ln(n_d) - (sum_w tf ln tf) / n_d: both pieces fold from the
+    // (doc, token) count relation, so the corpus shuffles ONCE on tokens
+    // and once on doc_id — no per-doc sort, no window.
+    QueryDef(
+      "dd100_token_entropy",
+      "Per-document unigram entropy rolled up per source: token counts in ONE map-side-combined groupBy, per-doc sum of tf*ln(tf) with each term rounded into DECIMAL (order-free), entropy derived in identical double arithmetic both engines, per-doc H rounded to DECIMAL(18,8) before the source-grain mean so the rollup is order-free too; emits mean/min/max entropy and the low-entropy (H<1.5) doc count per source",
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY 1, 2
+        ),
+        ent AS (
+          SELECT doc_id,
+                 CAST(round(ln(CAST(SUM(c) AS DOUBLE))
+                   - CAST(CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)), 8)
+                                        AS DECIMAL(24,8))) AS DECIMAL(38,8))
+                          AS DOUBLE) / SUM(c), 8) AS DECIMAL(18,8)) AS h
+          FROM cnt GROUP BY 1
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(SUM(e.h) AS DOUBLE) / count(*), 6) AS mean_entropy,
+               round(CAST(MIN(e.h) AS DOUBLE), 6) AS min_entropy,
+               round(CAST(MAX(e.h) AS DOUBLE), 6) AS max_entropy,
+               CAST(SUM(CASE WHEN CAST(e.h AS DOUBLE) < 1.5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_low_entropy
+        FROM ent e JOIN documents d ON e.doc_id = d.doc_id
+        GROUP BY 1
+      """)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val cnt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val ent = cnt.groupBy(col("doc_id"))
+        .agg(round(log(sum(col("c")).cast("double"))
+          - sum(round(col("c") * log(col("c").cast("double")), 8)
+              .cast(DecimalType(24, 8))).cast(DecimalType(38, 8)).cast("double")
+            / sum(col("c")), 8).cast(DecimalType(18, 8)).as("h"))
+      ent.join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("h")).cast("double") / count(lit(1)), 6).as("mean_entropy"),
+          round(min(col("h")).cast("double"), 6).as("min_entropy"),
+          round(max(col("h")).cast("double"), 6).as("max_entropy"),
+          sum(when(col("h").cast("double") < 1.5, 1).otherwise(0))
+            .cast("long").as("n_low_entropy"))
     })
 }
