@@ -275,5 +275,58 @@ object Resolve {
         .filter(col("rn") === 1).select(col("name_a"), col("name_b"))
       ba.join(bb, Seq("name_a", "name_b"))
         .select(col("name_a"), col("name_b"), col("jw"))
+    },
+
+    // ---- E16: clerical-review queue -------------------------------------
+    // The human-in-the-loop step every probabilistic linker ships
+    // (Fellegi-Sunter's "possible link" region): pairs whose score lands
+    // in the uncertain band go to reviewers, but reviewer time is the
+    // budget — so the queue is a DETERMINISTIC per-block quota sample
+    // (md5 order), not a top-N by score (which would only ever show
+    // reviewers the same near-threshold shapes).
+    QueryDef(
+      "e16_review_queue",
+      "Clerical-review queue: candidate pairs on the DISTINCT-NAME relation (e2's vocabulary-sized discipline), Jaro-Winkler uncertain band [0.75, 0.92), per-block quota of 3 picked by md5(name pair) — a deterministic stratified sample whose ranking window partitions per block (parallelism grows with data); raw-score band edges evaluated identically in both engines, emitted score rounded to 6 dp",
+      Some("""
+        WITH names AS (
+          SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS block,
+                 length(p_name) % 2 AS side
+          FROM part
+        ),
+        pairs AS (
+          SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+                 round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+          FROM names a JOIN names b ON a.block = b.block
+          WHERE a.side = 0 AND b.side = 1
+            AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.75
+            AND jaro_winkler_similarity(a.p_name, b.p_name) < 0.92
+        ),
+        q AS (
+          SELECT block, name_a, name_b, jw,
+                 ROW_NUMBER() OVER (PARTITION BY block
+                   ORDER BY md5(name_a || '|' || name_b), name_a, name_b) AS rk
+          FROM pairs
+        )
+        SELECT block, name_a, name_b, jw, CAST(rk AS INT) AS rk
+        FROM q WHERE rk <= 3
+      """)) { (s, dir) =>
+      import graft.functions.NativeExpressions.jaro_winkler_native
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("block", split(col("p_name"), " ").getItem(0))
+        .withColumn("side", length(col("p_name")) % 2)
+        .cache()
+      val pairs = names.filter(col("side") === 0)
+        .select(col("p_name").as("name_a"), col("block"))
+        .join(broadcast(names.filter(col("side") === 1)
+          .select(col("p_name").as("name_b"), col("block"))), Seq("block"))
+        .withColumn("jw0", jaro_winkler_native(col("name_a"), col("name_b")))
+        .filter(col("jw0") >= 0.75 && col("jw0") < 0.92)
+        .select(col("block"), col("name_a"), col("name_b"),
+          round(col("jw0"), 6).as("jw"))
+      val wq = Window.partitionBy("block")
+        .orderBy(md5(concat(col("name_a"), lit("|"), col("name_b"))),
+          col("name_a"), col("name_b"))
+      pairs.withColumn("rk", row_number().over(wq)).filter(col("rk") <= 3)
+        .select(col("block"), col("name_a"), col("name_b"), col("jw"), col("rk"))
     })
 }

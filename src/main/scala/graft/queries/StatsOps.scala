@@ -592,6 +592,88 @@ object StatsOps {
           round(exp(col("my") - col("beta") * col("mx")), 3).as("heaps_k"))
     },
 
+    // ---- A29: Gini coefficient + Lorenz deciles ---------------------------
+    // Concentration of positive account balances: the exact Gini from the
+    // rank-sum identity G = 2*sum(k*x_(k))/(n*sum x) - (n+1)/n, where the
+    // per-tie-group rank sum v*(c*np + c(c+1)/2) folds from the VALUE-
+    // GRAIN relation in exact integer cents — no per-row rank, no global
+    // sort. Lorenz deciles interpolate inside the tie group that spans
+    // each n*d/10 boundary (10 broadcast thresholds range-joined to the
+    // bounded cum relation, dd97's checkpoint shape).
+    QueryDef(
+      "a29_gini_lorenz",
+      "Gini + Lorenz deciles of positive customer balances in exact cents: ONE value-grain groupBy, cumulative below-counts/sums ride bucket-partitioned windows + broadcast bucket offsets (w18's two-phase shape — never a SinglePartition sort), the rank-sum identity folds per tie group as BIGINT/DECIMAL(38,0), decile shares interpolate at exact integer boundaries; both engines derive every double from the same integers",
+      Some("""
+        WITH v AS (
+          SELECT CAST(CAST(round(c_acctbal, 2) AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM customer WHERE c_acctbal > 0
+          GROUP BY 1
+        ),
+        cum AS (
+          SELECT v, c,
+                 COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np,
+                 COALESCE(SUM(v * c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sp
+          FROM v
+        ),
+        g AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(v * c) AS BIGINT) AS stot,
+                 CAST(SUM(v * (c * np + c * (c + 1) // 2)) AS DECIMAL(38,0)) AS ranksum
+          FROM cum
+        ),
+        pts AS (
+          SELECT d.d, (g.n * d.d) // 10 AS k, cum.v, cum.np, cum.sp
+          FROM (SELECT CAST(unnest(range(1, 11)) AS INT) AS d) d
+          CROSS JOIN g
+          JOIN cum ON cum.np < (g.n * d.d) // 10
+                  AND (g.n * d.d) // 10 <= cum.np + cum.c
+        )
+        SELECT p.d AS decile, CAST(p.k AS BIGINT) AS k_members,
+               round(CAST(p.sp + p.v * (p.k - p.np) AS DOUBLE) / g.stot, 6)
+                 AS cum_share,
+               round(2.0 * CAST(g.ranksum AS DOUBLE)
+                     / (CAST(g.n AS DOUBLE) * g.stot)
+                     - (g.n + 1.0) / g.n, 6) AS gini
+        FROM pts p CROSS JOIN g
+      """)) { (s, dir) =>
+      val vg = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .groupBy((round(col("c_acctbal"), 2).cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("w", col("v") * col("c"))
+        .withColumn("bkt", (col("v") / 10000).cast("long"))
+        .cache()
+      // two-phase cumulatives: the balance range is fixed, so the bucket
+      // relation is bounded; within-bucket windows partition per bucket
+      val bt = vg.groupBy("bkt").agg(sum(col("c")).as("cnt"), sum(col("w")).as("wsum"))
+      val off = lowerOffsets(bt, "bkt", Seq("cnt", "wsum"))
+      val wIn = Window.partitionBy("bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = vg.join(broadcast(off), Seq("bkt"))
+        .withColumn("np", col("off_cnt") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+        .withColumn("sp", col("off_wsum") + coalesce(sum(col("w")).over(wIn), lit(0L)))
+        .cache()
+      val g = cum.agg(sum(col("c")).cast("long").as("n"),
+        sum(col("w")).cast("long").as("stot"),
+        sum(expr("v * (c * np + c * (c + 1) div 2)"))
+          .cast(DecimalType(38, 0)).as("ranksum"))
+      val thr = g.select(col("n"), col("stot"), col("ranksum"),
+          explode(array((1 to 10).map(lit): _*)).as("d"))
+        .withColumn("d", col("d").cast("int"))
+        .withColumn("k", expr("(n * d) div 10"))
+      cum.join(broadcast(thr),
+          col("np") < col("k") && col("k") <= col("np") + col("c"))
+        .select(col("d").as("decile"), col("k").cast("long").as("k_members"),
+          round((col("sp") + col("v") * (col("k") - col("np"))).cast("double")
+            / col("stot"), 6).as("cum_share"),
+          round(lit(2.0) * col("ranksum").cast("double")
+            / (col("n").cast("double") * col("stot"))
+            - (col("n") + 1.0) / col("n"), 6).as("gini"))
+    },
+
     // ---- DD99: Hill tail-index of the doc-length distribution ------------
     // Companion to dd48 (Zipf) and dd97 (Heaps): the Hill estimator of the
     // Pareto tail exponent of per-source document lengths — the number
