@@ -328,5 +328,103 @@ object Resolve {
           col("name_a"), col("name_b"))
       pairs.withColumn("rk", row_number().over(wq)).filter(col("rk") <= 3)
         .select(col("block"), col("name_a"), col("name_b"), col("jw"), col("rk"))
+    },
+
+    // ---- E17: unsupervised Fellegi-Sunter EM ------------------------------
+    // e11 computes m/u from LABELED truth; production linkers (Splink's
+    // core loop) estimate them UNSUPERVISED by EM over the field-agreement
+    // pattern counts. With 2 binary comparison fields the pattern space is
+    // 4 rows, every pattern count folds from group sizes as C(c,2) (e8's
+    // count-space discipline — no pair ever materializes), and 4 EM
+    // iterations unroll as chained selects of pure arithmetic with
+    // IDENTICAL expression text in both engines (the dd93 PcaSql
+    // discipline), so the fixpoint is bit-identical.
+    QueryDef(
+      "e17_fs_em",
+      "Unsupervised Fellegi-Sunter parameter estimation: agreement-pattern counts (lang x char-bucket) in count space — three C(c,2) groupBys, no pairs — then 4 unrolled EM iterations (E-step posterior per pattern, M-step closed-form lambda/m/u) as shared-text arithmetic on a 1-row relation; emits lambda, per-field m/u, and the log2 match weights a linkage cascade consumes",
+      Some(EmSql.oracle)) { (s, dir) =>
+      val keyed = t(s, dir, "documents")
+        .select(col("lang"), (col("n_chars") / 100).cast("long").as("cb"))
+        .cache()
+      def cpairs(df: DataFrame, out: String): DataFrame =
+        df.agg(sum(expr("c*(c-1) div 2")).as(out))
+      val n = keyed.agg(count(lit(1)).as("n"))
+      val al = cpairs(keyed.groupBy(col("lang")).agg(count(lit(1)).as("c")), "al")
+      val ac = cpairs(keyed.groupBy(col("cb")).agg(count(lit(1)).as("c")), "ac")
+      val alc = cpairs(keyed.groupBy(col("lang"), col("cb"))
+        .agg(count(lit(1)).as("c")), "alc")
+      var df = n.crossJoin(broadcast(al)).crossJoin(broadcast(ac))
+        .crossJoin(broadcast(alc))
+        .selectExpr(EmSql.baseExprs: _*)
+        .selectExpr(EmSql.initExprs: _*)
+      for (_ <- 1 to EmSql.Steps) {
+        df = df.selectExpr(EmSql.wStep: _*).selectExpr(EmSql.mStep: _*)
+      }
+      df.selectExpr(EmSql.finalExprs: _*)
     })
+
+  /** Shared EM expression generator — identical arithmetic text emitted
+    * into both the Spark selectExpr chain and the DuckDB oracle, so the
+    * unrolled iteration is bit-identical (the dd93 PcaSql discipline). */
+  private[graft] object EmSql {
+    val Steps = 4
+    private val counts = Seq("n11", "n10", "n01", "n00", "t")
+    val baseExprs: Seq[String] = Seq(
+      "alc AS n11", "al - alc AS n10", "ac - alc AS n01",
+      "n*(n-1) div 2 - al - ac + alc AS n00", "n*(n-1) div 2 AS t")
+    // CAST(... AS DOUBLE): a bare 0.9 parses as DECIMAL in BOTH engines
+    // and the first iteration's decimal/double promotion rules differ —
+    // the a26 literal-type lesson, applied to shared text
+    val initExprs: Seq[String] = counts ++ Seq(
+      "CAST(0.01 AS DOUBLE) AS lam", "CAST(0.9 AS DOUBLE) AS ml",
+      "CAST(0.9 AS DOUBLE) AS mc", "CAST(0.1 AS DOUBLE) AS ul",
+      "CAST(0.1 AS DOUBLE) AS uc")
+    private def pm(a: Int, b: Int): String =
+      s"${if (a == 1) "ml" else "(1.0-ml)"}*${if (b == 1) "mc" else "(1.0-mc)"}"
+    private def pu(a: Int, b: Int): String =
+      s"${if (a == 1) "ul" else "(1.0-ul)"}*${if (b == 1) "uc" else "(1.0-uc)"}"
+    private def w(a: Int, b: Int): String =
+      s"lam*${pm(a, b)} / (lam*${pm(a, b)} + (1.0-lam)*${pu(a, b)})"
+    val wStep: Seq[String] = counts ++ Seq("lam", "ml", "mc", "ul", "uc") ++ Seq(
+      s"${w(1, 1)} AS w11", s"${w(1, 0)} AS w10",
+      s"${w(0, 1)} AS w01", s"${w(0, 0)} AS w00")
+    private val sw = "(n11*w11 + n10*w10 + n01*w01 + n00*w00)"
+    val mStep: Seq[String] = counts ++ Seq(
+      s"$sw / t AS lam",
+      s"(n11*w11 + n10*w10) / $sw AS ml",
+      s"(n11*w11 + n01*w01) / $sw AS mc",
+      s"(n11*(1.0-w11) + n10*(1.0-w10)) / (t - $sw) AS ul",
+      s"(n11*(1.0-w11) + n01*(1.0-w01)) / (t - $sw) AS uc")
+    val finalExprs: Seq[String] = Seq(
+      "t AS total_pairs", "n11", "n10", "n01", "n00",
+      "round(lam, 6) AS lambda", "round(ml, 6) AS m_lang",
+      "round(mc, 6) AS m_cb", "round(ul, 6) AS u_lang",
+      "round(uc, 6) AS u_cb",
+      "round(log2(ml/ul), 6) AS w_lang", "round(log2(mc/uc), 6) AS w_cb")
+    val oracle: String = {
+      val sb = new StringBuilder
+      sb ++= """WITH keyed AS (
+        SELECT lang, CAST(n_chars // 100 AS BIGINT) AS cb FROM documents),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed),
+      pal AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS al
+              FROM (SELECT lang, CAST(count(*) AS BIGINT) c FROM keyed GROUP BY 1)),
+      pac AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS ac
+              FROM (SELECT cb, CAST(count(*) AS BIGINT) c FROM keyed GROUP BY 1)),
+      palc AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS alc
+               FROM (SELECT lang, cb, CAST(count(*) AS BIGINT) c FROM keyed GROUP BY 1,2)),
+      """
+      // DuckDB uses // for integer division where Spark SQL uses div
+      def dd(e: String): String = e.replace(" div ", " // ")
+      sb ++= s"base AS (SELECT ${baseExprs.map(dd).mkString(", ")} FROM nn, pal, pac, palc),\n"
+      sb ++= s"it0 AS (SELECT ${initExprs.mkString(", ")} FROM base)"
+      var prev = "it0"
+      for (k <- 1 to Steps) {
+        sb ++= s",\nsw$k AS (SELECT ${wStep.mkString(", ")} FROM $prev)"
+        sb ++= s",\nsm$k AS (SELECT ${mStep.mkString(", ")} FROM sw$k)"
+        prev = s"sm$k"
+      }
+      sb ++= s"\nSELECT ${finalExprs.mkString(", ")} FROM $prev"
+      sb.toString
+    }
+  }
 }

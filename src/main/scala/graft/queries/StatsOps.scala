@@ -592,6 +592,71 @@ object StatsOps {
           round(exp(col("my") - col("beta") * col("mx")), 3).as("heaps_k"))
     },
 
+    // ---- W34: single changepoint by binary segmentation -------------------
+    // CUSUM (dd27) detects that a series drifted; binary segmentation
+    // localizes WHERE: the split of the daily order-count series that
+    // maximizes the between-segment SSE reduction S_L^2/n_L + S_R^2/n_R
+    // - S^2/n (the first step of the classic changepoint recursion).
+    // Every candidate's score is arithmetic on exact BIGINT prefix sums;
+    // the prefix sums ride month-bucket two-phase cumulatives (never a
+    // global Sort over the series), and the argmax is a TakeOrdered over
+    // the bounded day relation.
+    QueryDef(
+      "w34_changepoint",
+      "Binary-segmentation changepoint on daily order counts: day-grain pre-agg is THE data shuffle; day index and prefix sums via within-month windows + broadcast strict-lower month offsets (w18's two-phase shape); per-candidate gain from exact integer sums in identical double arithmetic both engines, round(6), deterministic argmax (gain desc, index asc)",
+      Some("""
+        WITH days AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1
+        ),
+        idx AS (
+          SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS i,
+                 SUM(y) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          FROM days
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(y) AS BIGINT) AS s
+                FROM days),
+        cand AS (
+          SELECT i.d, i.i, i.cs, t.nd, t.s,
+                 round(CAST(i.cs * i.cs AS DOUBLE) / i.i
+                       + CAST((t.s - i.cs) * (t.s - i.cs) AS DOUBLE) / (t.nd - i.i)
+                       - CAST(t.s * t.s AS DOUBLE) / t.nd, 6) AS gain
+          FROM idx i CROSS JOIN tot t WHERE i.i < t.nd
+        )
+        SELECT CAST(d AS TIMESTAMP) AS split_day, CAST(i AS BIGINT) AS split_idx, gain,
+               round(CAST(cs AS DOUBLE) / i, 6) AS mean_left,
+               round(CAST(s - cs AS DOUBLE) / (nd - i), 6) AS mean_right
+        FROM cand ORDER BY gain DESC, i LIMIT 1
+      """)) { (s, dir) =>
+      val days = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("bkt", (year(col("d")) * 12 + month(col("d"))).cast("long"))
+        .cache()
+      val bt = days.groupBy("bkt").agg(count(lit(1)).as("cnt"), sum(col("y")).as("wsum"))
+      val off = lowerOffsets(bt, "bkt", Seq("cnt", "wsum"))
+      val wRn = Window.partitionBy("bkt").orderBy("d")
+      val wIn = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val idx = days.join(broadcast(off), Seq("bkt"))
+        .withColumn("i", col("off_cnt") + row_number().over(wRn).cast("long"))
+        .withColumn("cs", col("off_wsum") + sum(col("y")).over(wIn))
+      val tot = days.agg(count(lit(1)).as("nd"), sum(col("y")).cast("long").as("s"))
+      idx.crossJoin(broadcast(tot)).filter(col("i") < col("nd"))
+        .select(col("d"), col("i"), col("cs"), col("nd"), col("s"),
+          round((col("cs") * col("cs")).cast("double") / col("i")
+            + ((col("s") - col("cs")) * (col("s") - col("cs"))).cast("double")
+              / (col("nd") - col("i"))
+            - (col("s") * col("s")).cast("double") / col("nd"), 6).as("gain"))
+        .orderBy(col("gain").desc, col("i")).limit(1)
+        .select(col("d").cast("timestamp").as("split_day"),
+          col("i").cast("long").as("split_idx"),
+          col("gain"),
+          round(col("cs").cast("double") / col("i"), 6).as("mean_left"),
+          round((col("s") - col("cs")).cast("double") / (col("nd") - col("i")), 6)
+            .as("mean_right"))
+    },
+
     // ---- A29: Gini coefficient + Lorenz deciles ---------------------------
     // Concentration of positive account balances: the exact Gini from the
     // rank-sum identity G = 2*sum(k*x_(k))/(n*sum x) - (n+1)/n, where the
