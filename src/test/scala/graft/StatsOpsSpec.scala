@@ -185,4 +185,89 @@ class StatsOpsSpec extends SparkTestBase {
     // sub-linear growth: a natural corpus keeps beta in (0, 1)
     assert(beta > 0 && beta < 1, s"heaps beta out of range: $beta")
   }
+
+  test("a29: gini and decile shares match a naive sorted-cents computation") {
+    import org.apache.spark.sql.functions._
+    val cents = table("customer").filter(col("c_acctbal") > 0)
+      .select((round(col("c_acctbal"), 2) * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val stot = cents.map(BigInt(_)).sum
+    val ranksum = cents.zipWithIndex.map { case (v, k) => BigInt(v) * (k + 1) }.sum
+    val giniExp = 2.0 * ranksum.toDouble / (n.toDouble * stot.toDouble) -
+      (n + 1.0) / n
+    val rows = q("a29_gini_lorenz").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    rows.foreach { case (d, k, share, gini) =>
+      assert(k == n * d / 10)
+      val naive = cents.take(k.toInt).map(BigInt(_)).sum.toDouble / stot.toDouble
+      assert(math.abs(share - naive) < 1e-5, s"decile $d: $share vs $naive")
+      assert(math.abs(gini - giniExp) < 1e-5)
+    }
+    // Lorenz curve is convex-increasing and ends at exactly 1
+    rows.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => assert(b >= a) }
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9)
+  }
+
+  test("w34: the split maximizes the naive SSE-reduction over all candidates") {
+    import org.apache.spark.sql.functions._
+    val days = table("orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d").collect().map(r => (r.getDate(0), r.getLong(1)))
+    val ys = days.map(_._2)
+    val s = ys.sum.toDouble
+    val nd = ys.length
+    def gain(i: Int): Double = {
+      val cs = ys.take(i).sum.toDouble
+      cs * cs / i + (s - cs) * (s - cs) / (nd - i) - s * s / nd
+    }
+    val best = (1 until nd).maxBy(i => (gain(i), -i))
+    val got = q("w34_changepoint").collect().head
+    assert(got.getLong(1) == best, s"split_idx ${got.getLong(1)} vs $best")
+    assert(math.abs(got.getDouble(2) - gain(best)) < 1e-4)
+    // the split day is the best-index day and the means re-derive
+    assert(got.getTimestamp(0).toLocalDateTime.toLocalDate ==
+      days(best - 1)._1.toLocalDate)
+    assert(math.abs(got.getDouble(3) - ys.take(best).sum.toDouble / best) < 1e-5)
+  }
+
+  test("e17: the EM fixpoint re-derives from a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val keyed = table("documents")
+      .select(col("lang"), (col("n_chars") / 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def cp(c: Long): Long = c * (c - 1) / 2
+    val n = keyed.length.toLong
+    val t = cp(n)
+    val al = keyed.groupBy(_._1).values.map(g => cp(g.size)).sum
+    val ac = keyed.groupBy(_._2).values.map(g => cp(g.size)).sum
+    val alc = keyed.groupBy(identity).values.map(g => cp(g.size)).sum
+    val (n11, n10, n01, n00) = (alc, al - alc, ac - alc, t - al - ac + alc)
+    var (lam, ml, mc, ul, uc) = (0.01, 0.9, 0.9, 0.1, 0.1)
+    for (_ <- 1 to 4) {
+      def w(a: Int, b: Int): Double = {
+        val pm = (if (a == 1) ml else 1.0 - ml) * (if (b == 1) mc else 1.0 - mc)
+        val pu = (if (a == 1) ul else 1.0 - ul) * (if (b == 1) uc else 1.0 - uc)
+        lam * pm / (lam * pm + (1.0 - lam) * pu)
+      }
+      val (w11, w10, w01, w00) = (w(1, 1), w(1, 0), w(0, 1), w(0, 0))
+      val sw = n11 * w11 + n10 * w10 + n01 * w01 + n00 * w00
+      val nl = (n11 * w11 + n10 * w10) / sw
+      val ncb = (n11 * w11 + n01 * w01) / sw
+      val nul = (n11 * (1.0 - w11) + n10 * (1.0 - w10)) / (t - sw)
+      val nuc = (n11 * (1.0 - w11) + n01 * (1.0 - w01)) / (t - sw)
+      lam = sw / t; ml = nl; mc = ncb; ul = nul; uc = nuc
+    }
+    val got = q("e17_fs_em").collect().head
+    assert(got.getLong(0) == t && got.getLong(1) == n11 && got.getLong(4) == n00)
+    assert(math.abs(got.getDouble(5) - lam) < 1e-6, s"lambda ${got.getDouble(5)} vs $lam")
+    assert(math.abs(got.getDouble(6) - ml) < 1e-6)
+    assert(math.abs(got.getDouble(8) - ul) < 1e-6)
+    // the estimated weights must separate: agreement on a field should
+    // carry positive match weight under any sane fixpoint here
+    assert(got.getDouble(10) > 0 && got.getDouble(11) > 0)
+  }
 }
