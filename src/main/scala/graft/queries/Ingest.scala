@@ -144,12 +144,15 @@ object Ingest {
     // Spark's per-batch global watermark — an upper bound on drops).
     // The processing-order running max is the scale trap: a naive window
     // sorts the whole stream in ONE partition. Two-phase instead:
-    // 1-minute processing-time buckets (count grows with the stream),
-    // per-bucket max, strict-lower-bucket prefix max on the bounded
-    // bucket relation, within-bucket running max partitioned per bucket.
+    // hourly processing-time buckets (count grows with the stream but
+    // stays ~1e4 per replayed year), per-bucket max, strict-lower-bucket
+    // prefix max on the small bucket relation (the O(B^2) non-equi join
+    // prices at B~minutes: a 1-minute grain made this the slowest query
+    // in the inventory — at larger horizons add a second bucket level,
+    // never a finer grain), within-bucket running max per bucket.
     QueryDef(
       "st_late_audit",
-      "Watermark lateness audit (10-min delay) per event type over a jittered-delivery replay: processing-order prefix max of event time via the two-phase minute-bucket shape (never a SinglePartition sort over events); all comparisons in exact epoch-microsecond BIGINTs; emits drop counts, drop share, and total lateness mass — the numbers that price a watermark delay before a stream ships",
+      "Watermark lateness audit (10-min delay) per event type over a jittered-delivery replay: processing-order prefix max of event time via the two-phase hour-bucket shape (never a SinglePartition sort over events); all comparisons in exact epoch-microsecond BIGINTs; emits drop counts, drop share, and total lateness mass — the numbers that price a watermark delay before a stream ships",
       Some("""
         WITH e AS (
           SELECT event_id, event_type, epoch_us(ts) AS tu,
@@ -178,10 +181,10 @@ object Ingest {
         .select(col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("tu"))
         .withColumn("ptu", col("tu") + (col("event_id") % 997) * lit(1000000L))
-        .withColumn("bkt", (col("ptu") / 60000000L).cast("long"))
+        .withColumn("bkt", (col("ptu") / 3600000000L).cast("long"))
         .cache()
       val bmax = ev.groupBy("bkt").agg(max(col("tu")).as("bmax"))
-      // strict-lower prefix max on the minute-bucket relation; left join
+      // strict-lower prefix max on the hour-bucket relation; left join
       // keeps the first bucket with a null prefix
       val pre = bmax.as("x").join(bmax.as("y"), col("y.bkt") < col("x.bkt"), "left")
         .groupBy(col("x.bkt").as("bkt")).agg(max(col("y.bmax")).as("pmax"))
