@@ -592,6 +592,123 @@ object StatsOps {
           round(exp(col("my") - col("beta") * col("mx")), 3).as("heaps_k"))
     },
 
+    // ---- A30: Cochran-Armitage trend test ---------------------------------
+    // "Is the urgent-order share drifting monotonically across years?" —
+    // the ordered-bucket complement of a20's chi-square (which only says
+    // "different", not "trending"). T = sum s_i (r_i - n_i p), with year
+    // index as the score; everything folds from the year-grain count
+    // relation, so the fact table shuffles once and the test is 1-row
+    // arithmetic on exact BIGINTs.
+    QueryDef(
+      "a30_trend_test",
+      "Cochran-Armitage trend z on urgent-order share across order years: ONE year-grain conditional groupBy (map-side combined), scores = year - 1995, T and Var(T) from exact integer sums with identical double arithmetic both engines, |z|>1.96 verdict",
+      Some("""
+        WITH yg AS (
+          SELECT CAST(extract(year FROM o_orderdate) - 1995 AS BIGINT) AS sc,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r
+          FROM orders GROUP BY 1
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nt, CAST(sum(r) AS BIGINT) AS rt,
+                 CAST(sum(sc * r) AS BIGINT) AS sr,
+                 CAST(sum(sc * n) AS BIGINT) AS sn,
+                 CAST(sum(sc * sc * n) AS BIGINT) AS ssn
+          FROM yg
+        )
+        SELECT k, nt, rt,
+               round((sr - sn * (CAST(rt AS DOUBLE) / nt))
+                 / sqrt((CAST(rt AS DOUBLE) / nt) * (1 - CAST(rt AS DOUBLE) / nt)
+                   * (ssn - CAST(sn AS DOUBLE) * sn / nt)), 6) AS z,
+               abs((sr - sn * (CAST(rt AS DOUBLE) / nt))
+                 / sqrt((CAST(rt AS DOUBLE) / nt) * (1 - CAST(rt AS DOUBLE) / nt)
+                   * (ssn - CAST(sn AS DOUBLE) * sn / nt))) > 1.96 AS significant
+        FROM g
+      """)) { (s, dir) =>
+      val yg = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) - 1995).cast("long").as("sc"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("r"))
+      val g = yg.agg(count(lit(1)).as("k"),
+        sum(col("n")).cast("long").as("nt"), sum(col("r")).cast("long").as("rt"),
+        sum(col("sc") * col("r")).cast("long").as("sr"),
+        sum(col("sc") * col("n")).cast("long").as("sn"),
+        sum(col("sc") * col("sc") * col("n")).cast("long").as("ssn"))
+      val p = col("rt").cast("double") / col("nt")
+      val zc = (col("sr") - col("sn") * p) /
+        sqrt(p * (lit(1) - p) * (col("ssn") - col("sn").cast("double") * col("sn") / col("nt")))
+      g.select(col("k"), col("nt"), col("rt"),
+        round(zc, 6).as("z"), (abs(zc) > 1.96).as("significant"))
+    },
+
+    // ---- W35: inter-arrival gap percentiles per segment --------------------
+    // RFM-style purchase-cadence profiling: per customer the day gaps
+    // between consecutive orders (a custkey-partitioned lag — parallelism
+    // grows with customers), then EXACT p50/p90 of the gap distribution
+    // per market segment from the value-grain count relation — the gap
+    // domain is calendar-bounded, so the percentile never sorts fact rows.
+    QueryDef(
+      "w35_interarrival",
+      "Inter-order gap percentiles per segment: consecutive-order day gaps via a per-customer lag (data-proportional partitions), ONE (segment, gap)-grain groupBy, exact lower-quantile p50/p90 as the smallest gap with cum count >= ceil(q*n) — cumulative counts ride the bounded value-grain relation; plus mean gap from exact integer sums",
+      Some("""
+        WITH gaps AS (
+          SELECT c.c_mktsegment AS seg,
+                 date_diff('day',
+                   lag(CAST(o.o_orderdate AS DATE)) OVER (PARTITION BY o.o_custkey
+                     ORDER BY o.o_orderdate, o.o_orderkey),
+                   CAST(o.o_orderdate AS DATE)) AS gap
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        vg AS (
+          SELECT seg, CAST(gap AS BIGINT) AS gap, CAST(count(*) AS BIGINT) AS cnt
+          FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT seg, gap, cnt,
+                 SUM(cnt) OVER (PARTITION BY seg ORDER BY gap) AS cle,
+                 SUM(cnt) OVER (PARTITION BY seg) AS n,
+                 SUM(gap * cnt) OVER (PARTITION BY seg) AS sgap
+          FROM vg
+        )
+        SELECT seg, CAST(MAX(n) AS BIGINT) AS n_gaps,
+               CAST(MIN(CASE WHEN cle >= CAST(ceil(0.5 * n) AS BIGINT)
+                             THEN gap END) AS BIGINT) AS p50_gap,
+               CAST(MIN(CASE WHEN cle >= CAST(ceil(0.9 * n) AS BIGINT)
+                             THEN gap END) AS BIGINT) AS p90_gap,
+               round(CAST(MAX(sgap) AS DOUBLE) / MAX(n), 6) AS mean_gap
+        FROM cum GROUP BY 1
+      """)) { (s, dir) =>
+      val wLag = Window.partitionBy("o_custkey")
+        .orderBy(col("d"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"))
+        .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(wLag)))
+        .filter(col("gap").isNotNull)
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("seg")), Seq("o_custkey"))
+      val vg = gaps.groupBy(col("seg"), col("gap").cast("long").as("gap"))
+        .agg(count(lit(1)).as("cnt"))
+      // the gap domain is calendar-bounded: windows ride the value-grain
+      // relation partitioned per segment, never the raw order stream
+      val wC = Window.partitionBy("seg").orderBy("gap")
+      val wAll = Window.partitionBy("seg")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      vg.withColumn("cle", sum(col("cnt")).over(wC))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("sgap", sum(col("gap") * col("cnt")).over(wAll))
+        .groupBy(col("seg"))
+        .agg(max(col("n")).cast("long").as("n_gaps"),
+          min(when(col("cle") >= ceil(lit(0.5) * col("n")).cast("long"), col("gap")))
+            .cast("long").as("p50_gap"),
+          min(when(col("cle") >= ceil(lit(0.9) * col("n")).cast("long"), col("gap")))
+            .cast("long").as("p90_gap"),
+          round(max(col("sgap")).cast("double") / max(col("n")), 6).as("mean_gap"))
+    },
+
     // ---- W34: single changepoint by binary segmentation -------------------
     // CUSUM (dd27) detects that a series drifted; binary segmentation
     // localizes WHERE: the split of the daily order-count series that
