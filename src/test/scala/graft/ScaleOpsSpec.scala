@@ -157,4 +157,47 @@ class ScaleOpsSpec extends SparkTestBase {
       assert(sizes.get(c).contains(n), s"community $c: engine $n vs replay ${sizes.get(c)}")
     }
   }
+
+  test("j18_interval_overlap equals the naive overlap self-join (pairs once)") {
+    // the canonical-bucket rule must emit every overlapping pair EXACTLY
+    // once — a driver-side naive pair scan is the ground truth the
+    // bucketized form must be a pure rewrite of
+    val orders = graft.core.Tables(spark, sf001, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+          .as("s"))
+      .withColumn("e", col("s") + lit(1) + (col("k") % 13).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val byCust = orders.groupBy(_._2)
+    val naive = byCust.map { case (cust, ws) =>
+      val pairs = for {
+        a <- ws; b <- ws
+        if a._1 < b._1 && math.max(a._3, b._3) <= math.min(a._4, b._4)
+      } yield math.min(a._4, b._4) - math.max(a._3, b._3) + 1
+      cust -> (pairs.length.toLong, pairs.map(_.toLong).sum)
+    }.filter(_._2._1 > 0)
+    val got = q("j18_interval_overlap").run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (cust, (n, days)) =>
+      assert(got(cust) == ((n, days)), s"cust $cust: ${got(cust)} vs ($n, $days)")
+    }
+  }
+
+  test("dd98/e15: embedding screens are bounded and label-complete") {
+    val labels = graft.core.Tables(spark, sf001, "embeddings")
+      .select(col("label")).distinct().count()
+    val outliers = q("dd98_embedding_outliers").run(spark, sf001).collect()
+    assert(outliers.length == labels, "one rollup row per label")
+    outliers.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "flagged <= total")
+      assert(r.getDouble(3) >= r.getDouble(4), "max >= mean")
+    }
+    val shifts = q("e15_centroid_shift").run(spark, sf001).collect()
+    assert(shifts.length == labels * (labels - 1) / 2, "full label-pair matrix")
+    shifts.foreach { r =>
+      val cos = r.getDouble(2)
+      assert(cos >= -1.0 && cos <= 1.0, s"cosine out of range: $cos")
+    }
+  }
 }
