@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *     canary over an explicit query list.
   *   - `runMain graft.ScaleCanary --sweep` — full-inventory 2× sweep
   *     (single-shot timing after one warmup), then auto-escalates every
-  *     query whose 2× ratio exceeds 2.5 to the deep 10× canary. This
+  *     query whose 2× ratio exceeds 2.0 to the deep 10× canary. This
   *     closes the "canary selects by base cost" blind spot: a
   *     cheap-but-superlinear query is invisible to the heaviest-N list
   *     but lights up in the sweep.
@@ -208,7 +208,7 @@ object ScaleCanary {
           val tb = once(Base, name)
           val t2 = once(dir2, name)
           val ratio = t2 / tb
-          if (ratio > 2.5) flagged += name
+          if (ratio > 2.0) flagged += name
           System.err.println(
             f"[sweep] $name base=$tb%.2f 2x=$t2%.2f ratio=$ratio%.1f")
           Some(s""""$name":{"t_base":${fmt(tb)},"t_2x":${fmt(t2)},"ratio":${fmt(ratio)}}""")
@@ -216,7 +216,7 @@ object ScaleCanary {
           System.err.println(s"[sweep] $name FAILED: ${e.getMessage}"); None
         }
       }
-      System.err.println(s"[sweep] ${flagged.size} queries >2.5x at 2x: " +
+      System.err.println(s"[sweep] ${flagged.size} queries >2.0x at 2x: " +
         flagged.mkString(", "))
       val deepRows = deep(flagged.toSeq)
       s"""{"base":"$Base","sweep_factor":2,"sweep2x":{${rows.mkString(",")}},""" +

@@ -284,37 +284,37 @@ object MixOps {
         JOIN cnt ca ON source_a = ca.source
         JOIN cnt cb ON source_b = cb.source
       """)) { (s, dir) =>
-      // Three rsd=0.005 sketches stack ~sqrt(3)·0.005·(nf_a+nf_b) of 1σ
-      // error on the difference; the 5% gate leaves ~5σ. The pair
-      // expansion joins each (fp, source) row against the BROADCAST
-      // source-pair table (sources are ~tens at any corpus size), so the
-      // union sketches build in one corpus pass with bounded fan-out.
+      // Mergeable-sketch plan (the whole point of HLL at 100 TB): ONE
+      // corpus pass builds a per-source DataSketches HLL blob
+      // (hll_sketch_agg, lgK=16 ≈ rsd 0.004), so the source table is ~S
+      // rows of ~48 KB sketches. The pairwise stage then runs entirely
+      // on those S rows — hll_union(a, b) merges two blobs driver-cheap,
+      // no fingerprint ever re-expands across pairs (the previous
+      // OR-predicate join replicated the distinct corpus ≈(S−1)× and made
+      // this the inventory's slowest, most GC-bound query). Three lgK=16
+      // sketches stack ~sqrt(3)·0.004·(nf_a+nf_b) of 1σ error on the
+      // inclusion-exclusion difference; the 5% gate leaves >5σ.
       val fs = t(s, dir, "documents")
         .select(array_join(slice(split(col("text"), " "), 1, 8), " ").as("fp"),
           col("source"))
         .distinct()
         .cache()
-      val cnt = fs.groupBy(col("source"))
-        .agg(count(lit(1)).as("nf"),
-          approx_count_distinct(col("fp"), 0.005).as("hll_nf"))
-        .cache()
+      val sk = fs.groupBy(col("source"))
+        .agg(count(lit(1)).as("nf"), hll_sketch_agg(col("fp"), 16).as("sk"))
       val exact = fs.as("a").join(fs.as("b"),
           col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("shared"))
-      val srcs = cnt.select(col("source"))
-      val pairTbl = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
-        .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
-      val unions = fs.join(broadcast(pairTbl),
-          col("source") === col("source_a") || col("source") === col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(approx_count_distinct(col("fp"), 0.005).as("hll_union"))
-      val ca = broadcast(cnt.select(col("source").as("source_a"),
-        col("nf").as("nf_a"), col("hll_nf").as("hll_a")))
-      val cb = broadcast(cnt.select(col("source").as("source_b"),
-        col("nf").as("nf_b"), col("hll_nf").as("hll_b")))
-      exact.join(broadcast(unions), Seq("source_a", "source_b"))
-        .join(ca, Seq("source_a")).join(cb, Seq("source_b"))
+      // S×S sketch-blob pairing: tens of rows a side, broadcast NLJ is fine.
+      val pairs = sk.as("x").join(broadcast(sk.as("y")),
+          col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+          col("x.nf").as("nf_a"), col("y.nf").as("nf_b"),
+          hll_sketch_estimate(col("x.sk")).as("hll_a"),
+          hll_sketch_estimate(col("y.sk")).as("hll_b"),
+          hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk")))
+            .as("hll_union"))
+      exact.join(broadcast(pairs), Seq("source_a", "source_b"))
         .select(col("source_a"), col("source_b"), col("shared"),
           col("nf_a"), col("nf_b"),
           (abs(col("hll_a") + col("hll_b") - col("hll_union") - col("shared"))
