@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The ANN oracles hardcode the default lshBits/nprobe/neardupCos —
+    // refuse to hash-compare under a desynchronized session conf.
+    graft.queries.AnnSearch.assertOracleDefaults(spark)
     new java.io.File(outDir).mkdirs()
     // Failed queries must be VISIBLE: each failure writes ERROR.txt into the
     // query's out-dir and lands in errors.json, so a broken query surfaces

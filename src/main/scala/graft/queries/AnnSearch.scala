@@ -57,20 +57,50 @@ object AnnSearch {
   // smaller buckets (2^bits); higher nprobe → better IVF recall at more
   // cost. The DuckDB oracles pin the DEFAULT values; the correctness gate
   // always runs at defaults, larger deployments retune via session conf.
-  private def lshBitsOf(s: SparkSession): Int =
-    s.conf.get("spark.graft.ann.lshBits", "4").toInt
-  private def nprobeOf(s: SparkSession): Int =
-    s.conf.get("spark.graft.ann.nprobe", "2").toInt
-  private def neardupCosOf(s: SparkSession): Double =
-    s.conf.get("spark.graft.ann.neardupCos", "0.95").toDouble
+  private def lshBitsOf(s: SparkSession): Int = {
+    val b = s.conf.get("spark.graft.ann.lshBits", "4").toInt
+    // every sampled position i*(64/b)+1, i<b, stays within the 64-dim
+    // vector for any b in 1..64 (integer-division step), so in-range is
+    // the whole constraint
+    require(b >= 1 && b <= 64,
+      s"spark.graft.ann.lshBits must be in 1..64, got $b")
+    b
+  }
+  private def nprobeOf(s: SparkSession): Int = {
+    val n = s.conf.get("spark.graft.ann.nprobe", "2").toInt
+    require(n >= 1, s"spark.graft.ann.nprobe must be >= 1, got $n")
+    n
+  }
+  private def neardupCosOf(s: SparkSession): Double = {
+    val c = s.conf.get("spark.graft.ann.neardupCos", "0.95").toDouble
+    require(c >= -1.0 && c <= 1.0,
+      s"spark.graft.ann.neardupCos must be in [-1, 1], got $c")
+    c
+  }
 
-  /** n-bit sign-signature LSH bucket over a (64-dim) double vector column:
+  /** The knobs' oracle-calibrated defaults. The correctness harness
+    * (Verify) asserts these before hash-comparing: a non-default session
+    * conf changes only the Spark plan while the DuckDB oracles hardcode
+    * the default bucketing/probe/threshold — a silent desync otherwise. */
+  def assertOracleDefaults(s: SparkSession): Unit =
+    Seq("spark.graft.ann.lshBits" -> "4", "spark.graft.ann.nprobe" -> "2",
+      "spark.graft.ann.neardupCos" -> "0.95").foreach { case (k, d) =>
+      val v = s.conf.get(k, d)
+      require(v == d,
+        s"oracle gate requires $k at its oracle-calibrated default $d, got $v")
+    }
+
+  /** n-bit sign-signature LSH bucket over a 64-dim double vector column:
     * bit i samples the sign at position i*(64/bits)+1. bits=4 → positions
-    * 1/17/33/49 with weights 8/4/2/1 (the oracle's bucketing). */
+    * 1/17/33/49 with weights 8/4/2/1 (the oracle's bucketing). A vector of
+    * any other dimension raises instead of silently bucketing on nulls. */
   private def signBucket(v: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      when(element_at(v, i * (64 / bits) + 1) >= 0, 1 << (bits - 1 - i)).otherwise(0)
-    }.reduce(_ + _).cast("int")
+    when(size(v) =!= 64, raise_error(concat(
+      lit("signBucket expects 64-dim vectors, got "), size(v).cast("string"))))
+      .otherwise((0 until bits).map { i =>
+        when(element_at(v, i * (64 / bits) + 1) >= 0, 1 << (bits - 1 - i))
+          .otherwise(0)
+      }.reduce(_ + _)).cast("int")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -552,6 +552,7 @@ object StatsOps {
                     * AVG(ln(n_tokens)) * AVG(ln(n_tokens))) AS beta,
                  AVG(ln(vocab)) AS my, AVG(ln(n_tokens)) AS mx
           FROM pts
+          WHERE vocab > 0 AND n_tokens > 0
         )
         SELECT p.i, p.n_docs_seen, p.n_tokens, p.vocab,
                round(f.beta, 6) AS heaps_beta,
@@ -577,8 +578,18 @@ object StatsOps {
           coalesce(sum(col("tokcnt")), lit(0L)).cast("long").as("n_tokens"))
       val vc = firsts.join(broadcast(cps), col("first_doc") < col("thr"))
         .groupBy("i").agg(count(lit(1)).as("vocab"))
-      val pts = nd.join(vc, Seq("i")).cache()
-      val fit = pts.agg(
+      // spine-complete points: LEFT-join both aggregates onto the 10-row
+      // checkpoint spine with coalesce(0) — an id distribution sparse or
+      // clustered enough to leave a checkpoint empty must emit the zero
+      // row (as the oracle's scalar subqueries always did), not drop it.
+      // Zero points are excluded from the log-log fit on BOTH sides.
+      val pts = cps.join(nd, Seq("i", "thr"), "left").join(vc, Seq("i"), "left")
+        .select(col("i"), col("thr"),
+          coalesce(col("n_docs_seen"), lit(0L)).as("n_docs_seen"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("vocab"), lit(0L)).as("vocab"))
+        .cache()
+      val fit = pts.filter(col("vocab") > 0 && col("n_tokens") > 0).agg(
         ((sum(log(col("n_tokens")) * log(col("vocab")))
           - count(lit(1)) * avg(log(col("n_tokens"))) * avg(log(col("vocab"))))
           / (sum(log(col("n_tokens")) * log(col("n_tokens")))

@@ -350,12 +350,67 @@ object Surface {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
     },
 
-    // ---- custom functions: uuid_v5 + trigram + RO ratio (rows-only;
-    //      exact vectors pinned in UdfsSpec) -------------------------------
+    // ---- custom functions: uuid_v5 + trigram + RO ratio -------------------
+    // Oracle strategy (the dd57 promotion pattern): trigram similarity is
+    // restated independently in DuckDB SQL (per-word '  w '-padded 3-gram
+    // Jaccard — pg_trgm semantics — via nested list lambdas); uuid_v5 and
+    // the Ratcliff/Obershelp ratio are not SQL-expressible, so their
+    // expected values are constants precomputed by INDEPENDENT reference
+    // implementations — CPython's uuid.uuid5 (RFC 4122 §4.3, DNS
+    // namespace) and difflib.SequenceMatcher(autojunk=False).ratio() —
+    // over the fixed 25-row nation fixture (identical at every sf).
     QueryDef(
       "f_custom_functions",
       "uuid_v5 / trigram_sim / ratcliff-obershelp over nation names (UdfsSpec pins exact values)",
-      None) { (s, dir) =>
+      Some("""
+        WITH exp(n_nationkey, name_uuid, rev_ratio) AS (VALUES
+            (0, 'eca51a0d-3ccf-5412-ad05-6f18cce37151', CAST(0.375 AS DOUBLE)),
+            (1, 'fb64fdf1-8117-5655-b63f-5924c22d9909', CAST(0.375 AS DOUBLE)),
+            (2, '08ae2c1e-da8e-5996-83e5-12499e500f23', CAST(0.375 AS DOUBLE)),
+            (3, '187d4d60-fa1b-5a66-af61-0b26ba5503e8', CAST(0.375 AS DOUBLE)),
+            (4, '942ecb3b-87b0-547e-af5b-f53c39739cc1', CAST(0.375 AS DOUBLE)),
+            (5, '2aa6005f-35d9-5d53-b154-29c425182de5', CAST(0.375 AS DOUBLE)),
+            (6, 'fc111dfb-2d36-5862-8c5d-1a85090b677c', CAST(0.375 AS DOUBLE)),
+            (7, '6e30cff6-caa1-5ae8-8241-7f2562f9f2fb', CAST(0.375 AS DOUBLE)),
+            (8, '11a8551b-326c-5174-a512-83ddc3dcb9c6', CAST(0.375 AS DOUBLE)),
+            (9, 'bd214624-651e-5f46-b9ef-62230a7e1690', CAST(0.375 AS DOUBLE)),
+            (10, 'bd55af78-598f-5e1a-8b76-dd42143ba89f', CAST(0.3333 AS DOUBLE)),
+            (11, '4d3488b4-4c44-5305-b714-2e54f2fe0397', CAST(0.2222 AS DOUBLE)),
+            (12, 'bcda4f32-f7b4-5145-b210-c81d8886d7b5', CAST(0.3333 AS DOUBLE)),
+            (13, '95273278-1d57-572c-a8bc-da8c81365e09', CAST(0.3333 AS DOUBLE)),
+            (14, '231b372e-949d-5550-bbe3-cc9716436f9d', CAST(0.3333 AS DOUBLE)),
+            (15, 'a070391b-43ac-52bf-b945-8a71cf3316e8', CAST(0.3333 AS DOUBLE)),
+            (16, 'b6bf5532-af85-512c-a4fc-d2138d6722e2', CAST(0.3333 AS DOUBLE)),
+            (17, 'e136b322-6d08-549e-acea-b37278cd1a2c', CAST(0.3333 AS DOUBLE)),
+            (18, '7a93bc64-0e22-55ce-ad16-1e3e83161859', CAST(0.3333 AS DOUBLE)),
+            (19, 'bb9d566f-f040-5164-9c36-56350a96e2f0', CAST(0.3333 AS DOUBLE)),
+            (20, 'd0a0e6a8-1813-56fa-8826-60db4ae16ffb', CAST(0.3333 AS DOUBLE)),
+            (21, '99f02306-b641-538b-a9be-7997b33a7034', CAST(0.3333 AS DOUBLE)),
+            (22, '49f08618-bc73-5aba-8a11-c8dd092a0758', CAST(0.2222 AS DOUBLE)),
+            (23, 'c1ebfb67-5f6a-54ae-92c9-813868b597da', CAST(0.3333 AS DOUBLE)),
+            (24, '42c9a6a5-5507-5607-be51-913616e8fb57', CAST(0.3333 AS DOUBLE))),
+        tg AS (
+          SELECT n_nationkey,
+                 round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                       / len(list_distinct(ga || gb)), 4) AS self_trigram
+          FROM (
+            SELECT n_nationkey,
+              list_distinct(flatten(list_transform(
+                list_filter(string_split_regex(lower(trim(n_name)), '[^a-z0-9]+'),
+                            w -> len(w) > 0),
+                w -> list_transform(range(1, len(w) + 2),
+                                    i -> substring('  ' || w || ' ', i, 3))))) AS ga,
+              list_distinct(flatten(list_transform(
+                list_filter(string_split_regex(lower(trim(n_name || 'X')), '[^a-z0-9]+'),
+                            w -> len(w) > 0),
+                w -> list_transform(range(1, len(w) + 2),
+                                    i -> substring('  ' || w || ' ', i, 3))))) AS gb
+            FROM nation))
+        SELECT n.n_nationkey, e.name_uuid, tg.self_trigram, e.rev_ratio
+        FROM nation n
+        JOIN exp e ON n.n_nationkey = e.n_nationkey
+        JOIN tg ON n.n_nationkey = tg.n_nationkey
+      """)) { (s, dir) =>
       Tables(s, dir, "nation").select(
         col("n_nationkey"),
         Udfs.uuid_v5(col("n_name")).as("name_uuid"),
