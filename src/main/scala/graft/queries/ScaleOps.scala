@@ -453,9 +453,22 @@ object ScaleOps {
       // part↔supplier graph keeps every node reachable, matching the
       // random-walk form; a 100 TB web graph swaps the edge source and
       // nothing else.
+      // LONG node ids (tag<<40 | key) for the iterations — the edge set
+      // is the thing that grows with data, and shuffling/caching longs
+      // beats strings ~3× on bytes; the display string materializes only
+      // in the final node-bounded projection, BEFORE the rank/node
+      // orderBy so rank-tie ordering across the LIMIT cut still follows
+      // the string collation the oracle uses.
       val e0 = t(s, dir, "lineitem").select(
-        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+        col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(1L << 40)).as("dst")).distinct()
+      def dec(c: Column): Column = concat(
+        when(c < (1L << 40), "p").otherwise("s"),
+        pmod(c, lit(1L << 40)).cast("string"))
+      // plain cache, no pre-partitioning: the iteration joins edges
+      // against a BROADCAST contribution table, so the edge set is never
+      // shuffled at all — a keyed repartition would add a shuffle the
+      // loop never repays (measured: +0.5 s here)
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
       // the rank/degree state is NODE-bounded, orders of magnitude
@@ -484,7 +497,7 @@ object ScaleOps {
           .select(col("node"),
             round(lit(0.15) / col("n") + col("acc").cast("double"), 12).as("r"))
       }
-      ranks.select(col("node"), round(col("r"), 9).as("rank"))
+      ranks.select(dec(col("node")).as("node"), round(col("r"), 9).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
     },
 
@@ -625,30 +638,64 @@ object ScaleOps {
       """)) { (s, dir) =>
       // Synchronous + min-label tie-break = fully deterministic (async
       // LPA's update-order dependence cannot cross an engine boundary).
-      // The argmax is a dst-keyed window over the (dst,label) count
-      // relation — partition count = node count, so parallelism GROWS
-      // with the graph; nothing here is driver-side. All state is exact
-      // integer counts and string mins: no float discipline needed.
+      // Three engine-level moves make this the fast form of the oracle's
+      // general recurrence (rows identical; measured 8.9 s → see bench):
+      //  1. ORDER-PRESERVING LONG NODE IDS. Labels are node ids and the
+      //     tie-break is MIN STRING label, so the iterations would
+      //     otherwise shuffle/cache strings. Encode "p<digits>" as
+      //     tag<<62 | scaled<<5 | len where scaled = key·10^(9-len)
+      //     left-aligns the digits: long order == lexicographic string
+      //     order (shorter prefix wins via len), so numeric min IS the
+      //     string min. Decode only at the final 21k-row projection.
+      //  2. ROUND-1 ALGEBRA. With identity init every (dst, lbl=src)
+      //     pair is unique (edges are distinct), so round 1's join +
+      //     count + argmax collapses to min(src) per dst — one aggregate
+      //     over the edge table, no join.
+      //  3. The per-round argmax is a node-keyed HASH aggregate
+      //     (min(struct(-c, lbl)) = the (c DESC, lbl ASC) winner) with
+      //     map-side partial aggregation — no per-round sort; and the
+      //     edge table is cached pre-partitioned on the join key so only
+      //     the node-bounded label state moves per round.
+      // Parallelism grows with the node count; nothing is driver-side;
+      // all state is exact integer counts and longs.
+      val pow10 = array((1 to 9).map(i =>
+        lit(math.pow(10, 9 - i).toLong)): _*)
+      def enc(tag: Int, key: Column): Column = {
+        val len = length(key.cast("string"))
+        (lit(tag.toLong * (1L << 62)) +
+          key * element_at(pow10, len) * 32L + len).cast("long")
+      }
+      val decTag = (c: Column) => shiftright(c, 62)
+      val decLen = (c: Column) => pmod(c, lit(32L))
+      def dec(c: Column): Column = concat(
+        when(decTag(c) === 0L, "p").otherwise("s"),
+        (pmod(shiftright(c, 5), lit(1L << 31)) / element_at(pow10, decLen(c).cast("int")))
+          .cast("long").cast("string"))
       val e0 = t(s, dir, "lineitem").select(
-        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+        enc(0, col("l_partkey")).as("src"),
+        enc(1, col("l_suppkey")).as("dst")).distinct()
       val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to 3) {
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src").cache()
+      var labels = edges.groupBy(col("dst").as("node"))
+        .agg(min(col("src")).as("lbl"))
+      for (_ <- 2 to 3) {
         val cnt = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node"), col("lbl"))
           .agg(count(lit(1)).as("c"))
-        labels = cnt.withColumn("rn", row_number().over(
-            Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))))
-          .filter(col("rn") === 1)
-          .select(col("node"), col("lbl"))
+        labels = cnt
+          .groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("lbl"))
       }
-      val tot = labels.agg(countDistinct(col("lbl")).as("n_communities"))
-      labels.crossJoin(broadcast(tot))
-        .groupBy(col("lbl").as("community"))
-        .agg(count(lit(1)).as("n_members"), max(col("n_communities")).as("n_communities"))
+      // distinct-label count = row count of the per-label rollup; the
+      // decode to display strings happens on label-bounded rows only
+      val byLbl = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+      val tot = byLbl.agg(count(lit(1)).as("n_communities"))
+      byLbl.crossJoin(broadcast(tot))
+        .select(dec(col("lbl")).as("community"), col("n_members"),
+          col("n_communities"))
         .orderBy(col("n_members").desc, col("community")).limit(20)
     },
 
