@@ -33,11 +33,15 @@ object SetSimJoin {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val d = docs.select(col("id").cast("long").as("doc_id"),
       col("toks")).cache()
-    val tokd = d.select(col("doc_id"), explode(col("toks")).as("w"))
+    // n rides along from size(toks) — toks is already the distinct set,
+    // so no per-doc count window; and the PROBE side is the raw postings
+    // list (it needs no rarity rank), so the df-join + rank window run
+    // once, on the prefix side only, instead of twice
+    val tokd = d.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+      explode(col("toks")).as("w"))
     val dfreq = tokd.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // canonical rarity order; ceil(tNum*n/tDen) = (tNum*n + tDen-1) div tDen
     val ranked = tokd.join(dfreq, Seq("w"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
     val prefix = ranked
@@ -45,7 +49,7 @@ object SetSimJoin {
         expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("doc_id"), col("w"), col("n"))
     // length filter t*|A| <= |B| <= |A|/t, cross-multiplied
-    val probe = ranked.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+    val probe = tokd.select(col("doc_id").as("doc_b"), col("w").as("wb"),
       col("n").as("nb"))
     val cand = prefix
       .join(probe, col("w") === col("wb")
@@ -83,17 +87,20 @@ object SetSimJoin {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val d = docs.select(col("id").cast("long").as("doc_id"),
       col("toks")).cache()
-    val tokd = d.select(col("doc_id"), explode(col("toks")).as("w"))
+    // same two savings as [[exact]]: n from size(toks) instead of a
+    // count window, and the probe side is the raw postings list so the
+    // df-join + rank window run on the prefix side only
+    val tokd = d.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+      explode(col("toks")).as("w"))
     val dfreq = tokd.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val ranked = tokd.join(dfreq, Seq("w"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
     val prefix = ranked
       .filter(col("rn") <= col("n") -
         expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("doc_id"), col("w"))
-    val probe = ranked.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+    val probe = tokd.select(col("doc_id").as("doc_b"), col("w").as("wb"))
     val cand = prefix
       .join(probe, col("w") === col("wb") && col("doc_id") =!= col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
