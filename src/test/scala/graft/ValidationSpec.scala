@@ -103,11 +103,12 @@ class ValidationSpec extends SparkTestBase {
 
   test("oracle SQL exists for every query except the documented rows-only set") {
     val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // The single justified rows-only entry: f_custom_functions (uuid_v5
-    // is SHA-1-based and DuckDB 1.0 has no sha1(); the UDFs are pinned
-    // to reference vectors in UdfsSpec). dd57_cms_calibration left this
-    // set in r8 — its CMS contract is oracle-gated as booleans now.
-    assert(rowsOnly == Set("f_custom_functions"),
+    // EMPTY since r9: f_custom_functions — the last rows-only entry —
+    // is oracle-gated via independently-precomputed constants (CPython
+    // uuid.uuid5 / difflib) plus a DuckDB restatement of trigram
+    // similarity; dd57_cms_calibration left this set in r8. Any query
+    // added without an oracle must be justified here.
+    assert(rowsOnly == Set.empty[String],
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
