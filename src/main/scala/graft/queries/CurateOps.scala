@@ -492,6 +492,109 @@ object CurateOps {
         tNum = 3, tDen = 4)
     },
 
+    // ---- DD101: C4-style cleaning filters ---------------------------------
+    QueryDef(
+      "dd101_c4_filters",
+      "C4 cleaning rules (Raffel et al. 2020 §2.2) with planted violations — terminal-punctuation requirement, minimum length, code-brace drop, 'lorem ipsum' drop — per-source funnel: independent per-rule violation counts plus the all-rules pass rate. The planting (deterministic doc_id residues shared with the oracle) gives every rule real selectivity on the word-soup fixture; ONE narrow codegen pass per doc, a source-keyed fold, no shuffle touches text",
+      Some("""
+        WITH planted AS (
+          SELECT source,
+            CASE WHEN doc_id % 3 = 0 THEN t2 || '.' ELSE t2 END AS t3
+          FROM (
+            SELECT source, doc_id,
+              CASE WHEN doc_id % 17 = 0 THEN t1 || ' {code}' ELSE t1 END AS t2
+            FROM (
+              SELECT source, doc_id,
+                CASE WHEN doc_id % 23 = 0 THEN 'lorem ipsum ' || text
+                     ELSE text END AS t1
+              FROM documents))
+        ),
+        f AS (
+          SELECT source,
+            CASE WHEN t3 LIKE '%.' THEN 0 ELSE 1 END AS v_punct,
+            CASE WHEN len(string_split(t3, ' ')) >= 40 THEN 0 ELSE 1 END AS v_short,
+            CASE WHEN contains(t3, '{') THEN 1 ELSE 0 END AS v_brace,
+            CASE WHEN contains(t3, 'lorem ipsum') THEN 1 ELSE 0 END AS v_lorem
+          FROM planted
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(v_punct) AS BIGINT) AS drop_punct,
+               CAST(sum(v_short) AS BIGINT) AS drop_short,
+               CAST(sum(v_brace) AS BIGINT) AS drop_brace,
+               CAST(sum(v_lorem) AS BIGINT) AS drop_lorem,
+               CAST(sum(CASE WHEN v_punct + v_short + v_brace + v_lorem = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(sum(CASE WHEN v_punct + v_short + v_brace + v_lorem = 0
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+                 AS pass_rate
+        FROM f GROUP BY source
+      """)) { (s, dir) =>
+      // The planting order matters: the '.' goes LAST so the
+      // terminal-punctuation rule sees it at the end; brace/lorem land
+      // mid-string. Rules evaluate independently (C4 drops on any).
+      val planted = t(s, dir, "documents")
+        .withColumn("t1", when(col("doc_id") % 23 === 0,
+          concat(lit("lorem ipsum "), col("text"))).otherwise(col("text")))
+        .withColumn("t2", when(col("doc_id") % 17 === 0,
+          concat(col("t1"), lit(" {code}"))).otherwise(col("t1")))
+        .withColumn("t3", when(col("doc_id") % 3 === 0,
+          concat(col("t2"), lit("."))).otherwise(col("t2")))
+      val f = planted.select(col("source"),
+        when(col("t3").endsWith("."), 0L).otherwise(1L).as("v_punct"),
+        when(size(split(col("t3"), " ")) >= 40, 0L).otherwise(1L).as("v_short"),
+        when(col("t3").contains("{"), 1L).otherwise(0L).as("v_brace"),
+        when(col("t3").contains("lorem ipsum"), 1L).otherwise(0L).as("v_lorem"))
+      val anyV = col("v_punct") + col("v_short") + col("v_brace") + col("v_lorem")
+      f.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("v_punct")).as("drop_punct"),
+        sum(col("v_short")).as("drop_short"),
+        sum(col("v_brace")).as("drop_brace"),
+        sum(col("v_lorem")).as("drop_lorem"),
+        sum(when(anyV === 0, 1L).otherwise(0L)).as("n_pass"),
+        round(sum(when(anyV === 0, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("pass_rate"))
+    },
+
+    // ---- DD102: tokenizer fertility profile -------------------------------
+    QueryDef(
+      "dd102_tokenizer_fertility",
+      "Tokenizer fertility profile per (source, lang) — the capacity metric multilingual-tokenizer work reports (subwords per word): whitespace word counts, a fixed-width subword proxy (ceil(len/4) pieces per word, the budget a 4-char-average BPE vocabulary would spend), chars per word. All integer sums folded source-locally in one narrow pass; the division happens once per group",
+      Some("""
+        WITH d AS (
+          SELECT source, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 CAST(len(replace(text, ' ', '')) AS BIGINT) AS nc,
+                 CAST(list_sum(list_transform(string_split(text, ' '),
+                      w -> (len(w) + 3) // 4)) AS BIGINT) AS nsw
+          FROM documents
+        )
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_words,
+               CAST(sum(nsw) AS BIGINT) AS n_subwords,
+               round(sum(nc) / CAST(sum(nw) AS DOUBLE), 6) AS chars_per_word,
+               round(sum(nsw) / CAST(sum(nw) AS DOUBLE), 6) AS fertility
+        FROM d GROUP BY source, lang
+      """)) { (s, dir) =>
+      // aggregate() over the split array keeps the subword fold narrow —
+      // no explode, no shuffle of token rows; the only exchange is the
+      // (source, lang) groupBy of per-doc integer triples.
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"),
+        aggregate(transform(split(col("text"), " "),
+          w => shiftright(length(w) + lit(3), 2).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("nsw"))
+      d.groupBy(col("source"), col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nsw")).as("n_subwords"),
+        round(sum(col("nc")) / sum(col("nw")).cast("double"), 6)
+          .as("chars_per_word"),
+        round(sum(col("nsw")) / sum(col("nw")).cast("double"), 6)
+          .as("fertility"))
+    },
+
     // ---- DD89: inter-rater reliability (Cohen's kappa) ---------------------
     QueryDef(
       "dd89_rater_kappa",

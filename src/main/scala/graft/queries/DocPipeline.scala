@@ -1278,6 +1278,91 @@ object DocPipeline {
           sum(col("sp_end") - col("sp_start") + 1).cast("long").as("covered_tokens"))
     },
 
+    // ---- dd103: dedup threshold survival curve ----------------------------
+    QueryDef(
+      "dd103_dedup_curve",
+      "Dedup-threshold survival curve: for each Jaccard cutoff in {1/2, 3/5, 7/10, 4/5, 9/10}, the number of near-dup pairs and affected docs — the curve an operator reads before picking the dedup threshold (too low eats paraphrases, too high leaves templates). Candidates come from dd31's 8-gram discipline (pairs must SHARE a rare 8-gram — never all-pairs), exact 8-gram-set Jaccard on candidates only, thresholds compared in integer cross-multiplied form so the curve is bit-identical across engines; the 5-row threshold spine LEFT-joins so empty cutoffs report 0",
+      Some(s"""
+        WITH $corpusSql,
+        tok AS (
+          SELECT doc_id, string_split(text, ' ') AS arr FROM corpus
+          WHERE len(string_split(text, ' ')) >= 8
+        ),
+        sh0 AS (
+          SELECT doc_id, p.g AS g
+          FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)-7),
+                i -> struct_pack(g := array_to_string(arr[i:i+7], ' ')))) AS p FROM tok)
+        ),
+        sh AS (SELECT DISTINCT doc_id, g FROM sh0),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT doc_a, doc_b, c, na.n + nb.n - c AS uni
+          FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+        ),
+        thr(tn, td) AS (VALUES (1, 2), (3, 5), (7, 10), (4, 5), (9, 10)),
+        qp AS (
+          SELECT t.tn, t.td, j.doc_a, j.doc_b
+          FROM jac j JOIN thr t ON j.c * t.td >= t.tn * j.uni
+        ),
+        np AS (SELECT tn, td, CAST(count(*) AS BIGINT) AS n_pairs FROM qp GROUP BY 1, 2),
+        nd AS (
+          SELECT tn, td, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+          FROM (SELECT tn, td, doc_a AS d FROM qp
+                UNION ALL SELECT tn, td, doc_b AS d FROM qp)
+          GROUP BY 1, 2
+        )
+        SELECT round(CAST(t.tn AS DOUBLE) / t.td, 2) AS threshold,
+               COALESCE(np.n_pairs, 0) AS n_pairs,
+               COALESCE(nd.n_docs, 0) AS n_docs
+        FROM thr t
+        LEFT JOIN np ON t.tn = np.tn AND t.td = np.td
+        LEFT JOIN nd ON t.tn = nd.tn AND t.td = nd.td
+      """)) { (s, dir) =>
+      // 8-gram candidate discipline (dd31): only docs sharing a specific
+      // 8-gram ever pair, so candidate volume is duplication-bounded, not
+      // corpus-quadratic. The 5-threshold expansion replicates the PAIR
+      // relation (near-dup-bounded), never the corpus.
+      val tok = corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 8)
+      val shA = tok.select(col("doc_id"), array_distinct(
+        graft.functions.NativeExpressions.ngrams_native(col("arr"), 8)).as("shArr"))
+      val sh = shA.select(col("doc_id"), explode(col("shArr")).as("g"))
+      val n = shA.select(col("doc_id"), size(col("shArr")).cast("long").as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      val jac = pairs
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("c"),
+          (col("na") + col("nb") - col("c")).as("uni"))
+      val thr = s.range(1).select(explode(array(
+        struct(lit(1).as("tn"), lit(2).as("td")),
+        struct(lit(3).as("tn"), lit(5).as("td")),
+        struct(lit(7).as("tn"), lit(10).as("td")),
+        struct(lit(4).as("tn"), lit(5).as("td")),
+        struct(lit(9).as("tn"), lit(10).as("td")))).as("t"))
+        .select(col("t.tn").as("tn"), col("t.td").as("td"))
+      val qp = jac.join(broadcast(thr),
+        col("c") * col("td") >= col("tn") * col("uni")).cache()
+      val np = qp.groupBy(col("tn"), col("td")).agg(count(lit(1)).as("n_pairs"))
+      val nd = qp.select(col("tn"), col("td"),
+          explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy(col("tn"), col("td")).agg(countDistinct(col("d")).as("n_docs"))
+      broadcast(thr).join(np, Seq("tn", "td"), "left")
+        .join(nd, Seq("tn", "td"), "left")
+        .select(round(col("tn").cast("double") / col("td"), 2).as("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+    },
+
     // ---- dd33: n-gram novelty curve (first-seen attribution) -------------
     QueryDef(
       "dd33_ngram_novelty",

@@ -133,6 +133,23 @@ object Ingest {
         ev.filter(col("event_type") === "purchase"))
     },
 
+    // ---- exactly-once dedup within watermark (batch face) -----------------
+    QueryDef(
+      "st_dedup_watermark",
+      "Exactly-once ingestion under at-least-once delivery: a planted redelivery stream (every 7th event arrives twice, byte-identical) deduped by event_id within the watermark (EventsStream.dedupWithinWatermark ≅ dropDuplicatesWithinWatermark state semantics; StreamingSpec drives the MemoryStream twin) — per-type counts and exact sums after dedup must equal the clean source, which is the oracle: inflation on the %7 residue classes means a dedup miss",
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+      """)) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val redelivered = ev.unionByName(ev.filter(col("event_id") % 7 === 0))
+      EventsStream.dedupWithinWatermark(redelivered)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    },
+
     // ---- watermark lateness audit (batch face) ----------------------------
     // Before picking a withWatermark delay, a pipeline audits what that
     // delay WOULD drop on historical data: replay events in PROCESSING

@@ -103,4 +103,61 @@ class CurationOpsSpec extends SparkTestBase {
     assert(rows.last.getDouble(3) >= rows.head.getDouble(3),
       "calibration not directionally consistent")
   }
+
+  test("dd101: planted C4 violations land exactly on their doc_id residues") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("source")).cache()
+    val expect = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("e_docs"),
+      sum(when(col("doc_id") % 23 === 0, 1L).otherwise(0L)).as("e_lorem"),
+      sum(when(col("doc_id") % 17 === 0, 1L).otherwise(0L)).as("e_brace"),
+      sum(when(col("doc_id") % 3 =!= 0, 1L).otherwise(0L)).as("e_punct"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = run("dd101_c4_filters").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (eDocs, eLorem, eBrace, ePunct) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == eDocs)
+      assert(r.getAs[Long]("drop_lorem") == eLorem, s"lorem ${r}")
+      assert(r.getAs[Long]("drop_brace") == eBrace, s"brace ${r}")
+      // terminal '.' is planted on %3 == 0 ONLY, so the punct rule drops
+      // exactly the complement
+      assert(r.getAs[Long]("drop_punct") == ePunct, s"punct ${r}")
+      assert(r.getAs[Long]("n_pass") <= eDocs - eLorem.max(eBrace))
+    }
+    docs.unpersist()
+  }
+
+  test("dd102: fertility and chars_per_word are exact ratios of the integer sums") {
+    val rows = run("dd102_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = r.getAs[Long]("n_words"); val sub = r.getAs[Long]("n_subwords")
+      assert(words > 0 && sub >= words) // >= 1 subword per word by construction
+      assert(math.abs(r.getAs[Double]("fertility") -
+        BigDecimal(sub.toDouble / words).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
+  test("dd103: the survival curve is monotone and catches every planted near-dup at 0.5") {
+    val curve = run("dd103_dedup_curve").collect()
+      .map(r => (r.getAs[Double]("threshold"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).sortBy(_._1)
+    assert(curve.map(_._1).sameElements(Array(0.5, 0.6, 0.7, 0.8, 0.9)))
+    // monotone non-increasing in the threshold, docs bounded by 2x pairs
+    curve.sliding(2).foreach { case Array((_, p1, _), (_, p2, _)) =>
+      assert(p2 <= p1) }
+    curve.foreach { case (_, p, d) => assert(d <= 2 * p) }
+    // every planted (doc, doc+10000) pair whose variant still has >= 8
+    // words shares all its 8-grams with the original: jaccard
+    // (n-10)/(n-7) -- above 1/2 whenever the variant has >= 6 shingles
+    val planted = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), " ")) >= 16)
+      .count()
+    assert(curve.head._2 >= planted,
+      s"pairs at 0.5 = ${curve.head._2} < planted $planted")
+  }
 }
