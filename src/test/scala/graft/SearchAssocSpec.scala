@@ -286,4 +286,18 @@ class SearchAssocSpec extends SparkTestBase {
       "tau_b must recompute from the published pair counts")
     assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
   }
+
+  test("ir17: block-max pruned top-10 is BIT-EQUAL to ir2's exhaustive top-10") {
+    val pruned = run("ir17_blockmax_topk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).sortBy(_._1)
+    val exact = run("ir2_bm25_topk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).sortBy(_._1)
+    assert(pruned.length == 10 && exact.length == 10)
+    // WAND's whole contract: identical results, fewer postings walked
+    assert(pruned.sameElements(exact),
+      s"pruned=${pruned.mkString(",")} exact=${exact.mkString(",")}")
+    val st = run("ir17_blockmax_topk").collect().head
+    assert(st.getAs[Long]("blocks_scored") <= st.getAs[Long]("blocks_total"))
+    assert(st.getAs[Long]("postings_scored") <= st.getAs[Long]("postings_total"))
+  }
 }
