@@ -59,11 +59,13 @@ object AnnSearch {
   // always runs at defaults, larger deployments retune via session conf.
   private def lshBitsOf(s: SparkSession): Int = {
     val b = s.conf.get("spark.graft.ann.lshBits", "4").toInt
-    // every sampled position i*(64/b)+1, i<b, stays within the 64-dim
-    // vector for any b in 1..64 (integer-division step), so in-range is
-    // the whole constraint
-    require(b >= 1 && b <= 64,
-      s"spark.graft.ann.lshBits must be in 1..64, got $b")
+    // two constraints: sampled positions i*(64/b)+1, i<b, stay within the
+    // 64-dim vector for any b <= 64, AND signBucket's per-bit weight
+    // (1 << (b-1-i)) is an Int shift — b must stay <= 31 so the weights
+    // are distinct positive Ints (bits >= 32 would wrap mod 32 and alias
+    // distinct sign patterns into one bucket, silently degrading recall)
+    require(b >= 1 && b <= 31,
+      s"spark.graft.ann.lshBits must be in 1..31, got $b")
     b
   }
   private def nprobeOf(s: SparkSession): Int = {

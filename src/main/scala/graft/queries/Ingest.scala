@@ -136,7 +136,7 @@ object Ingest {
     // ---- exactly-once dedup within watermark (batch face) -----------------
     QueryDef(
       "st_dedup_watermark",
-      "Exactly-once ingestion under at-least-once delivery: a planted redelivery stream (every 7th event arrives twice, byte-identical) deduped by event_id within the watermark (EventsStream.dedupWithinWatermark ≅ dropDuplicatesWithinWatermark state semantics; StreamingSpec drives the MemoryStream twin) — per-type counts and exact sums after dedup must equal the clean source, which is the oracle: inflation on the %7 residue classes means a dedup miss",
+      "Exactly-once ingestion under at-least-once delivery: a planted redelivery stream (every 7th event arrives twice, byte-identical) deduped by event_id within the watermark (EventsStream.dedupWithinWatermark ≅ dropDuplicatesWithinWatermark state semantics; StreamingSpec drives the MemoryStream twin) — per-type counts and exact sums after dedup must equal the clean source, which is the oracle: inflation on the %7 residue classes means a dedup miss. PRECONDITION: event_id is unique in the fixture (ValidationSpec pins count == countDistinct) — with reused ids carrying different payloads, dropDuplicates would pick an arbitrary row and the clean-table oracle would desync",
       Some("""
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

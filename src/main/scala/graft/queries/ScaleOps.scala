@@ -459,9 +459,17 @@ object ScaleOps {
       // in the final node-bounded projection, BEFORE the rank/node
       // orderBy so rank-tie ordering across the LIMIT cut still follows
       // the string collation the oracle uses.
+      // ENCODER CEILING: the tag bit lives at 2^40, so keys must stay
+      // below 2^40 (~1.1e12) — guarded with raise_error so a graph whose
+      // keys outgrow the tag scheme fails loudly and diagnosably instead
+      // of silently colliding part/supplier node ids.
+      def ck(c: Column): Column =
+        when(c >= (1L << 40), raise_error(concat(
+          lit("PageRank node encoder supports keys < 2^40, got "),
+          c.cast("string")))).otherwise(c)
       val e0 = t(s, dir, "lineitem").select(
-        col("l_partkey").as("src"),
-        (col("l_suppkey") + lit(1L << 40)).as("dst")).distinct()
+        ck(col("l_partkey")).as("src"),
+        (ck(col("l_suppkey")) + lit(1L << 40)).as("dst")).distinct()
       def dec(c: Column): Column = concat(
         when(c < (1L << 40), "p").otherwise("s"),
         pmod(c, lit(1L << 40)).cast("string"))
@@ -660,10 +668,18 @@ object ScaleOps {
       // all state is exact integer counts and longs.
       val pow10 = array((1 to 9).map(i =>
         lit(math.pow(10, 9 - i).toLong)): _*)
+      // ENCODER CEILING: the left-aligned scheme supports keys of at most
+      // 9 decimal digits (pow10 has 9 entries; a 10th digit would make
+      // element_at out-of-range). Guarded with raise_error so a scale-up
+      // past the ceiling fails loudly with a diagnosable message instead
+      // of an opaque ANSI element_at error (or silent NULL edges).
       def enc(tag: Int, key: Column): Column = {
         val len = length(key.cast("string"))
-        (lit(tag.toLong * (1L << 62)) +
-          key * element_at(pow10, len) * 32L + len).cast("long")
+        when(len > 9, raise_error(concat(
+          lit("LPA long-id encoder supports keys up to 9 decimal digits, got "),
+          key.cast("string"))))
+          .otherwise(lit(tag.toLong * (1L << 62)) +
+            key * element_at(pow10, len) * 32L + len).cast("long")
       }
       val decTag = (c: Column) => shiftright(c, 62)
       val decLen = (c: Column) => pmod(c, lit(32L))

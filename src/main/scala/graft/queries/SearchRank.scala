@@ -737,7 +737,7 @@ object SearchRank {
     // ---- IR17: Block-Max WAND exact top-k with measured pruning ----------
     QueryDef(
       "ir17_blockmax_topk",
-      "Block-Max WAND (Ding & Suel 2011) in relational form: EXACT BM25 top-10 that provably skips postings. Pass 1 scores cheap per-term top-decile impact champions; their 10th-best DECIMAL score is a LOWER bound theta on the true 10th-best (champion score <= true score per doc, order dominance). Pass 2 keeps only doc-id blocks (32 docs) whose summed per-term block-max contribution >= theta — any true top-10 doc's block satisfies score <= blocksum, so completeness is algebraic, not sampled (plain fixed-size champions were measured first: recall 0.1-0.4 on this corpus's conjunctive stopword-grade query — term-level upper bounds cannot discriminate it, block-level ones can) — then exact-scores candidates only. All threshold comparisons run in DECIMAL(38,9) (no float boundary); output = the exact top-10 (bit-equal to ir2) plus measured blocks/postings pruning counters",
+      "Block-Max WAND (Ding & Suel 2011) in relational form: EXACT BM25 top-10 that provably skips postings. Pass 1 scores cheap per-term top-decile impact champions; their 10th-best DECIMAL score is a LOWER bound theta on the true 10th-best (champion score <= true score per doc, order dominance). Pass 2 keeps only doc-id blocks (8 docs: blk = doc_id // 8) whose summed per-term block-max contribution >= theta — any true top-10 doc's block satisfies score <= blocksum, so completeness is algebraic, not sampled (plain fixed-size champions were measured first: recall 0.1-0.4 on this corpus's conjunctive stopword-grade query — term-level upper bounds cannot discriminate it, block-level ones can) — then exact-scores candidates only. All threshold comparisons run in DECIMAL(38,9) (no float boundary); output = the exact top-10 (bit-equal to ir2) plus measured blocks/postings pruning counters",
       Some("""
         WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w, doc_id),
@@ -795,8 +795,9 @@ object SearchRank {
       val idf: Column = log((col("n").cast("double") - col("df") + 0.5) /
         (col("df") + 0.5) + 1)
       // the query's postings with their DECIMAL-rounded BM25 contribution
-      // and a 32-doc block id; query-bounded (3 terms), cached — both
-      // passes and all four counters read it
+      // and an 8-doc block id (blk = doc_id >> 3, matching the oracle's
+      // doc_id // 8); query-bounded (3 terms), cached — both passes and
+      // all four counters read it
       val postq = tf.join(broadcast(qterms), Seq("w"))
         .join(dl, Seq("doc_id")).crossJoin(broadcast(n))
         .select(col("w"), col("doc_id"), shiftright(col("doc_id"), 3).as("blk"),

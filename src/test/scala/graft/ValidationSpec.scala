@@ -101,6 +101,25 @@ class ValidationSpec extends SparkTestBase {
     Tables.registerAll(spark, sf0001)
   }
 
+  // st_dedup_watermark's oracle (aggregates over the CLEAN events table)
+  // equals the deduped redelivery stream only while event_id is unique: if
+  // a fixture revision ever reused event_ids with differing payloads,
+  // dropDuplicates would pick an arbitrary row and the gate would break
+  // nondeterministically. Pin the precondition here so a fixture change
+  // fails THIS named test, not the streaming gate.
+  test("events fixture precondition: event_id is unique (st_dedup_watermark oracle contract)") {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    for (dir <- Seq(sf0001, sf001)) {
+      val r = Tables(spark, dir, "events")
+        .agg(count(lit(1)).as("n"), countDistinct("event_id").as("d"))
+        .head()
+      assert(r.getLong(0) == r.getLong(1),
+        s"events.event_id not unique at $dir (${r.getLong(0)} rows, " +
+        s"${r.getLong(1)} distinct) — st_dedup_watermark's clean-table " +
+        "oracle is only valid under uniqueness")
+    }
+  }
+
   test("oracle SQL exists for every query except the documented rows-only set") {
     val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // EMPTY since r9: f_custom_functions — the last rows-only entry —
