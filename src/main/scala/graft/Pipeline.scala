@@ -136,9 +136,17 @@ object Pipeline {
         val merged = MergeKernels.upsertClassify(target, conformed, Seq("pk")).cache()
         val stats = merged.groupBy("op").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-        // size-aware write: files land near the target size instead of
-        // one per shuffle task (the 100-TB small-files guard)
-        WriteOptimizer.sizedWrite(merged.drop("op"), silverPath, sortCols = Seq("pk"))
+        // round-10 default layout: silver lands MONTH-PARTITIONED on the
+        // modification time and pk-SORTED within each month — the Spark
+        // analog of the reference's COALESCE(date_modified, date_created)
+        // index. Date-bounded rescans prune to the touched months
+        // (LAYOUT.json: 47× bytes at 10×), pk-sorted row groups give
+        // min-max pruning on key probes, and month-clustered writes keep
+        // one file per (month, writer) instead of tasks × months slivers.
+        graft.core.Layout.writePartitionedByMonth(
+          merged.drop("op")
+            .withColumn("updated_ts", timestamp_seconds(col("updated_epoch"))),
+          "updated_ts", silverPath, sortCols = Seq("pk"))
         merged.unpersist()
         log += "merge" -> stats
       }),

@@ -32,9 +32,18 @@ import org.apache.spark.sql.functions._
   *     closes the "canary selects by base cost" blind spot: a
   *     cheap-but-superlinear query is invisible to the heaviest-N list
   *     but lights up in the sweep.
+  *   - `runMain graft.ScaleCanary --deep100 [name1,name2,…]` — round-10:
+  *     the 100× canary (~60 M lineitem rows, the brief's claimed scale
+  *     step), default list = the inventory's heaviest queries (the
+  *     round-9 VERDICT's 15-heaviest ask). Timed runs at 100× are
+  *     warmup + min-of-2 (not 3): each run is minutes, where run-to-run
+  *     noise is proportionally small — the third run buys nothing but
+  *     wall-clock. Results stream into SCALE_CANARY_100X.json after
+  *     EVERY query so an interrupted run keeps its finished rows.
   *
   * Output: SCALE_CANARY.json — `queries` holds deep 10× rows,
-  * `sweep2x` (sweep mode) holds the full-inventory 2× ratios.
+  * `sweep2x` (sweep mode) holds the full-inventory 2× ratios;
+  * SCALE_CANARY_100X.json — the 100× rows.
   *
   * Each derived dataset directory carries a _GENERATOR stamp; the dataset
   * is regenerated whenever the stamp mismatches the current generator
@@ -141,10 +150,20 @@ object ScaleCanary {
     pairs.sortBy(-_._2).take(n).map(_._1).toSeq
   }
 
+  /** The round-9 VERDICT's 15-heaviest ask (16 names: both replay rows). */
+  private val Deep100Defaults = Seq(
+    "mv_firs_full", "mv_firs_incremental", "mv_accuseds_incremental",
+    "dd2_minhash_lsh", "dd11_dedup_clusters", "dd31_substring_dedup",
+    "dd34_pagerank", "dd60_setsim_join", "dd88_containment_join",
+    "dd91_label_propagation", "ir2_bm25_topk", "ir14_chunk_retrieval",
+    "ir17_blockmax_topk", "e2_blocked_fuzzy",
+    "st_gold_replay_parity", "st_index_replay_parity")
+
   def main(args: Array[String]): Unit = {
     val sweep = args.headOption.contains("--sweep")
+    val deep100 = args.headOption.contains("--deep100")
     val maxQ =
-      if (sweep) 0 else args.headOption.map(_.toInt).getOrElse(20)
+      if (sweep || deep100) 0 else args.headOption.map(_.toInt).getOrElse(20)
     val explicitNames: Option[Seq[String]] =
       if (!sweep && args.length > 1) Some(args(1).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -180,22 +199,41 @@ object ScaleCanary {
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-    def deep(names: Seq[String]): Seq[String] = {
-      val dir10 = derived(spark, 10)
-      names.filter(byName.contains).flatMap { name =>
-        try {
-          val tb = time(Base, name)
-          val td = time(dir10, name)
-          System.err.println(
-            f"[canary] $name base=$tb%.2f 10x=$td%.2f ratio=${td / tb}%.1f")
-          Some(s""""$name":{"t_base":${fmt(tb)},"t_10x":${fmt(td)},"ratio":${fmt(td / tb)}}""")
-        } catch { case e: Throwable =>
-          System.err.println(s"[canary] $name FAILED: ${e.getMessage}"); None
-        }
-      }
+    def timeN(dir: String, name: String, runs: Int): Double = {
+      once(dir, name)
+      (1 to runs).map(_ => once(dir, name)).min
     }
 
-    val json = if (sweep) {
+    def deepAt(names: Seq[String], factor: Int, scaledRuns: Int,
+        partialPath: Option[String]): Seq[String] = {
+      val dirN = derived(spark, factor)
+      val acc = scala.collection.mutable.ArrayBuffer[String]()
+      names.filter(byName.contains).foreach { name =>
+        try {
+          val tb = time(Base, name)
+          val td = timeN(dirN, name, scaledRuns)
+          System.err.println(
+            f"[canary] $name base=$tb%.2f ${factor}x=$td%.2f ratio=${td / tb}%.1f")
+          acc += s""""$name":{"t_base":${fmt(tb)},"t_${factor}x":${fmt(td)},"ratio":${fmt(td / tb)}}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[canary] $name FAILED: ${e.getMessage}")
+          acc += s""""$name":{"error":"${e.getMessage.replaceAll("[\"\\\\\n\r\t]", " ").take(200)}"}"""
+        }
+        // stream partial results: an interrupted 100× run keeps its rows
+        partialPath.foreach { p =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+            s"""{"base":"$Base","factor":$factor,"scaled_runs":$scaledRuns,"queries":{${acc.mkString(",")}}}""")
+        }
+      }
+      acc.toSeq
+    }
+    def deep(names: Seq[String]): Seq[String] = deepAt(names, 10, 3, None)
+
+    val json = if (deep100) {
+      val names = explicitNames.getOrElse(Deep100Defaults)
+      val rows = deepAt(names, 100, 2, Some("SCALE_CANARY_100X.json"))
+      s"""{"base":"$Base","factor":100,"scaled_runs":2,"queries":{${rows.mkString(",")}}}"""
+    } else if (sweep) {
       // Full-inventory 2× superlinearity sweep: single-shot per scale
       // after one warmup pass (the sweep's job is to FLAG, not to bench —
       // deep() re-measures anything suspicious with warmup + min-of-3).
@@ -227,8 +265,8 @@ object ScaleCanary {
       s"""{"base":"$Base","factor":10,"queries":{${rows.mkString(",")}}}"""
     }
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_CANARY.json"), json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      if (deep100) "SCALE_CANARY_100X.json" else "SCALE_CANARY.json"), json)
     spark.stop()
   }
 }

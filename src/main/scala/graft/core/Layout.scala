@@ -23,15 +23,24 @@ object Layout {
     * flat scan at 10×; see LayoutBench). `filesPerMonth` spreads a month
     * across that many writers when one 128 MiB-ish file per month is not
     * enough — size it ≈ month_bytes / 128 MiB at the target scale. */
+  /** @param sortCols sort rows on these columns WITHIN each month's
+    *   files (round-10: the Pipeline default is month-partitioned +
+    *   sorted silver): parquet min-max row-group stats on the sort keys
+    *   then prune key-bounded scans inside a month the way the partition
+    *   value prunes across months. */
   def writePartitionedByMonth(df: DataFrame, tsCol: String, path: String,
-      filesPerMonth: Int = 1): Unit = {
+      filesPerMonth: Int = 1, sortCols: Seq[String] = Nil): Unit = {
     require(filesPerMonth >= 1, s"filesPerMonth must be >= 1: $filesPerMonth")
     val d = df.withColumn("part_month", date_format(col(tsCol), "yyyy-MM"))
     val clustered =
       if (filesPerMonth == 1) d.repartition(col("part_month"))
       else d.repartition(col("part_month"),
         pmod(hash(struct(df.columns.map(col): _*)), lit(filesPerMonth)))
-    clustered.write.mode("overwrite").partitionBy("part_month").parquet(path)
+    val sorted =
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(
+        (col("part_month") +: sortCols.map(col)): _*)
+    sorted.write.mode("overwrite").partitionBy("part_month").parquet(path)
   }
 
   /** Date-bounded predicate for a month-partitioned table: the row-level

@@ -26,7 +26,17 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    // month-partitioned layouts (Layout.writePartitionedByMonth) surface
+    // their partition value as a part_month column via partition
+    // discovery; drop it so a partitioned dir is a drop-in replacement
+    // for the flat file (queries keep the pinned schema). Date-bounded
+    // scans still skip data: each month-file's footer min-max on the ts
+    // column rejects whole row groups, the one-month-per-file analog of
+    // directory pruning. Full directory pruning needs a part_month
+    // predicate — use Layout.monthBounded on a direct read for that.
+    val df = if (df0.columns.contains("part_month")) df0.drop("part_month")
+             else df0
     // events.ts has shipped as TIMESTAMP(NANOS) parquet (read as Long under
     // spark.sql.legacy.parquet.nanosAsLong=true) and as timestamp[us]
     // (read as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ). Normalize

@@ -84,11 +84,24 @@ object GoldMvFull {
     * (the lineitem frame feeds every child role, so one semi-join
     * restriction bounds them all).
     */
+  /** @param childCap 0 = unlimited (the reference MV materializes every
+    *   child). > 0 = SKEW GUARD (round-10): cap each parent's child array
+    *   at the `childCap` smallest children by the full child-struct order
+    *   (deterministic, oracle-expressible as a row_number), and surface
+    *   `n_children_total` / `n_children_overflow` so a consumer can see
+    *   the truncation. The capped assembly is TWO-PHASE SALTED: phase 1
+    *   groups on (parent, salt) and keeps each salt-group's top-K, phase 2
+    *   merges ≤ SALT×K structs per parent — so a mega-parent (the
+    *   reference's plausible skew case, SURVEY §4) spreads its children
+    *   across SALT tasks instead of funnelling 10⁵+ structs into one
+    *   collect_list task. Every task's input is bounded: phase-1 groups
+    *   hold ~|children|/SALT rows, phase 2 holds ≤ SALT×K. */
   def buildFirsFull(
       s: SparkSession,
       dir: String,
       orders: DataFrame,
-      li: DataFrame): DataFrame = {
+      li: DataFrame,
+      childCap: Int = 0): DataFrame = {
       val part = broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_name"))
       val supp = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name"))
 
@@ -114,8 +127,29 @@ object GoldMvFull {
           col("p_brand").as("brand"),
           col("p_name").as("pname"),
           col("s_name").as("sname")).as("it"))
-      val grouped = enriched.groupBy(col("l_orderkey"))
-        .agg(collect_list(col("it")).as("items"))
+      val grouped =
+        if (childCap <= 0)
+          enriched.groupBy(col("l_orderkey"))
+            .agg(collect_list(col("it")).as("items"))
+        else {
+          // two-phase salted cap (see scaladoc): salt on the child-struct
+          // hash (deterministic; duplicate structs co-locate, which only
+          // concentrates identical rows — the global top-K is unaffected
+          // because phase 1 keeps K per salt group and the K smallest of
+          // the per-group K-smallest IS the global K smallest)
+          val SaltN = 16
+          val salted = enriched
+            .withColumn("salt", pmod(xxhash64(col("it")), lit(SaltN)))
+            .groupBy(col("l_orderkey"), col("salt"))
+            .agg(slice(array_sort(collect_list(col("it"))), 1, childCap)
+              .as("part_items"),
+              count(lit(1)).as("cnt"))
+          salted.groupBy(col("l_orderkey"))
+            .agg(
+              slice(array_sort(flatten(collect_list(col("part_items")))),
+                1, childCap).as("items"),
+              sum(col("cnt")).as("n_children_total"))
+        }
 
       // -- child role 1: accused_flat (firs_mv.sql:40-54) -------------------
       val statusNorm: Column => Column = x =>
@@ -205,7 +239,11 @@ object GoldMvFull {
         lit("{\"id\":"), sup.getField("sk"),
         lit(",\"value\":\""), sup.getField("sn"), lit("\"}")))
 
-      val liAgg = grouped.select(
+      val capCols = if (childCap <= 0) Seq.empty[Column] else Seq(
+        col("n_children_total"),
+        (col("n_children_total") - size(items)).cast("long")
+          .as("n_children_overflow"))
+      val liAgg = grouped.select(Seq(
         col("l_orderkey"),
         size(items).cast("long").as("n_accused"),
         // disposal counters (firs_mv.sql:78-89) ride the same array
@@ -224,6 +262,7 @@ object GoldMvFull {
           .as("drug_with_quantity"),
         concat(lit("["), array_join(csArr, ","), lit("]")).as("chargesheets"),
         concat(lit("["), array_join(assocArr, ","), lit("]")).as("associates"))
+        ++ capCols: _*)
 
       // parent assembly: one orders scan, broadcast hierarchy dims, ONE
       // left join on the parent key for the fused child aggregate.
@@ -247,11 +286,14 @@ object GoldMvFull {
         lit("\"},\"associateDetails\":"), coalesce(col("associates"), lit("[]")),
         lit("}"))
 
+      val capOut = if (childCap <= 0) Seq.empty[Column] else Seq(
+        coalesce(col("n_children_total"), lit(0L)).as("n_children_total"),
+        coalesce(col("n_children_overflow"), lit(0L)).as("n_children_overflow"))
       orders
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(liAgg, col("o_orderkey") === liAgg("l_orderkey"), "left")
-        .select(
+        .select(Seq(
           col("o_orderkey").as("id"),
           col("n_name").as("unit"),
           col("c_name").as("ps"),
@@ -273,7 +315,7 @@ object GoldMvFull {
             .otherwise("{}").as("disposal_counts"),
           coalesce(col("chargesheets"), lit("[]")).as("chargesheets"),
           coalesce(col("documents"), lit("[]")).as("documents"),
-          irDoc.as("ir_doc"))
+          irDoc.as("ir_doc")) ++ capOut: _*)
   }
 
   /** Per-accused (child-grain) gold build over caller-supplied frames.
@@ -566,6 +608,56 @@ object GoldMvFull {
       "Full-breadth firs_mv gold row: 18 child aggregates over 4 child roles (accused list w/ status normalization, 2-level drug rollup, nested chargesheets w/ sub-lookups, UNION-ALL document list, disposal counters, ||-merged IR mega-doc) — firs_mv.sql:40-229",
       Some(firsOracleSql("", "lineitem", "orders"))) { (s, dir) =>
       buildFirsFull(s, dir, t(s, dir, "orders"), t(s, dir, "lineitem"))
+    },
+
+    // ---- firs_mv with the per-parent skew guard (round-10) ----------------
+    // Same MV at childCap=4: every child-role aggregate reads only each
+    // parent's 4 smallest children by the canonical child-struct order
+    // (deterministic => expressible as the oracle's row_number), plus true
+    // n_children_total / n_children_overflow so consumers see the cut. The
+    // engine side assembles via the two-phase salted groupBy, so a
+    // mega-parent spreads across 16 tasks instead of one straggler
+    // collect_list (GoldSkewSpec plants a 100k-child parent and pins the
+    // salted plan shape).
+    QueryDef(
+      "mv_firs_capped",
+      "firs_mv with the per-parent child cap engaged (childCap=4): all child rollups over each parent's 4 canonically-smallest children via two-phase salted assembly (no single-task mega-parent collect), plus true child totals and overflow counts",
+      Some(s"""
+        WITH enr AS (
+          SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+                 l.l_returnflag, l.l_linestatus, l.l_quantity,
+                 row_number() OVER (
+                   PARTITION BY l.l_orderkey
+                   ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey,
+                            l.l_returnflag, l.l_linestatus,
+                            CAST(l.l_quantity AS BIGINT),
+                            p.p_brand ASC NULLS FIRST,
+                            p.p_name ASC NULLS FIRST,
+                            s.s_name ASC NULLS FIRST) AS rn
+          FROM lineitem l
+          LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        ),
+        totals AS (
+          SELECT l_orderkey AS t_key, CAST(count(*) AS BIGINT) AS tot
+          FROM lineitem GROUP BY 1
+        )
+        SELECT q.*,
+               CAST(COALESCE(t.tot, 0) AS BIGINT) AS n_children_total,
+               CAST(COALESCE(t.tot, 0) - LEAST(COALESCE(t.tot, 0), 4) AS BIGINT)
+                 AS n_children_overflow
+        FROM (
+          ${firsOracleSql("""
+        lineitem_capped AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 l_returnflag, l_linestatus, l_quantity
+          FROM enr WHERE rn <= 4
+        ),
+        """, "lineitem_capped", "orders")}
+        ) q LEFT JOIN totals t ON q.id = t.t_key
+      """)) { (s, dir) =>
+      buildFirsFull(s, dir, t(s, dir, "orders"), t(s, dir, "lineitem"),
+        childCap = 4)
     },
 
     // ---- incremental gold refresh ≡ full rebuild (oracle-gated) ----------

@@ -473,32 +473,50 @@ object ScaleOps {
       def dec(c: Column): Column = concat(
         when(c < (1L << 40), "p").otherwise("s"),
         pmod(c, lit(1L << 40)).cast("string"))
-      // plain cache, no pre-partitioning: the iteration joins edges
-      // against a BROADCAST contribution table, so the edge set is never
-      // shuffled at all — a keyed repartition would add a shuffle the
-      // loop never repays (measured: +0.5 s here)
-      val edges = e0.unionByName(
+      // plain cache, no pre-partitioning on the broadcast path: the
+      // iteration joins edges against a BROADCAST contribution table, so
+      // the edge set is never shuffled at all — a keyed repartition would
+      // add a shuffle the loop never repays (measured: +0.5 s here)
+      val edges0 = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
       // the rank/degree state is NODE-bounded, orders of magnitude
       // smaller than the edge set — in the undirected graph every node
       // appears as a src, so deg doubles as the node table
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
+      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
+      // BROADCAST GATE (round-10): the contribution table is node-scale,
+      // and an unconditional broadcast hint would throw (not degrade) on
+      // a graph whose nodes outgrow the broadcast budget. Gate on the
+      // measured node count (deg is cached and needed anyway): over the
+      // budget, drop the hint and re-cache the edges pre-partitioned on
+      // the join key so the per-iteration hash join reuses the cached
+      // partitioning instead of re-exchanging the edge set every round.
+      // Default budget 10M nodes ≈ 0.5 GB serialized — comfortably under
+      // executor/driver broadcast limits; tune via session conf.
+      val nNodes = deg.count()
+      val useBroadcast = nNodes <= s.conf
+        .get("spark.graft.pagerank.broadcastMaxNodes", "10000000").toLong
+      val edges = if (useBroadcast) edges0 else {
+        val e = edges0.repartition(col("src")).cache()
+        e.count() // materialize before dropping the unpartitioned cache
+        edges0.unpersist(blocking = false)
+        e
+      }
       val nn = broadcast(deg.agg(count(lit(1)).as("n")))
       var ranks = deg.crossJoin(nn)
         .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
       for (_ <- 1 to 3) {
         // per-NODE contribution computed once on the small table, THEN
-        // replicated across edges by a broadcast join — the edge set is
-        // never shuffled; the dst groupBy is each iteration's only
-        // exchange. (On a graph whose rank table outgrows broadcast,
-        // drop the hint: both sides hash-join on src and the cached
-        // edges' partitioning is reused across iterations.)
+        // replicated across edges by a broadcast join (gated above) —
+        // the edge set is never shuffled; the dst groupBy is each
+        // iteration's only exchange.
         val contrib = ranks.join(deg, col("node") === col("src"))
           .select(col("src").as("c_src"),
             round(lit(0.85) * col("r") / col("d"), 12)
               .cast("decimal(28,12)").as("contrib"))
-        ranks = edges
-          .join(broadcast(contrib), col("src") === col("c_src"))
+        val withContrib =
+          if (useBroadcast) edges.join(broadcast(contrib), col("src") === col("c_src"))
+          else edges.join(contrib, col("src") === col("c_src"))
+        ranks = withContrib
           .groupBy(col("dst").as("node"))
           .agg(sum(col("contrib")).as("acc"))
           .crossJoin(nn)

@@ -25,9 +25,32 @@ final class GoldMaintainer(
     spark: SparkSession,
     parentKey: String,
     workDir: String,
-    buildGold: DataFrame => DataFrame) {
+    buildGold: DataFrame => DataFrame,
+    trackMetrics: Boolean = false) {
 
   private var version = 0
+
+  /** Per-batch throughput/state metrics (SURVEY §2.11 A13 ≅
+    * StreamingQueryListener progress): rows processed, keys touched, and
+    * the maintained state sizes after each batch. Off by default — the
+    * counts are extra actions (parquet-footer metadata reads, but still
+    * jobs) the hot path should not pay unless asked. Oracle-gated by
+    * st_metrics_parity. */
+  private val metricsBuf =
+    scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+
+  private def record(batchId: Int, rowsIn: Long, keysTouched: Long): Unit =
+    if (trackMetrics)
+      metricsBuf += ((batchId, rowsIn, keysTouched, fact.count(), gold.count()))
+
+  /** (batch_id, rows_in, keys_touched, state_rows, gold_rows) per applied
+    * batch, init included as batch 0. */
+  def metrics: DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    metricsBuf.toSeq
+      .toDF("batch_id", "rows_in", "keys_touched", "state_rows", "gold_rows")
+  }
 
   private def factPath(v: Int) = s"$workDir/fact_v$v"
   private def goldPath(v: Int) = s"$workDir/gold_v$v"
@@ -39,6 +62,11 @@ final class GoldMaintainer(
     buildGold(spark.read.parquet(factPath(0)))
       .write.mode("overwrite").parquet(goldPath(0))
     version = 0
+    metricsBuf.clear()
+    if (trackMetrics) {
+      val n = fact.count()
+      record(0, n, gold.count())
+    }
   }
 
   def fact: DataFrame = spark.read.parquet(factPath(version))
@@ -55,20 +83,29 @@ final class GoldMaintainer(
 
   /** One micro-batch: child-replace the touched parents in the fact
     * state, then splice ONLY those parents' recomputed gold rows. */
-  def applyBatch(batch: DataFrame): Unit = synchronized {
-    if (batch.isEmpty) return
-    val prevFact = fact
-    val prevGold = gold
-    val keys = batch.select(col(parentKey)).distinct()
-    val next = version + 1
-    prevFact.join(keys, Seq(parentKey), "left_anti")
-      .unionByName(batch.select(prevFact.columns.map(col): _*))
-      .write.mode("overwrite").parquet(factPath(next))
-    val newFact = spark.read.parquet(factPath(next))
-    GoldIncremental.refresh(prevGold, keys, parentKey) { ks =>
-      buildGold(newFact.join(ks, Seq(parentKey), "left_semi"))
-    }.write.mode("overwrite").parquet(goldPath(next))
-    version = next
+  def applyBatch(batch0: DataFrame): Unit = synchronized {
+    // persist the micro-batch ONCE: the splice reads it several times
+    // (key set, fact union, metrics), and an un-cached foreachBatch frame
+    // re-scans its source on every action — measured 5× the input rows
+    // in the listener's numInputRows before this cache
+    val batch = batch0.persist()
+    try {
+      val rowsIn = batch.count()
+      if (rowsIn == 0) return
+      val prevFact = fact
+      val prevGold = gold
+      val keys = batch.select(col(parentKey)).distinct()
+      val next = version + 1
+      prevFact.join(keys, Seq(parentKey), "left_anti")
+        .unionByName(batch.select(prevFact.columns.map(col): _*))
+        .write.mode("overwrite").parquet(factPath(next))
+      val newFact = spark.read.parquet(factPath(next))
+      GoldIncremental.refresh(prevGold, keys, parentKey) { ks =>
+        buildGold(newFact.join(ks, Seq(parentKey), "left_semi"))
+      }.write.mode("overwrite").parquet(goldPath(next))
+      version = next
+      if (trackMetrics) record(next, rowsIn, keys.count())
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Attach to a streaming delta source; each micro-batch maintains the

@@ -127,6 +127,38 @@ class ScaleOpsSpec extends SparkTestBase {
       if (a._2 < b._2) assert(a._3 >= b._3, s"rate not monotone: $a vs $b")
     }
   }
+  test("dd34: broadcast gate degrades to the partitioned-edges path and matches") {
+    // Force the node-count budget below the fixture's node count: the
+    // contribution join must drop its broadcast hint (graceful degrade,
+    // not a broadcast-budget throw) and still produce identical ranks.
+    def bhj(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.toString
+        .split("BroadcastHashJoin", -1).length - 1
+    // Disable stats-based auto-broadcast in BOTH runs so the only
+    // broadcast source left is the query's explicit hint — the thing the
+    // gate is supposed to drop. (At fixture scale Spark's own CBO happily
+    // broadcasts the small contrib table either way; that is correct
+    // engine behavior, not what this test pins.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val byDefault = q("dd34_pagerank").run(spark, sf001)
+      val defaultRows = byDefault.collect()
+      val defaultBhj = bhj(byDefault)
+      assert(defaultBhj > 0, "hinted plan should broadcast contrib/nn")
+      spark.conf.set("spark.graft.pagerank.broadcastMaxNodes", "1")
+      val fb = q("dd34_pagerank").run(spark, sf001)
+      assert(bhj(fb) == 0,
+        s"fallback plan still has ${bhj(fb)} BroadcastHashJoins " +
+        s"(hinted plan has $defaultBhj)")
+      assert(fb.collect().map(_.toString).sorted
+        .sameElements(defaultRows.map(_.toString).sorted),
+        "fallback path diverged from the broadcast path")
+    } finally {
+      spark.conf.unset("spark.graft.pagerank.broadcastMaxNodes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dd91: LPA communities recompute from a driver-side synchronous replay") {
     // replay 3 synchronous min-tie-break rounds on the collected edge set
     // and require identical community sizes -- the engine's unrolled

@@ -69,4 +69,63 @@ class GoldStreamSpec extends SparkTestBase {
     assert(shrunk.nonEmpty &&
       shrunk.forall(r => r.getLong(1) == 1L && r.getDouble(2) == 1.5))
   }
+
+  test("listener progress and maintainer metrics agree on rows processed") {
+    // A13 ≅ StreamingQueryListener (SURVEY §2.11): a REAL listener's
+    // progress events and the maintainer's own per-batch metrics must
+    // count the same rows; st_metrics_parity oracle-gates the maintainer
+    // side, this test ties it to the live listener surface.
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-goldmetrics").toString
+    val fact0 = Tables(spark, sf0001, "lineitem")
+      .filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey"), col("l_quantity"))
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "gold_metrics" && e.progress.numInputRows > 0)
+          seen.add(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val m = new GoldMaintainer(spark, "l_orderkey", work, buildGold,
+        trackMetrics = true)
+      m.init(fact0)
+      val mem = MemoryStream[LiDelta]
+      val q = m.start(mem.toDF(), "gold_metrics")
+      val b1 = fact0.filter(col("l_orderkey") % 51 === 0)
+        .as[LiDelta].collect()
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      val b2 = fact0.filter(col("l_orderkey") % 57 === 0)
+        .groupBy("l_orderkey").agg(lit(1.5).as("l_quantity"))
+        .as[LiDelta].collect()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      // give the async listener bus a beat to drain
+      spark.streams.awaitAnyTermination(1)
+      val metric = m.metrics.filter(col("batch_id") > 0)
+        .orderBy("batch_id").collect()
+      assert(metric.map(_.getAs[Long]("rows_in")).toSeq ==
+        Seq(b1.length.toLong, b2.length.toLong))
+      // listener saw the same per-batch input rows (order-insensitive:
+      // the bus is async)
+      val eventually = (1 to 50).exists { _ =>
+        if (seen.size >= 2) true else { Thread.sleep(100); false }
+      }
+      assert(eventually, s"listener saw only ${seen.size} progress events")
+      val fromListener = seen.toArray(Array.empty[java.lang.Long])
+        .map(_.toLong).toSeq.sorted
+      assert(fromListener == Seq(b1.length.toLong, b2.length.toLong).sorted,
+        s"listener rows $fromListener != batches ${Seq(b1.length, b2.length)}")
+      // state sizes in the metrics match the maintained tables
+      assert(metric.last.getAs[Long]("state_rows") == m.fact.count())
+      assert(metric.last.getAs[Long]("gold_rows") == m.gold.count())
+    } finally spark.streams.removeListener(listener)
+  }
 }
