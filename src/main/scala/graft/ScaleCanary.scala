@@ -182,6 +182,12 @@ object ScaleCanary {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // ContextCleaner drops shuffle files only when the JVM GCs the
+      // dependency objects — at 100× one fat-MV run spills tens of GB,
+      // and three un-GCed runs filled the disk (measured: ENOSPC on the
+      // accuseds re-run with 72 GB free at start). Same discipline as
+      // Bench's periodic gc, but per-run: the canary's runs are huge.
+      System.gc()
     }
     def once(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
@@ -207,11 +213,22 @@ object ScaleCanary {
     def deepAt(names: Seq[String], factor: Int, scaledRuns: Int,
         partialPath: Option[String]): Seq[String] = {
       val dirN = derived(spark, factor)
+      // Shuffle partitions scale with the data (the brief's own rule:
+      // size partitions so they fit executor memory at the target SF).
+      // 32 partitions hold ~25 GB of rendered gold rows at 100× —
+      // ~800 MB/task, which starves stages that stack several sorters in
+      // one task. A real 100×-sized cluster would run thousands of
+      // partitions; 256 here keeps per-task state at base-scale levels.
+      val scaledParts = if (factor >= 100) "256" else "32"
+      def withParts(parts: String)(body: => Double): Double = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try body finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
       val acc = scala.collection.mutable.ArrayBuffer[String]()
       names.filter(byName.contains).foreach { name =>
         try {
           val tb = time(Base, name)
-          val td = timeN(dirN, name, scaledRuns)
+          val td = withParts(scaledParts)(timeN(dirN, name, scaledRuns))
           System.err.println(
             f"[canary] $name base=$tb%.2f ${factor}x=$td%.2f ratio=${td / tb}%.1f")
           acc += s""""$name":{"t_base":${fmt(tb)},"t_${factor}x":${fmt(td)},"ratio":${fmt(td / tb)}}"""

@@ -33,7 +33,15 @@ object GoldIncremental {
     // to position 0, so re-project goldPrev's column order — the refreshed
     // frame must be schema-identical to a full rebuild, not just
     // name-equivalent.
-    goldPrev.join(keys, Seq(parentKey), "left_anti").unionByName(recomputed)
+    // SHUFFLE_HASH hint (round-10, from the 100× canary's OOM): the gold
+    // side carries KB-scale rendered-JSON rows, and the default sort-merge
+    // anti-join SORTS all of them just to drop the changed keys — at 100×
+    // that sorter competes for task memory with the rest of the stage's
+    // operators and can fail to acquire pages. Hash-building the SLIM key
+    // side and STREAMING the fat gold side never sorts gold at all —
+    // cheaper at every scale, not just a fix.
+    goldPrev.join(keys.hint("shuffle_hash"), Seq(parentKey), "left_anti")
+      .unionByName(recomputed)
       .select(goldPrev.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -396,7 +396,9 @@ object GoldMvFull {
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(personAgg, col("l_suppkey") === col("pa_key"), "left")
-        .join(broadcast(persons), col("l_suppkey") === col("s_suppkey"), "left")
+        // no hint: the persons master grows with the corpus (unlike
+        // nation/region-style dims) — AQE broadcasts it while small
+        .join(persons, col("l_suppkey") === col("s_suppkey"), "left")
         .select(
           concat(lit("A-"), col("l_orderkey"), lit("-"), col("l_linenumber"),
             lit("-"), col("l_partkey")).as("accused_code"),
@@ -707,10 +709,15 @@ object GoldMvFull {
         col("id") % 101 === 5 || col("id") % 97 === 3 ||
           col("id") % 89 === 7 || col("id") % 93 === 11)
       graft.gold.GoldIncremental.refresh(goldPrev, changed, "id") { keys =>
-        // broadcast the changed-key set into BOTH scans: the semi-join
-        // pushes the key filter down, so the recompute reads only the
-        // touched parents' facts
-        val k = broadcast(keys.select(col("id").as("ck")))
+        // semi-join the changed-key set into BOTH scans so the recompute
+        // reads only the touched parents' facts. NO broadcast hint
+        // (round-10): the change batch is a fixed FRACTION of the parents
+        // (residue classes), so the key set grows with data — AQE
+        // broadcasts it while it is actually small and falls back to a
+        // shuffled join past the budget, instead of the hint forcing an
+        // OOM at scale (the 100× canary caught exactly that in the
+        // accuseds twin).
+        val k = keys.select(col("id").as("ck"))
         buildFirsFull(s, dir,
           ordV2.join(k, col("o_orderkey") === col("ck"), "left_semi"),
           liV2.join(k, col("l_orderkey") === col("ck"), "left_semi"))
@@ -767,24 +774,29 @@ object GoldMvFull {
       // person-crime edge (this batch's inserts happen to reuse existing
       // pairs, but the template must be sound for any batch). The crime
       // expansion then scans BOTH versions' facts for those persons: a
-      // new edge makes v2 crimes of that person stale too. All relations
-      // stay change-batch-bounded broadcasts.
+      // new edge makes v2 crimes of that person stale too.
+      // NO broadcast hints (round-10): direct is a fixed FRACTION of the
+      // parents, and the person-graph expansion multiplies it — at the
+      // 100× canary the hinted broadcasts of these key sets OOMed a task.
+      // AQE broadcasts them at runtime while they are actually small and
+      // degrades to shuffled joins past the budget; the hint removed the
+      // degrade path.
       val direct = liV1.select(col("l_orderkey"))
         .unionByName(liV2.select(col("l_orderkey"))).distinct().filter(
           col("l_orderkey") % 97 === 3 || col("l_orderkey") % 89 === 7 ||
             col("l_orderkey") % 93 === 11)
       val persons = liV1.select(col("l_orderkey"), col("l_suppkey"))
         .unionByName(liV2.select(col("l_orderkey"), col("l_suppkey")))
-        .join(broadcast(direct), Seq("l_orderkey"), "left_semi")
+        .join(direct, Seq("l_orderkey"), "left_semi")
         .select(col("l_suppkey")).distinct()
       val expanded = liV1.select(col("l_orderkey"), col("l_suppkey"))
         .unionByName(liV2.select(col("l_orderkey"), col("l_suppkey")))
-        .join(broadcast(persons), Seq("l_suppkey"), "left_semi")
+        .join(persons, Seq("l_suppkey"), "left_semi")
         .select(col("l_orderkey")).distinct()
         .unionByName(direct).distinct()
         .select(col("l_orderkey").as("crime_id"))
       graft.gold.GoldIncremental.refresh(goldPrev, expanded, "crime_id") { keys =>
-        val k = broadcast(keys.select(col("crime_id").as("ck")))
+        val k = keys.select(col("crime_id").as("ck"))
         // child rows pruned to the expanded keys; the HISTORY side must
         // stay the FULL v2 fact table — a person's crime list spans
         // crimes outside the recompute slice
