@@ -211,7 +211,7 @@ object ScaleCanary {
     }
 
     def deepAt(names: Seq[String], factor: Int, scaledRuns: Int,
-        partialPath: Option[String]): Seq[String] = {
+        partialPath: Option[String], seed: Seq[String] = Nil): Seq[String] = {
       val dirN = derived(spark, factor)
       // Shuffle partitions scale with the data (the brief's own rule:
       // size partitions so they fit executor memory at the target SF).
@@ -224,7 +224,7 @@ object ScaleCanary {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try body finally spark.conf.set("spark.sql.shuffle.partitions", "32")
       }
-      val acc = scala.collection.mutable.ArrayBuffer[String]()
+      val acc = scala.collection.mutable.ArrayBuffer[String](seed: _*)
       names.filter(byName.contains).foreach { name =>
         try {
           val tb = time(Base, name)
@@ -246,9 +246,32 @@ object ScaleCanary {
     }
     def deep(names: Seq[String]): Seq[String] = deepAt(names, 10, 3, None)
 
+    // A targeted re-run (explicit name list) MERGES into the committed
+    // file: rows for queries not in this run are carried over verbatim,
+    // so healing one row (e.g. re-measuring a fixed OOM) or recording
+    // datapoints for new operators never discards prior measurements.
+    def seedRows(path: String, names: Seq[String]): Seq[String] = {
+      val f = new java.io.File(path)
+      if (!f.exists()) Nil else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val qs = mapper.readTree(f).get("queries")
+        if (qs == null || !qs.isObject) Nil else {
+          val keep = scala.collection.mutable.ArrayBuffer[String]()
+          val it = qs.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            if (!names.contains(e.getKey))
+              keep += s""""${e.getKey}":${e.getValue.toString}"""
+          }
+          keep.toSeq
+        }
+      }
+    }
+
     val json = if (deep100) {
       val names = explicitNames.getOrElse(Deep100Defaults)
-      val rows = deepAt(names, 100, 2, Some("SCALE_CANARY_100X.json"))
+      val seed = seedRows("SCALE_CANARY_100X.json", names)
+      val rows = deepAt(names, 100, 2, Some("SCALE_CANARY_100X.json"), seed)
       s"""{"base":"$Base","factor":100,"scaled_runs":2,"queries":{${rows.mkString(",")}}}"""
     } else if (sweep) {
       // Full-inventory 2× superlinearity sweep: single-shot per scale
@@ -278,8 +301,19 @@ object ScaleCanary {
         s""""factor":10,"queries":{${deepRows.mkString(",")}}}"""
     } else {
       val names = explicitNames.getOrElse(heaviest(maxQ))
-      val rows = deep(names)
-      s"""{"base":"$Base","factor":10,"queries":{${rows.mkString(",")}}}"""
+      val rows = seedRows("SCALE_CANARY.json", names) ++ deep(names)
+      // carry the committed full-inventory 2x sweep forward verbatim — a
+      // targeted deep run must never delete the sweep evidence
+      val sweepCarry = {
+        val f = new java.io.File("SCALE_CANARY.json")
+        if (!f.exists()) "" else {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val sw = mapper.readTree(f).get("sweep2x")
+          if (sw == null || !sw.isObject) ""
+          else s""""sweep_factor":2,"sweep2x":${sw.toString},"""
+        }
+      }
+      s"""{"base":"$Base",$sweepCarry"factor":10,"queries":{${rows.mkString(",")}}}"""
     }
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(

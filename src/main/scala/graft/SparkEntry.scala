@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.CurateOps.defs ++
       graft.queries.SelectOps.defs ++
       graft.queries.StatsOps.defs ++
+      graft.queries.ValueOps.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
