@@ -38,6 +38,8 @@ object SparkEntry {
       graft.queries.SelectOps.defs ++
       graft.queries.StatsOps.defs ++
       graft.queries.ValueOps.defs ++
+      graft.queries.TrustOps.defs ++
+      graft.queries.MongoSurface.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,290 @@
+package graft.ql
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Document-store (Mongo-style) query surface over the gold tables: a
+  * validated `find(filter, projection)` and a validated aggregation
+  * pipeline, compiled to Catalyst `Column` trees instead of being sent to
+  * a document store.
+  *
+  * Mirrors the reference's second query surface
+  * (`chatbot/security/query_validator.py:114-126,300-445` — dangerous
+  * operators $where/$function/$eval/$accumulator and stages $out/$merge
+  * blocked anywhere, max nesting depth 10, max 20 pipeline stages — and
+  * `chatbot/database/mongo_executor.py:56-145` — read-only find/aggregate
+  * with a hard row cap appended to every query). This closes the one
+  * reference surface the rebuild's QL layer didn't cover.
+  *
+  * Deliberately STRICTER than the reference: the reference blocklists the
+  * known-bad operators and lets everything else through to the store; a
+  * compiler has to understand every operator it runs, so unknown
+  * operators/stages/fields are denials, not passthroughs. Filters compile
+  * with null-SAFE equality (`<=>`): Mongo's {f: v} never matches a
+  * missing value and {$ne: v} does — SQL ternary null logic would
+  * silently drop those rows instead.
+  *
+  * Scale shape: a find is filter+project+limit — predicate and projection
+  * push to the scan. A pipeline is match→group→sort→limit — the sort is
+  * always bounded by the appended row cap, so the terminal plan is
+  * TakeOrdered, never a global sort.
+  */
+object MongoQL {
+
+  final case class Denied(code: String, detail: String)
+
+  private val mapper = new ObjectMapper()
+
+  /** The reference's blocklist (query_validator.py:122-126) — denied with
+    * the dedicated code so the truth table distinguishes policy from
+    * ignorance. */
+  private val DangerousOps = Set("$where", "$function", "$eval", "$accumulator")
+  private val DangerousStages = Set("$out", "$merge", "$where", "$function", "$accumulator")
+
+  private val CmpOps =
+    Set("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin", "$exists", "$regex", "$not")
+  private val BoolOps = Set("$and", "$or", "$nor")
+  private val GroupAccs = Set("$sum", "$avg", "$min", "$max", "$count")
+  private val KnownStages = Set("$match", "$project", "$group", "$sort", "$limit")
+
+  val MaxDepth = 10      // query_validator.py: "Query too complex (max depth: 10)"
+  val MaxStages = 20     // query_validator.py: "Pipeline too long (max 20 stages)"
+  val MaxRegexLen = 200  // compiler-side ReDoS bound (no analogue needed in the ref: the store caps execution time)
+  val DefaultMaxRows = 1000 // mongo_executor.py Config.MAX_QUERY_ROWS analogue
+
+  // ---- parsing / structural validation ------------------------------------
+
+  private def parse(json: String): Either[Denied, JsonNode] =
+    try {
+      val n = mapper.readTree(json)
+      if (n == null) Left(Denied("parse_error", "empty input")) else Right(n)
+    } catch {
+      case e: Exception => Left(Denied("parse_error", "invalid JSON"))
+    }
+
+  private def depthOf(n: JsonNode, d: Int): Int =
+    if (n.isObject)
+      n.properties().asScala.foldLeft(d)((m, e) => math.max(m, depthOf(e.getValue, d + 1)))
+    else if (n.isArray)
+      n.elements().asScala.foldLeft(d)((m, e) => math.max(m, depthOf(e, d + 1)))
+    else d
+
+  private def firstDangerous(n: JsonNode, bad: Set[String]): Option[String] =
+    if (n.isObject)
+      n.properties().asScala.collectFirst {
+        case e if bad.contains(e.getKey) => e.getKey
+      }.orElse(n.properties().asScala.flatMap(e => firstDangerous(e.getValue, bad)).headOption)
+    else if (n.isArray)
+      n.elements().asScala.flatMap(e => firstDangerous(e, bad)).nextOption()
+    else None
+
+  // ---- filter compiler -----------------------------------------------------
+
+  private def toLit(v: JsonNode): Either[Denied, Column] =
+    if (v.isTextual) Right(lit(v.asText))
+    else if (v.isIntegralNumber) Right(lit(v.asLong))
+    else if (v.isNumber) Right(lit(v.asDouble))
+    else if (v.isBoolean) Right(lit(v.asBoolean))
+    else if (v.isNull) Right(lit(null))
+    else Left(Denied("bad_literal", v.getNodeType.toString))
+
+  private def seqEither[A](xs: Seq[Either[Denied, A]]): Either[Denied, Seq[A]] =
+    xs.foldRight(Right(Nil): Either[Denied, List[A]]) { (e, acc) =>
+      for (a <- e; rest <- acc) yield a :: rest
+    }
+
+  /** Compile one field's operator object, e.g. {"$gte": 5, "$lt": 9}. */
+  private def compileOps(field: String, spec: JsonNode, cols: Set[String]): Either[Denied, Column] = {
+    val c = col(field)
+    val parts = spec.properties().asScala.toSeq.map { e =>
+      (e.getKey, e.getValue) match {
+        case ("$eq", v)  => toLit(v).map(c <=> _)
+        case ("$ne", v)  => toLit(v).map(l => !(c <=> l))
+        case ("$gt", v)  => toLit(v).map(c > _)
+        case ("$gte", v) => toLit(v).map(c >= _)
+        case ("$lt", v)  => toLit(v).map(c < _)
+        case ("$lte", v) => toLit(v).map(c <= _)
+        case ("$in", v) if v.isArray =>
+          seqEither(v.elements().asScala.toSeq.map(toLit)).map(ls => c.isin(ls: _*))
+        case ("$nin", v) if v.isArray =>
+          seqEither(v.elements().asScala.toSeq.map(toLit))
+            .map(ls => !coalesce(c.isin(ls: _*), lit(false)))
+        case ("$exists", v) if v.isBoolean =>
+          Right(if (v.asBoolean) c.isNotNull else c.isNull)
+        case ("$regex", v) if v.isTextual =>
+          if (v.asText.length > MaxRegexLen)
+            Left(Denied("regex_too_long", s"max $MaxRegexLen chars"))
+          else Right(c.rlike(v.asText))
+        case ("$not", v) if v.isObject =>
+          compileOps(field, v, cols).map(inner => !coalesce(inner, lit(false)))
+        case (op, _) if DangerousOps.contains(op) => Left(Denied("dangerous_operator", op))
+        case (op, _) if CmpOps.contains(op) => Left(Denied("bad_operand", op))
+        case (op, _) => Left(Denied("unknown_operator", op))
+      }
+    }
+    seqEither(parts).map(_.reduce(_ && _))
+  }
+
+  /** Compile a full filter object (implicit AND over entries). */
+  private def compileFilter(n: JsonNode, cols: Set[String]): Either[Denied, Column] = {
+    if (!n.isObject) return Left(Denied("not_object", "filter must be a JSON object"))
+    val entries = n.properties().asScala.toSeq
+    if (entries.isEmpty) return Right(lit(true))
+    val parts = entries.map { e =>
+      (e.getKey, e.getValue) match {
+        case (op, v) if BoolOps.contains(op) =>
+          if (!v.isArray || !v.elements().hasNext)
+            Left(Denied("bad_operand", s"$op needs a non-empty array"))
+          else
+            seqEither(v.elements().asScala.toSeq.map(compileFilter(_, cols))).map { cs =>
+              op match {
+                case "$and" => cs.reduce(_ && _)
+                case "$or"  => cs.reduce(_ || _)
+                case "$nor" => !coalesce(cs.reduce(_ || _), lit(false))
+              }
+            }
+        case (op, _) if DangerousOps.contains(op) => Left(Denied("dangerous_operator", op))
+        case (op, _) if op.startsWith("$") => Left(Denied("unknown_operator", op))
+        case (f, _) if !cols.contains(f) => Left(Denied("unknown_field", f))
+        case (f, v) if v.isObject && v.properties().asScala.forall(_.getKey.startsWith("$")) =>
+          compileOps(f, v, cols)
+        case (f, v) => toLit(v).map(l => if (v.isNull) col(f).isNull else col(f) <=> l)
+      }
+    }
+    seqEither(parts).map(_.reduce(_ && _))
+  }
+
+  // ---- find ---------------------------------------------------------------
+
+  /** Validated find over a loaded collection DataFrame. Projection is the
+    * Mongo include-form {field: 1}; empty → all columns. */
+  def find(df: DataFrame, filterJson: String, projectionJson: String = "{}",
+           maxRows: Int = DefaultMaxRows): Either[Denied, DataFrame] =
+    for {
+      filter <- parse(filterJson)
+      _ <- firstDangerous(filter, DangerousOps)
+        .map(op => Left(Denied("dangerous_operator", op))).getOrElse(Right(()))
+      _ <- if (depthOf(filter, 0) > MaxDepth) Left(Denied("too_deep", s"max depth $MaxDepth"))
+           else Right(())
+      cond <- compileFilter(filter, df.columns.toSet)
+      proj <- parse(projectionJson)
+      fields <- {
+        val fs = proj.properties().asScala.toSeq.map(_.getKey)
+        fs.find(f => !df.columns.contains(f)) match {
+          case Some(f) => Left(Denied("unknown_field", f))
+          case None => Right(fs)
+        }
+      }
+    } yield {
+      val filtered = df.filter(cond)
+      val projected = if (fields.isEmpty) filtered else filtered.select(fields.map(col): _*)
+      projected.limit(maxRows)
+    }
+
+  // ---- aggregation pipeline ------------------------------------------------
+
+  private def groupExpr(alias: String, spec: JsonNode): Either[Denied, Column] = {
+    val entries = spec.properties().asScala.toSeq
+    if (entries.size != 1) return Left(Denied("bad_accumulator", alias))
+    val (op, v) = (entries.head.getKey, entries.head.getValue)
+    op match {
+      case "$sum" if v.isTextual && v.asText.startsWith("$") =>
+        Right(sum(col(v.asText.drop(1))).as(alias))
+      case "$sum" if v.isNumber => Right(count(lit(1)).as(alias))
+      // $avg as explicit sum/count: over integral-valued measures both
+      // engines fold the exact same double, where a native avg may
+      // accumulate in a different order
+      case "$avg" if v.isTextual && v.asText.startsWith("$") =>
+        val f = col(v.asText.drop(1)); Right((sum(f) / count(f)).as(alias))
+      case "$min" if v.isTextual && v.asText.startsWith("$") =>
+        Right(min(col(v.asText.drop(1))).as(alias))
+      case "$max" if v.isTextual && v.asText.startsWith("$") =>
+        Right(max(col(v.asText.drop(1))).as(alias))
+      case "$count" => Right(count(lit(1)).as(alias))
+      case op if DangerousOps.contains(op) => Left(Denied("dangerous_operator", op))
+      case op if GroupAccs.contains(op) => Left(Denied("bad_operand", op))
+      case op => Left(Denied("unknown_operator", op))
+    }
+  }
+
+  private def applyStage(df: DataFrame, stage: JsonNode, cols: Set[String]): Either[Denied, DataFrame] = {
+    val entries = stage.properties().asScala.toSeq
+    if (entries.size != 1) return Left(Denied("bad_stage", "stage must have exactly one key"))
+    val (name, body) = (entries.head.getKey, entries.head.getValue)
+    name match {
+      case s if DangerousStages.contains(s) => Left(Denied("dangerous_stage", s))
+      case s if !KnownStages.contains(s) => Left(Denied("unknown_stage", s))
+      case "$match" => compileFilter(body, df.columns.toSet).map(df.filter)
+      case "$project" =>
+        val fs = body.properties().asScala.toSeq.map(_.getKey)
+        fs.find(f => !df.columns.contains(f)) match {
+          case Some(f) => Left(Denied("unknown_field", f))
+          case None if fs.isEmpty => Left(Denied("bad_stage", "$project needs fields"))
+          case None => Right(df.select(fs.map(col): _*))
+        }
+      case "$group" =>
+        val idNode = Option(body.get("_id")).getOrElse(
+          return Left(Denied("bad_stage", "$group needs _id")))
+        val idCol: Either[Denied, Column] =
+          if (idNode.isNull) Right(lit(null).cast("string").as("_id"))
+          else if (idNode.isTextual && idNode.asText.startsWith("$")) {
+            val f = idNode.asText.drop(1)
+            if (df.columns.contains(f)) Right(col(f).as("_id"))
+            else Left(Denied("unknown_field", f))
+          } else Left(Denied("bad_stage", "_id must be null or a $field ref"))
+        val accs = body.properties().asScala.toSeq.filter(_.getKey != "_id")
+          .map(e => groupExpr(e.getKey, e.getValue))
+        for {
+          id <- idCol
+          as <- seqEither(accs)
+          _ <- if (as.isEmpty) Left(Denied("bad_stage", "$group needs accumulators")) else Right(())
+        } yield df.groupBy(id).agg(as.head, as.tail: _*)
+      case "$sort" =>
+        val keys = body.properties().asScala.toSeq.map { e =>
+          val dir = e.getValue.asInt(1)
+          if (!df.columns.contains(e.getKey)) Left(Denied("unknown_field", e.getKey))
+          else Right(if (dir < 0) col(e.getKey).desc else col(e.getKey).asc)
+        }
+        seqEither(keys).flatMap { ks =>
+          if (ks.isEmpty) Left(Denied("bad_stage", "$sort needs keys"))
+          else Right(df.orderBy(ks: _*))
+        }
+      case "$limit" =>
+        if (body.isIntegralNumber && body.asLong > 0) Right(df.limit(body.asInt))
+        else Left(Denied("bad_stage", "$limit needs a positive integer"))
+    }
+  }
+
+  /** Validated aggregation pipeline: [$match|$project|$group|$sort|$limit]. */
+  def aggregate(df: DataFrame, pipelineJson: String,
+                maxRows: Int = DefaultMaxRows): Either[Denied, DataFrame] =
+    for {
+      p <- parse(pipelineJson)
+      _ <- if (!p.isArray) Left(Denied("not_array", "pipeline must be a JSON array")) else Right(())
+      stages = p.elements().asScala.toSeq
+      _ <- if (stages.length > MaxStages) Left(Denied("pipeline_too_long", s"max $MaxStages stages"))
+           else Right(())
+      _ <- firstDangerous(p, DangerousOps)
+        .map(op => Left(Denied("dangerous_operator", op))).getOrElse(Right(()))
+      _ <- if (depthOf(p, 0) > MaxDepth) Left(Denied("too_deep", s"max depth $MaxDepth"))
+           else Right(())
+      out <- stages.foldLeft(Right(df): Either[Denied, DataFrame]) { (acc, st) =>
+        acc.flatMap { d =>
+          if (!st.isObject) Left(Denied("bad_stage", "stage must be an object"))
+          else applyStage(d, st, d.columns.toSet)
+        }
+      }
+    } yield out.limit(maxRows)
+
+  /** find() against a named collection via the Tables loader; unknown
+    * collections are a denial, mirroring the executor's fixed db handle. */
+  def findCollection(s: SparkSession, dir: String, collection: String,
+                     filterJson: String, projectionJson: String = "{}",
+                     maxRows: Int = DefaultMaxRows): Either[Denied, DataFrame] =
+    if (!graft.core.Tables.all.contains(collection))
+      Left(Denied("unknown_collection", collection))
+    else find(graft.core.Tables(s, dir, collection), filterJson, projectionJson, maxRows)
+}

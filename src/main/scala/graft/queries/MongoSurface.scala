@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ql.MongoQL
+
+/** Driver-visible gates for the Mongo-style query surface (ql/MongoQL):
+  * find filters, boolean/array/regex operators, a full aggregation
+  * pipeline, and the validator's denial truth table. Each find/aggregate
+  * entry runs the JSON surface end-to-end (parse → validate → compile →
+  * execute) and is hash-compared against hand-written SQL, so a compiler
+  * bug in any operator breaks CORRECTNESS, not just a spec.
+  *
+  * Reference surface: `chatbot/database/mongo_executor.py:56-145` (find/
+  * aggregate with appended row cap), `chatbot/security/query_validator
+  * .py:114-126,300-445` (blocklist + depth/stage caps).
+  */
+object MongoSurface {
+
+  private def run(e: Either[MongoQL.Denied, DataFrame]): DataFrame =
+    e.fold(d => throw new IllegalStateException(s"unexpected denial: $d"), identity)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- QLM1: find with range filter + projection --------------------------
+    QueryDef(
+      "qlm_find_range",
+      "Mongo-style find end-to-end: {lang:'en', n_chars:{$gte:400}} with a {doc_id,lang,n_chars} projection compiled to a Catalyst filter+project — predicate and column pruning reach the parquet scan exactly as a native DataFrame query; the row cap is sized above the match count so the gate stays deterministic",
+      Some("""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars >= 400
+      """)) { (s, dir) =>
+      run(MongoQL.findCollection(s, dir, "documents",
+        """{"lang": "en", "n_chars": {"$gte": 400}}""",
+        """{"doc_id": 1, "lang": 1, "n_chars": 1}""",
+        maxRows = 1000000))
+    },
+
+    // ---- QLM2: find with $or / $in / $ne -----------------------------------
+    QueryDef(
+      "qlm_find_bool_in",
+      "Mongo find with boolean composition: ($or of an $in priority list and a $gt price) AND an $ne status — null-SAFE semantics ($ne matches missing values, as the document model demands) compiled via <=> instead of ternary SQL equality",
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        WHERE (o_orderpriority IN ('1-URGENT', '2-HIGH') OR o_totalprice > 400000.0)
+          AND o_orderstatus IS DISTINCT FROM 'F'
+      """)) { (s, dir) =>
+      run(MongoQL.findCollection(s, dir, "orders",
+        """{"$or": [{"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},
+                    {"o_totalprice": {"$gt": 400000.0}}],
+            "o_orderstatus": {"$ne": "F"}}""",
+        """{"o_orderkey": 1, "o_orderstatus": 1, "o_orderpriority": 1, "o_totalprice": 1}""",
+        maxRows = 1000000))
+    },
+
+    // ---- QLM3: find with $regex + $lt --------------------------------------
+    QueryDef(
+      "qlm_find_regex",
+      "Mongo find with $regex (search semantics, anchors honored, length-capped against ReDoS) — an alternation + wildcard pattern over part names plus a $lt key bound, projected to two columns; rlike compiles into the scan filter, no UDF",
+      Some("""
+        SELECT p_partkey, p_name FROM part
+        WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|gear)$') AND p_partkey < 1500
+      """)) { (s, dir) =>
+      run(MongoQL.findCollection(s, dir, "part",
+        """{"p_name": {"$regex": "^(red|blue) .*(bolt|gear)$"}, "p_partkey": {"$lt": 1500}}""",
+        """{"p_partkey": 1, "p_name": 1}""",
+        maxRows = 1000000))
+    },
+
+    // ---- QLM4: aggregation pipeline ----------------------------------------
+    QueryDef(
+      "qlm_agg_pipeline",
+      "Mongo aggregation pipeline end-to-end: $match {l_returnflag:'R'} then $group {_id:'$l_linestatus'} with $sum:1, $sum:'$l_quantity', $avg (compiled as sum/count so integral-double folds agree bit-for-bit across engines), $min/$max, then $sort — compiled to ONE partial-aggregated groupBy; the appended row cap turns any terminal sort into TakeOrdered",
+      Some("""
+        SELECT l_linestatus AS _id,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(l_quantity) AS qty,
+               SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_linestatus
+      """)) { (s, dir) =>
+      run(MongoQL.aggregate(Tables(s, dir, "lineitem"),
+        """[{"$match": {"l_returnflag": "R"}},
+            {"$group": {"_id": "$l_linestatus",
+                        "n": {"$sum": 1},
+                        "qty": {"$sum": "$l_quantity"},
+                        "avg_qty": {"$avg": "$l_quantity"},
+                        "min_qty": {"$min": "$l_quantity"},
+                        "max_qty": {"$max": "$l_quantity"}}},
+            {"$sort": {"_id": 1}}]""",
+        maxRows = 1000))
+    },
+
+    // ---- QLM5: validator denial truth table --------------------------------
+    QueryDef(
+      "qlm_guard_denials",
+      "Mongo-surface threat-policy truth table (the reference's blocklist plus the compiler's stricter allowlist): $where/$eval/$accumulator denied as dangerous wherever they nest, $out/$lookup stages denied, depth-11 nesting denied, 21-stage pipelines denied, unknown operators/fields/collections denied, oversized $regex denied, malformed JSON denied — while the plain find and pipeline stay allowed. Any policy regression breaks the hash",
+      Some("""
+        SELECT * FROM (VALUES
+          ('agg_out_stage',      'denied',  'dangerous_stage'),
+          ('agg_lookup_stage',   'denied',  'unknown_stage'),
+          ('agg_too_long',       'denied',  'pipeline_too_long'),
+          ('agg_where_op',       'denied',  'dangerous_operator'),
+          ('bad_json',           'denied',  'parse_error'),
+          ('deep_nesting',       'denied',  'too_deep'),
+          ('eval_nested',        'denied',  'dangerous_operator'),
+          ('find_safe',          'allowed', ''),
+          ('pipeline_safe',      'allowed', ''),
+          ('regex_too_long',     'denied',  'regex_too_long'),
+          ('unknown_collection', 'denied',  'unknown_collection'),
+          ('unknown_field',      'denied',  'unknown_field'),
+          ('unknown_op',         'denied',  'unknown_operator'),
+          ('where_top_level',    'denied',  'dangerous_operator')
+        ) AS t(case_name, outcome, code)
+      """)) { (s, dir) =>
+      import s.implicits._
+      def outcome(e: Either[MongoQL.Denied, DataFrame]): (String, String) =
+        e.fold(d => ("denied", d.code), _ => ("allowed", ""))
+      // 11 nested $not levels around an $eq → nesting depth > 10
+      val deepFilter =
+        (1 to 11).foldLeft("""{"$eq": 1}""")((j, _) => s"""{"$$not": $j}""")
+      val longRegex = "a" * 201
+      val stage = """{"$match": {"lang": "en"}}"""
+      val cases: Seq[(String, Either[MongoQL.Denied, DataFrame])] = Seq(
+        "agg_out_stage" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$out": "evil"}]"""),
+        "agg_lookup_stage" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$lookup": {"from": "orders"}}]"""),
+        "agg_too_long" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          "[" + Seq.fill(21)(stage).mkString(",") + "]"),
+        "agg_where_op" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$match": {"$where": "this.x == 1"}}]"""),
+        "bad_json" -> MongoQL.findCollection(s, dir, "documents", """{"lang": """),
+        "deep_nesting" -> MongoQL.findCollection(s, dir, "documents",
+          s"""{"n_chars": $deepFilter}"""),
+        "eval_nested" -> MongoQL.findCollection(s, dir, "documents",
+          """{"$or": [{"lang": "en"}, {"n_chars": {"$eval": "x"}}]}"""),
+        "find_safe" -> MongoQL.findCollection(s, dir, "documents",
+          """{"lang": "en"}""", """{"doc_id": 1}"""),
+        "pipeline_safe" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$match": {"lang": "en"}}, {"$group": {"_id": "$source", "n": {"$sum": 1}}}]"""),
+        "regex_too_long" -> MongoQL.findCollection(s, dir, "documents",
+          s"""{"text": {"$$regex": "$longRegex"}}"""),
+        "unknown_collection" -> MongoQL.findCollection(s, dir, "secrets", """{}"""),
+        "unknown_field" -> MongoQL.findCollection(s, dir, "documents",
+          """{"password": "x"}"""),
+        "unknown_op" -> MongoQL.findCollection(s, dir, "documents",
+          """{"n_chars": {"$mod": [7, 0]}}"""),
+        "where_top_level" -> MongoQL.findCollection(s, dir, "documents",
+          """{"$where": "sleep(1000)"}"""))
+      cases.map { case (n, e) => val (o, c) = outcome(e); (n, o, c) }
+        .toDF("case_name", "outcome", "code")
+    }
+  )
+}
