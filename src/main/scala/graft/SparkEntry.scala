@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.TrustOps.defs ++
       graft.queries.MongoSurface.defs ++
       graft.queries.CacheSurface.defs ++
+      graft.queries.ChunkOps.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
