@@ -28,9 +28,10 @@ import scala.jdk.CollectionConverters._
   * silently drop those rows instead.
   *
   * Scale shape: a find is filter+project+limit — predicate and projection
-  * push to the scan. A pipeline is match→group→sort→limit — the sort is
-  * always bounded by the appended row cap, so the terminal plan is
-  * TakeOrdered, never a global sort.
+  * push to the scan. A pipeline is match→unwind→lookup→group→sort→limit —
+  * the sort is always bounded by the appended row cap, so the terminal
+  * plan is TakeOrdered, never a global sort; $lookup pre-aggregates the
+  * foreign side to one row per key before its equi-join.
   */
 object MongoQL {
 
@@ -48,7 +49,8 @@ object MongoQL {
     Set("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin", "$exists", "$regex", "$not")
   private val BoolOps = Set("$and", "$or", "$nor")
   private val GroupAccs = Set("$sum", "$avg", "$min", "$max", "$count")
-  private val KnownStages = Set("$match", "$project", "$group", "$sort", "$limit")
+  private val KnownStages =
+    Set("$match", "$project", "$group", "$sort", "$limit", "$unwind", "$lookup")
 
   val MaxDepth = 10      // query_validator.py: "Query too complex (max depth: 10)"
   val MaxStages = 20     // query_validator.py: "Pipeline too long (max 20 stages)"
@@ -96,8 +98,12 @@ object MongoQL {
       for (a <- e; rest <- acc) yield a :: rest
     }
 
-  /** Compile one field's operator object, e.g. {"$gte": 5, "$lt": 9}. */
+  /** Compile one field's operator object, e.g. {"$gte": 5, "$lt": 9}.
+    * An EMPTY operator object (`{"f": {}}`, `{"$not": {}}`) is a denial,
+    * not a crash: the validator must be total over untrusted JSON. */
   private def compileOps(field: String, spec: JsonNode, cols: Set[String]): Either[Denied, Column] = {
+    if (!spec.properties().iterator().hasNext)
+      return Left(Denied("bad_operand", field))
     val c = col(field)
     val parts = spec.properties().asScala.toSeq.map { e =>
       (e.getKey, e.getValue) match {
@@ -159,8 +165,36 @@ object MongoQL {
 
   // ---- find ---------------------------------------------------------------
 
-  /** Validated find over a loaded collection DataFrame. Projection is the
-    * Mongo include-form {field: 1}; empty → all columns. */
+  /** Projection compiler: Mongo include-form ({f: 1/true}) and
+    * exclude-form ({f: 0/false}); mixed forms are a denial (Mongo itself
+    * rejects mixing outside _id), as is any other value — silently
+    * treating {f: 0} as an INCLUDE would invert the user's intent. */
+  private def compileProjection(proj: JsonNode, cols: Seq[String]): Either[Denied, Seq[String]] = {
+    val entries = proj.properties().asScala.toSeq
+    def flagOf(v: JsonNode): Option[Boolean] =
+      if (v.isBoolean) Some(v.asBoolean)
+      else if (v.isIntegralNumber && v.asLong == 1L) Some(true)
+      else if (v.isIntegralNumber && v.asLong == 0L) Some(false)
+      else None
+    entries.find(e => !cols.contains(e.getKey)) match {
+      case Some(e) => Left(Denied("unknown_field", e.getKey))
+      case None =>
+        val flags = entries.map(e => e.getKey -> flagOf(e.getValue))
+        flags.find(_._2.isEmpty) match {
+          case Some((f, _)) => Left(Denied("bad_projection", f))
+          case None =>
+            val (inc, exc) = flags.map { case (f, b) => (f, b.get) }.partition(_._2)
+            if (inc.nonEmpty && exc.nonEmpty) Left(Denied("bad_projection", "mixed include/exclude"))
+            else if (inc.nonEmpty) Right(inc.map(_._1))
+            else if (exc.nonEmpty) { val drop = exc.map(_._1).toSet; Right(cols.filterNot(drop)) }
+            else Right(Seq.empty)
+        }
+    }
+  }
+
+  /** Validated find over a loaded collection DataFrame. Projection accepts
+    * Mongo include-form {field: 1} and exclude-form {field: 0}; empty →
+    * all columns. */
   def find(df: DataFrame, filterJson: String, projectionJson: String = "{}",
            maxRows: Int = DefaultMaxRows): Either[Denied, DataFrame] =
     for {
@@ -171,13 +205,7 @@ object MongoQL {
            else Right(())
       cond <- compileFilter(filter, df.columns.toSet)
       proj <- parse(projectionJson)
-      fields <- {
-        val fs = proj.properties().asScala.toSeq.map(_.getKey)
-        fs.find(f => !df.columns.contains(f)) match {
-          case Some(f) => Left(Denied("unknown_field", f))
-          case None => Right(fs)
-        }
-      }
+      fields <- compileProjection(proj, df.columns.toSeq)
     } yield {
       val filtered = df.filter(cond)
       val projected = if (fields.isEmpty) filtered else filtered.select(fields.map(col): _*)
@@ -193,7 +221,10 @@ object MongoQL {
     op match {
       case "$sum" if v.isTextual && v.asText.startsWith("$") =>
         Right(sum(col(v.asText.drop(1))).as(alias))
-      case "$sum" if v.isNumber => Right(count(lit(1)).as(alias))
+      // only {$sum: 1} is count(*); any other numeric literal would be
+      // value*count in Mongo — deny rather than silently miscount
+      case "$sum" if v.isIntegralNumber && v.asLong == 1L => Right(count(lit(1)).as(alias))
+      case "$sum" if v.isNumber => Left(Denied("bad_operand", "$sum literal must be 1"))
       // $avg as explicit sum/count: over integral-valued measures both
       // engines fold the exact same double, where a native avg may
       // accumulate in a different order
@@ -210,13 +241,94 @@ object MongoQL {
     }
   }
 
-  private def applyStage(df: DataFrame, stage: JsonNode, cols: Set[String]): Either[Denied, DataFrame] = {
+  /** $unwind: string form ("$arr") or object form ({path, optional
+    * preserveNullAndEmptyArrays}); the path must name an ARRAY column —
+    * compiled to explode / explode_outer in place. Unknown object keys are
+    * denials (includeArrayIndex is not supported). */
+  private def applyUnwind(df: DataFrame, body: JsonNode): Either[Denied, DataFrame] = {
+    val pathEither: Either[Denied, (String, Boolean)] =
+      if (body.isTextual) Right((body.asText, false))
+      else if (body.isObject) {
+        val keys = body.properties().asScala.map(_.getKey).toSet
+        if (!keys.subsetOf(Set("path", "preserveNullAndEmptyArrays")))
+          Left(Denied("bad_stage", s"$$unwind unknown option: ${(keys -- Set("path", "preserveNullAndEmptyArrays")).head}"))
+        else Option(body.get("path")).filter(_.isTextual) match {
+          case None => Left(Denied("bad_stage", "$unwind needs a path"))
+          case Some(p) =>
+            val pres = Option(body.get("preserveNullAndEmptyArrays"))
+            if (pres.exists(!_.isBoolean)) Left(Denied("bad_operand", "preserveNullAndEmptyArrays"))
+            else Right((p.asText, pres.exists(_.asBoolean)))
+        }
+      } else Left(Denied("bad_stage", "$unwind body must be a path string or object"))
+    pathEither.flatMap { case (path, preserve) =>
+      if (!path.startsWith("$")) Left(Denied("bad_stage", "$unwind path must be a $field ref"))
+      else {
+        val f = path.drop(1)
+        if (!df.columns.contains(f)) Left(Denied("unknown_field", f))
+        else if (!df.schema(f).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          Left(Denied("bad_stage", s"$$unwind field is not an array: $f"))
+        else Right(df.withColumn(f, if (preserve) explode_outer(col(f)) else explode(col(f))))
+      }
+    }
+  }
+
+  /** $lookup: {from, localField, foreignField, as} — compiled as a
+    * null-safe left equi-join against the resolved collection with the
+    * matches collected as a SORTED struct array (sort_array pins a
+    * deterministic element order; Mongo's is insertion order, which a
+    * distributed shuffle cannot reproduce). Scale shape: the foreign side
+    * pre-aggregates to one row per key before the join, so the join input
+    * is bounded by the foreign key cardinality and AQE may broadcast it. */
+  private def applyLookup(df: DataFrame, body: JsonNode,
+                          resolve: String => Either[Denied, DataFrame]): Either[Denied, DataFrame] = {
+    if (!body.isObject) return Left(Denied("bad_stage", "$lookup body must be an object"))
+    val keys = body.properties().asScala.map(_.getKey).toSet
+    val required = Set("from", "localField", "foreignField", "as")
+    if (keys != required)
+      return Left(Denied("bad_stage",
+        s"$$lookup needs exactly {from, localField, foreignField, as}"))
+    def str(k: String): Either[Denied, String] = {
+      val n = body.get(k)
+      if (n.isTextual && n.asText.nonEmpty) Right(n.asText)
+      else Left(Denied("bad_operand", s"$$lookup $k must be a string"))
+    }
+    for {
+      from <- str("from")
+      localField <- str("localField")
+      foreignField <- str("foreignField")
+      asName <- str("as")
+      _ <- if (!df.columns.contains(localField)) Left(Denied("unknown_field", localField))
+           else Right(())
+      _ <- if (df.columns.contains(asName))
+             Left(Denied("bad_stage", s"$$lookup as-field collides with an existing column: $asName"))
+           else Right(())
+      foreign <- resolve(from)
+      _ <- if (!foreign.columns.contains(foreignField)) Left(Denied("unknown_field", foreignField))
+           else Right(())
+    } yield {
+      val kName = "__graft_lookup_key"
+      val fCols = foreign.columns.toSeq
+      val grouped = foreign
+        .groupBy(col(foreignField).as(kName))
+        .agg(sort_array(collect_list(struct(fCols.map(col): _*))).as(asName))
+      val joined = df.join(grouped, col(localField) <=> col(kName), "left").drop(kName)
+      // Mongo yields [] (not null) when nothing matches; array() is
+      // array<null>, cast to the joined element type
+      val arrType = joined.schema(asName).dataType
+      joined.withColumn(asName, coalesce(col(asName), array().cast(arrType)))
+    }
+  }
+
+  private def applyStage(df: DataFrame, stage: JsonNode, cols: Set[String],
+                         resolve: String => Either[Denied, DataFrame]): Either[Denied, DataFrame] = {
     val entries = stage.properties().asScala.toSeq
     if (entries.size != 1) return Left(Denied("bad_stage", "stage must have exactly one key"))
     val (name, body) = (entries.head.getKey, entries.head.getValue)
     name match {
       case s if DangerousStages.contains(s) => Left(Denied("dangerous_stage", s))
       case s if !KnownStages.contains(s) => Left(Denied("unknown_stage", s))
+      case "$unwind" => applyUnwind(df, body)
+      case "$lookup" => applyLookup(df, body, resolve)
       case "$match" => compileFilter(body, df.columns.toSet).map(df.filter)
       case "$project" =>
         val fs = body.properties().asScala.toSeq.map(_.getKey)
@@ -244,23 +356,36 @@ object MongoQL {
         } yield df.groupBy(id).agg(as.head, as.tail: _*)
       case "$sort" =>
         val keys = body.properties().asScala.toSeq.map { e =>
-          val dir = e.getValue.asInt(1)
+          val v = e.getValue
           if (!df.columns.contains(e.getKey)) Left(Denied("unknown_field", e.getKey))
-          else Right(if (dir < 0) col(e.getKey).desc else col(e.getKey).asc)
+          // Mongo direction is ±1 only; "desc"/1.5/etc. silently becoming
+          // ascending would invert user intent — deny instead
+          else if (!v.isIntegralNumber || math.abs(v.asLong) != 1L)
+            Left(Denied("bad_operand", s"$$sort direction must be 1 or -1: ${e.getKey}"))
+          else Right(if (v.asLong < 0) col(e.getKey).desc else col(e.getKey).asc)
         }
         seqEither(keys).flatMap { ks =>
           if (ks.isEmpty) Left(Denied("bad_stage", "$sort needs keys"))
           else Right(df.orderBy(ks: _*))
         }
       case "$limit" =>
-        if (body.isIntegralNumber && body.asLong > 0) Right(df.limit(body.asInt))
-        else Left(Denied("bad_stage", "$limit needs a positive integer"))
+        // bound above by Int.MaxValue too: asInt would truncate 2^31 to a
+        // negative, escaping the Either contract with an analysis exception
+        if (body.isIntegralNumber && body.asLong > 0 && body.asLong <= Int.MaxValue)
+          Right(df.limit(body.asInt))
+        else Left(Denied("bad_stage", "$limit needs a positive 32-bit integer"))
     }
   }
 
-  /** Validated aggregation pipeline: [$match|$project|$group|$sort|$limit]. */
+  /** Validated aggregation pipeline:
+    * [$match|$project|$group|$sort|$limit|$unwind|$lookup]. `resolve`
+    * loads a $lookup collection; the default denies every name, so
+    * $lookup is only live through [[aggregateCollection]] (or an explicit
+    * resolver), mirroring the executor's fixed db handle. */
   def aggregate(df: DataFrame, pipelineJson: String,
-                maxRows: Int = DefaultMaxRows): Either[Denied, DataFrame] =
+                maxRows: Int = DefaultMaxRows,
+                resolve: String => Either[Denied, DataFrame] =
+                  n => Left(Denied("unknown_collection", n))): Either[Denied, DataFrame] =
     for {
       p <- parse(pipelineJson)
       _ <- if (!p.isArray) Left(Denied("not_array", "pipeline must be a JSON array")) else Right(())
@@ -274,10 +399,15 @@ object MongoQL {
       out <- stages.foldLeft(Right(df): Either[Denied, DataFrame]) { (acc, st) =>
         acc.flatMap { d =>
           if (!st.isObject) Left(Denied("bad_stage", "stage must be an object"))
-          else applyStage(d, st, d.columns.toSet)
+          else applyStage(d, st, d.columns.toSet, resolve)
         }
       }
     } yield out.limit(maxRows)
+
+  private def tableResolver(s: SparkSession, dir: String): String => Either[Denied, DataFrame] =
+    name =>
+      if (!graft.core.Tables.all.contains(name)) Left(Denied("unknown_collection", name))
+      else Right(graft.core.Tables(s, dir, name))
 
   /** find() against a named collection via the Tables loader; unknown
     * collections are a denial, mirroring the executor's fixed db handle. */
@@ -287,4 +417,14 @@ object MongoQL {
     if (!graft.core.Tables.all.contains(collection))
       Left(Denied("unknown_collection", collection))
     else find(graft.core.Tables(s, dir, collection), filterJson, projectionJson, maxRows)
+
+  /** aggregate() against a named collection, with $lookup resolving other
+    * gold tables through the same loader. */
+  def aggregateCollection(s: SparkSession, dir: String, collection: String,
+                          pipelineJson: String,
+                          maxRows: Int = DefaultMaxRows): Either[Denied, DataFrame] =
+    if (!graft.core.Tables.all.contains(collection))
+      Left(Denied("unknown_collection", collection))
+    else aggregate(graft.core.Tables(s, dir, collection), pipelineJson, maxRows,
+      tableResolver(s, dir))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, size, split}
 
 import graft.QueryDef
 import graft.core.Tables
@@ -98,23 +99,32 @@ object MongoSurface {
     // ---- QLM5: validator denial truth table --------------------------------
     QueryDef(
       "qlm_guard_denials",
-      "Mongo-surface threat-policy truth table (the reference's blocklist plus the compiler's stricter allowlist): $where/$eval/$accumulator denied as dangerous wherever they nest, $out/$lookup stages denied, depth-11 nesting denied, 21-stage pipelines denied, unknown operators/fields/collections denied, oversized $regex denied, malformed JSON denied — while the plain find and pipeline stay allowed. Any policy regression breaks the hash",
+      "Mongo-surface threat-policy truth table (the reference's blocklist plus the compiler's stricter allowlist): $where/$eval/$accumulator denied as dangerous wherever they nest, $out stages denied, depth-11 nesting denied, 21-stage pipelines denied, unknown operators/fields/collections denied, oversized $regex denied, malformed JSON/empty operator objects/mixed projections/non-±1 sort directions/overflowing limits/malformed unwind+lookup denied — while the plain find, exclude-form projection, and pipeline stay allowed. Any policy regression breaks the hash",
       Some("""
         SELECT * FROM (VALUES
-          ('agg_out_stage',      'denied',  'dangerous_stage'),
-          ('agg_lookup_stage',   'denied',  'unknown_stage'),
-          ('agg_too_long',       'denied',  'pipeline_too_long'),
-          ('agg_where_op',       'denied',  'dangerous_operator'),
-          ('bad_json',           'denied',  'parse_error'),
-          ('deep_nesting',       'denied',  'too_deep'),
-          ('eval_nested',        'denied',  'dangerous_operator'),
-          ('find_safe',          'allowed', ''),
-          ('pipeline_safe',      'allowed', ''),
-          ('regex_too_long',     'denied',  'regex_too_long'),
-          ('unknown_collection', 'denied',  'unknown_collection'),
-          ('unknown_field',      'denied',  'unknown_field'),
-          ('unknown_op',         'denied',  'unknown_operator'),
-          ('where_top_level',    'denied',  'dangerous_operator')
+          ('agg_out_stage',       'denied',  'dangerous_stage'),
+          ('agg_lookup_malformed','denied',  'bad_stage'),
+          ('agg_too_long',        'denied',  'pipeline_too_long'),
+          ('agg_where_op',        'denied',  'dangerous_operator'),
+          ('bad_json',            'denied',  'parse_error'),
+          ('deep_nesting',        'denied',  'too_deep'),
+          ('empty_operator',      'denied',  'bad_operand'),
+          ('eval_nested',         'denied',  'dangerous_operator'),
+          ('find_safe',           'allowed', ''),
+          ('limit_overflow',      'denied',  'bad_stage'),
+          ('lookup_as_collision', 'denied',  'bad_stage'),
+          ('lookup_unknown_coll', 'denied',  'unknown_collection'),
+          ('pipeline_safe',       'allowed', ''),
+          ('projection_exclude',  'allowed', ''),
+          ('projection_mixed',    'denied',  'bad_projection'),
+          ('regex_too_long',      'denied',  'regex_too_long'),
+          ('sort_dir_string',     'denied',  'bad_operand'),
+          ('sum_literal_2',       'denied',  'bad_operand'),
+          ('unknown_collection',  'denied',  'unknown_collection'),
+          ('unknown_field',       'denied',  'unknown_field'),
+          ('unknown_op',          'denied',  'unknown_operator'),
+          ('unwind_not_array',    'denied',  'bad_stage'),
+          ('where_top_level',     'denied',  'dangerous_operator')
         ) AS t(case_name, outcome, code)
       """)) { (s, dir) =>
       import s.implicits._
@@ -128,7 +138,9 @@ object MongoSurface {
       val cases: Seq[(String, Either[MongoQL.Denied, DataFrame])] = Seq(
         "agg_out_stage" -> MongoQL.aggregate(Tables(s, dir, "documents"),
           """[{"$out": "evil"}]"""),
-        "agg_lookup_stage" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+        // $lookup is a KNOWN stage now; a body missing its required keys is
+        // a malformed-stage denial, not an unknown-stage one
+        "agg_lookup_malformed" -> MongoQL.aggregate(Tables(s, dir, "documents"),
           """[{"$lookup": {"from": "orders"}}]"""),
         "agg_too_long" -> MongoQL.aggregate(Tables(s, dir, "documents"),
           "[" + Seq.fill(21)(stage).mkString(",") + "]"),
@@ -137,23 +149,82 @@ object MongoSurface {
         "bad_json" -> MongoQL.findCollection(s, dir, "documents", """{"lang": """),
         "deep_nesting" -> MongoQL.findCollection(s, dir, "documents",
           s"""{"n_chars": $deepFilter}"""),
+        "empty_operator" -> MongoQL.findCollection(s, dir, "documents",
+          """{"n_chars": {}}"""),
         "eval_nested" -> MongoQL.findCollection(s, dir, "documents",
           """{"$or": [{"lang": "en"}, {"n_chars": {"$eval": "x"}}]}"""),
         "find_safe" -> MongoQL.findCollection(s, dir, "documents",
           """{"lang": "en"}""", """{"doc_id": 1}"""),
+        "limit_overflow" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$limit": 2147483648}]"""),
+        "lookup_as_collision" -> MongoQL.aggregateCollection(s, dir, "orders",
+          """[{"$lookup": {"from": "customer", "localField": "o_custkey",
+                           "foreignField": "c_custkey", "as": "o_orderkey"}}]"""),
+        "lookup_unknown_coll" -> MongoQL.aggregateCollection(s, dir, "orders",
+          """[{"$lookup": {"from": "secrets", "localField": "o_custkey",
+                           "foreignField": "c_custkey", "as": "cust"}}]"""),
         "pipeline_safe" -> MongoQL.aggregate(Tables(s, dir, "documents"),
           """[{"$match": {"lang": "en"}}, {"$group": {"_id": "$source", "n": {"$sum": 1}}}]"""),
+        "projection_exclude" -> MongoQL.findCollection(s, dir, "documents",
+          """{"lang": "en"}""", """{"text": 0}"""),
+        "projection_mixed" -> MongoQL.findCollection(s, dir, "documents",
+          """{"lang": "en"}""", """{"doc_id": 1, "text": 0}"""),
         "regex_too_long" -> MongoQL.findCollection(s, dir, "documents",
           s"""{"text": {"$$regex": "$longRegex"}}"""),
+        "sort_dir_string" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$sort": {"lang": "desc"}}]"""),
+        "sum_literal_2" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$group": {"_id": "$lang", "n": {"$sum": 2}}}]"""),
         "unknown_collection" -> MongoQL.findCollection(s, dir, "secrets", """{}"""),
         "unknown_field" -> MongoQL.findCollection(s, dir, "documents",
           """{"password": "x"}"""),
         "unknown_op" -> MongoQL.findCollection(s, dir, "documents",
           """{"n_chars": {"$mod": [7, 0]}}"""),
+        "unwind_not_array" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$unwind": "$lang"}]"""),
         "where_top_level" -> MongoQL.findCollection(s, dir, "documents",
           """{"$where": "sleep(1000)"}"""))
       cases.map { case (n, e) => val (o, c) = outcome(e); (n, o, c) }
         .toDF("case_name", "outcome", "code")
+    },
+
+    // ---- QLM6: $unwind end-to-end -------------------------------------------
+    QueryDef(
+      "qlm_unwind",
+      "Mongo $unwind end-to-end: explode an array column (whitespace-split words of the English documents) then $group word counts and $match the frequent tail — compiled to ONE generate+partial-aggregated groupBy; the array never shuffles pre-explode and the exploded rows carry only the word column",
+      Some("""
+        SELECT w AS _id, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE lang = 'en') t
+        GROUP BY w
+        HAVING count(*) >= 25
+      """)) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").withColumn("words", split(col("text"), " "))
+      run(MongoQL.aggregate(docs,
+        """[{"$match": {"lang": "en"}},
+            {"$unwind": "$words"},
+            {"$group": {"_id": "$words", "n": {"$sum": 1}}},
+            {"$match": {"n": {"$gte": 25}}}]""",
+        maxRows = 10000000))
+    },
+
+    // ---- QLM7: $lookup end-to-end -------------------------------------------
+    QueryDef(
+      "qlm_lookup",
+      "Mongo $lookup end-to-end: join high-value orders to customer with matches collected as a sorted struct array (Mongo's left-outer enrich); the foreign side pre-aggregates to one row per key so the join input is bounded by key cardinality and AQE can broadcast it. Gated on the match-count per order (size of the as-array), with zero-match orders yielding an empty array, not null",
+      Some("""
+        SELECT o_orderkey, o_custkey, CAST(n AS INT) AS n_cust
+        FROM (SELECT o_orderkey, o_custkey,
+                     (SELECT count(*) FROM customer c
+                      WHERE c.c_custkey IS NOT DISTINCT FROM o.o_custkey) AS n
+              FROM orders o WHERE o_totalprice > 450000.0) t
+      """)) { (s, dir) =>
+      val out = run(MongoQL.aggregateCollection(s, dir, "orders",
+        """[{"$match": {"o_totalprice": {"$gt": 450000.0}}},
+            {"$lookup": {"from": "customer", "localField": "o_custkey",
+                         "foreignField": "c_custkey", "as": "cust"}}]""",
+        maxRows = 10000000))
+      out.select(col("o_orderkey"), col("o_custkey"), size(col("cust")).as("n_cust"))
     }
   )
 }

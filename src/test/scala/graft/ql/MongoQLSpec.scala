@@ -80,6 +80,96 @@ class MongoQLSpec extends SparkTestBase {
     assert(MongoQL.find(df, "{}", """{"nope": 1}""").swap.exists(_.code == "unknown_field"))
   }
 
+  test("empty operator objects are denials, not crashes") {
+    assert(MongoQL.find(df, """{"n": {}}""").swap.exists(_.code == "bad_operand"))
+    assert(MongoQL.find(df, """{"n": {"$not": {}}}""").swap.exists(_.code == "bad_operand"))
+  }
+
+  test("projection exclude-form drops fields; mixed and non-flag values denied") {
+    val got = MongoQL.find(df, "{}", """{"lang": 0}""").fold(d => fail(d.toString), identity)
+    assert(got.columns.toSeq == Seq("id", "n"))
+    assert(MongoQL.find(df, "{}", """{"id": 1, "lang": 0}""")
+      .swap.exists(_.code == "bad_projection"))
+    assert(MongoQL.find(df, "{}", """{"id": "yes"}""")
+      .swap.exists(_.code == "bad_projection"))
+  }
+
+  test("$sort non-±1 direction, $sum literal != 1, and $limit overflow are denials") {
+    assert(MongoQL.aggregate(df, """[{"$sort": {"lang": "desc"}}]""")
+      .swap.exists(_.code == "bad_operand"))
+    assert(MongoQL.aggregate(df, """[{"$sort": {"lang": 2}}]""")
+      .swap.exists(_.code == "bad_operand"))
+    assert(MongoQL.aggregate(df, """[{"$sort": {"lang": -1}}]""").isRight)
+    assert(MongoQL.aggregate(df, """[{"$group": {"_id": "$lang", "n": {"$sum": 2}}}]""")
+      .swap.exists(_.code == "bad_operand"))
+    assert(MongoQL.aggregate(df, """[{"$limit": 2147483648}]""")
+      .swap.exists(_.code == "bad_stage"))
+    assert(MongoQL.aggregate(df, """[{"$limit": 2}]""").isRight)
+  }
+
+  private def arrDf = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, Seq("a", "b"), 10L),
+      (2L, Seq.empty[String], 20L),
+      (3L, null.asInstanceOf[Seq[String]], 20L)
+    ).toDF("id", "tags", "k")
+  }
+
+  test("$unwind explodes arrays; preserveNullAndEmptyArrays keeps empty/null rows") {
+    val plain = MongoQL.aggregate(arrDf, """[{"$unwind": "$tags"}]""")
+      .fold(d => fail(d.toString), identity).collect()
+    assert(plain.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (1L, "b")))
+    val kept = MongoQL.aggregate(arrDf,
+      """[{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": true}}]""")
+      .fold(d => fail(d.toString), identity).collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L, 2L, 3L))
+    // malformed forms
+    assert(MongoQL.aggregate(arrDf, """[{"$unwind": "$k"}]""")
+      .swap.exists(_.code == "bad_stage")) // not an array
+    assert(MongoQL.aggregate(arrDf, """[{"$unwind": "$nope"}]""")
+      .swap.exists(_.code == "unknown_field"))
+    assert(MongoQL.aggregate(arrDf, """[{"$unwind": "tags"}]""")
+      .swap.exists(_.code == "bad_stage")) // missing $ prefix
+    assert(MongoQL.aggregate(arrDf,
+      """[{"$unwind": {"path": "$tags", "includeArrayIndex": "i"}}]""")
+      .swap.exists(_.code == "bad_stage")) // unsupported option
+  }
+
+  test("$lookup left-joins with empty-array (not null) on no match; malformed bodies denied") {
+    val spark2 = spark
+    import spark2.implicits._
+    val right = Seq((10L, "x"), (10L, "y"), (40L, "z")).toDF("rk", "v")
+    val resolver: String => Either[MongoQL.Denied, org.apache.spark.sql.DataFrame] = {
+      case "right" => Right(right)
+      case other => Left(MongoQL.Denied("unknown_collection", other))
+    }
+    val out = MongoQL.aggregate(df,
+      """[{"$lookup": {"from": "right", "localField": "n",
+                       "foreignField": "rk", "as": "matches"}}]""",
+      resolve = resolver)
+      .fold(d => fail(d.toString), identity)
+    val sizes = out.select(org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("matches")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // id=1 (n=10) matches two rows; id=4 (n=40) one; id=2 (n missing) and
+    // id=3 (n=30) match nothing → EMPTY array, size 0 not -1/null
+    assert(sizes == Map(1L -> 2, 2L -> 0, 3L -> 0, 4L -> 1))
+    assert(MongoQL.aggregate(df,
+      """[{"$lookup": {"from": "right", "localField": "n", "foreignField": "rk"}}]""",
+      resolve = resolver).swap.exists(_.code == "bad_stage")) // missing as
+    assert(MongoQL.aggregate(df,
+      """[{"$lookup": {"from": "right", "localField": "n",
+                       "foreignField": "rk", "as": "lang"}}]""",
+      resolve = resolver).swap.exists(_.code == "bad_stage")) // as collides
+    assert(MongoQL.aggregate(df,
+      """[{"$lookup": {"from": "nope", "localField": "n",
+                       "foreignField": "rk", "as": "m"}}]""",
+      resolve = resolver).swap.exists(_.code == "unknown_collection"))
+  }
+
   test("dangerous operators denied wherever they nest; unknown ops denied") {
     assert(MongoQL.find(df, """{"$where": "1"}""").swap.exists(_.code == "dangerous_operator"))
     assert(MongoQL.find(df, """{"$or": [{"id": 1}, {"n": {"$function": "f"}}]}""")

@@ -36,6 +36,25 @@ class ResultCacheSpec extends SparkTestBase {
     assert(a.rows.toSeq == b.rows.toSeq && a.columns.sameElements(b.columns))
   }
 
+  test("versionOf memoizes the directory walk; a touched file still invalidates after the memo expires") {
+    val tmp = java.nio.file.Files.createTempDirectory("rc-memo").toFile
+    val src = new java.io.File(s"$sf0001/nation.parquet")
+    val dst = new java.io.File(tmp, "nation.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    var t = 0L
+    val c = new ResultCache(capacity = 8, ttlMillis = 1000000L, clock = () => t,
+      versionTtlMillis = 1000L)
+    val v1 = c.versionOf(tmp.getAbsolutePath)
+    // touch a file INSIDE the memo window: the stale memo is served (one
+    // walk per window is the whole point)
+    assert(dst.setLastModified(dst.lastModified() + 60000L))
+    t = 999L
+    assert(c.versionOf(tmp.getAbsolutePath) == v1)
+    // past the window the walk re-runs and sees the touch
+    t = 1001L
+    assert(c.versionOf(tmp.getAbsolutePath) != v1)
+  }
+
   test("expired entries are replaced, not served") {
     var t = 0L
     val c = new ResultCache(capacity = 8, ttlMillis = 100L, clock = () => t)
