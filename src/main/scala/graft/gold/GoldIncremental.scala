@@ -24,7 +24,12 @@ object GoldIncremental {
       changedKeys: DataFrame,
       parentKey: String)(
       recompute: DataFrame => DataFrame): DataFrame = {
+    // NOT cached: refresh is called per micro-batch from the streaming
+    // maintainers, and a cache per call would leak storage entries for the
+    // stream's lifetime. The count is one extra slim-column job; the
+    // callers that can amortize it (GoldStream) persist their batch anyway.
     val keys = changedKeys.select(col(changedKeys.columns.head).as(parentKey)).distinct()
+    val nKeys = keys.count()
     val recomputed = recompute(keys)
     // Anti-join on the CHANGED keys, not on the recomputed rows: a changed
     // parent whose recompute yields zero rows (all child facts deleted / no
@@ -33,14 +38,27 @@ object GoldIncremental {
     // to position 0, so re-project goldPrev's column order — the refreshed
     // frame must be schema-identical to a full rebuild, not just
     // name-equivalent.
-    // SHUFFLE_HASH hint (round-10, from the 100× canary's OOM): the gold
-    // side carries KB-scale rendered-JSON rows, and the default sort-merge
-    // anti-join SORTS all of them just to drop the changed keys — at 100×
-    // that sorter competes for task memory with the rest of the stage's
-    // operators and can fail to acquire pages. Hash-building the SLIM key
-    // side and STREAMING the fat gold side never sorts gold at all —
-    // cheaper at every scale, not just a fix.
-    goldPrev.join(keys.hint("shuffle_hash"), Seq(parentKey), "left_anti")
+    //
+    // ADAPTIVE strategy (round-11, from the r10 sf0.1 regression + the
+    // r10 100× OOM): the gold side carries KB-scale rendered-JSON rows —
+    // the one thing the anti-join must never do is SORT or EXCHANGE it
+    // when the key side is small.
+    //   - Under the key budget: BROADCAST the slim MEASURED key set — the
+    //     fat gold side moves nothing at all (no shuffle, no sort). An
+    //     unconditional shuffle_hash here was the r10 regression: it
+    //     exchanged all of gold to drop a handful of keys (3.7→27 s at
+    //     sf0.1 in the driver run).
+    //   - Over the budget (the change batch is a fixed FRACTION of the
+    //     parents, so the key set grows with data): SHUFFLE_HASH, which
+    //     hash-builds the key side and streams gold through one exchange
+    //     but never sorts it. An unconditional broadcast here was the r10
+    //     100× OOM: the hint removes AQE's degrade path.
+    // Budget default 5M keys ≈ low hundreds of MB as a hash relation —
+    // inside executor broadcast limits; tune via session conf.
+    val budget = goldPrev.sparkSession.conf
+      .get("spark.graft.gold.broadcastMaxKeys", "5000000").toLong
+    val hinted = if (nKeys <= budget) broadcast(keys) else keys.hint("shuffle_hash")
+    goldPrev.join(hinted, Seq(parentKey), "left_anti")
       .unionByName(recomputed)
       .select(goldPrev.columns.map(col).toIndexedSeq: _*)
   }

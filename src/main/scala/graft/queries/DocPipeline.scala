@@ -1173,14 +1173,23 @@ object DocPipeline {
       // corpus scale the shingle table (≈ tokens × 8-gram bytes) would
       // blow executor storage anyway. Recompute-over-cache is the right
       // call for wide derived shingles.
+      //
+      // Round-11 shuffle diet (the 100× canary's 23× ratio): both shingle
+      // exchanges carried the full ~60-byte 8-gram STRING, and the
+      // countDistinct(doc_id) planned as TWO aggregate exchanges
+      // ((g,doc) dedup, then g). Now the shuffled key is unhex(md5(gram))
+      // — 16 bytes, the same exact-equality proxy dd1 uses for whole-doc
+      // dedup (collision odds ~2^-128·pairs) — and "appears in >1 distinct
+      // doc" is computed as min(doc)≠max(doc): one exchange with map-side
+      // combine instead of countDistinct's double exchange.
       val sh = tok.select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("arr")) - 7),
         i => struct(i.as("s"),
-          array_join(slice(col("arr"), i, lit(8)), " ").as("g")))).as("p"))
+          unhex(md5(array_join(slice(col("arr"), i, lit(8)), " "))).as("g")))).as("p"))
         .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
       val dup = sh.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1).select(col("g"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("g"))
       val hits = sh.join(dup, Seq("g")).select(col("doc_id"), col("s"))
       val coveredCnt = hits
         .select(col("doc_id"), explode(sequence(col("s"), col("s") + 7)).as("pos"))
@@ -1255,14 +1264,16 @@ object DocPipeline {
       val tok = corpus(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
         .filter(size(col("arr")) >= 8)
+      // same round-11 shuffle diet as dd31: 16-byte md5 shingle keys, and
+      // min≠max for the >1-distinct-docs test (one exchange, not two)
       val sh = tok.select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("arr")) - 7),
         i => struct(i.as("s"),
-          array_join(slice(col("arr"), i, lit(8)), " ").as("g")))).as("p"))
+          unhex(md5(array_join(slice(col("arr"), i, lit(8)), " "))).as("g")))).as("p"))
         .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
       val dup = sh.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1).select(col("g"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("g"))
       val hits = sh.join(dup, Seq("g")).select(col("doc_id"), col("s")).distinct()
       val wOrd = Window.partitionBy("doc_id").orderBy("s")
       val runs = hits.withColumn("brk",

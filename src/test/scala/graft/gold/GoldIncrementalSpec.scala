@@ -67,6 +67,31 @@ class GoldIncrementalSpec extends SparkTestBase {
     goldV1.unpersist(); changed.unpersist(); factV2.unpersist()
   }
 
+  test("anti-join strategy adapts: broadcast under the key budget, shuffle_hash above") {
+    val goldV1 = buildGold(lineitem)
+    val changed = lineitem.filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey")).distinct()
+    def planOf(budget: String): String = {
+      spark.conf.set("spark.graft.gold.broadcastMaxKeys", budget)
+      try GoldIncremental.refresh(goldV1, changed, "l_orderkey") { keys =>
+        buildGold(lineitem.join(keys, Seq("l_orderkey"), "left_semi"))
+      }.queryExecution.sparkPlan.toString
+      finally spark.conf.unset("spark.graft.gold.broadcastMaxKeys")
+    }
+    // generous budget: the slim key set broadcasts, the fat gold side
+    // never moves (no exchange/sort feeding the anti-join)
+    val broad = planOf("1000000")
+    assert(broad.contains("BroadcastHashJoin") && broad.contains("LeftAnti"),
+      s"expected broadcast anti-join under budget:\n$broad")
+    // zero budget: the scale-safe path — hash-build the key side, stream
+    // gold through one exchange, never a sort-merge over gold
+    val shuffled = planOf("0")
+    assert(shuffled.contains("ShuffledHashJoin") && shuffled.contains("LeftAnti"),
+      s"expected shuffled-hash anti-join over budget:\n$shuffled")
+    assert(!shuffled.contains("SortMergeJoin"),
+      s"gold side must never sort-merge:\n$shuffled")
+  }
+
   test("refresh with an empty changed set is the identity") {
     val goldV1 = buildGold(lineitem)
     val empty = lineitem.select(col("l_orderkey")).filter(lit(false))
