@@ -100,12 +100,28 @@ object MongoQL {
 
   /** Compile one field's operator object, e.g. {"$gte": 5, "$lt": 9}.
     * An EMPTY operator object (`{"f": {}}`, `{"$not": {}}`) is a denial,
-    * not a crash: the validator must be total over untrusted JSON. */
+    * not a crash: the validator must be total over untrusted JSON.
+    * `$options` (Mongo's regex-flag sibling) is pre-extracted: it must
+    * accompany a `$regex` in the same object and carry only the flags
+    * Spark's rlike understands as inline modifiers (i/m/s/x). */
   private def compileOps(field: String, spec: JsonNode, cols: Set[String]): Either[Denied, Column] = {
     if (!spec.properties().iterator().hasNext)
       return Left(Denied("bad_operand", field))
+    val optNode = Option(spec.get("$options"))
+    val regexFlags: Either[Denied, String] = optNode match {
+      case None => Right("")
+      case Some(v) if !v.isTextual => Left(Denied("bad_operand", "$options"))
+      case Some(_) if spec.get("$regex") == null =>
+        Left(Denied("bad_operand", "$options without $regex"))
+      case Some(v) if !v.asText.forall("imsx".contains(_)) =>
+        Left(Denied("bad_operand", s"$$options flags must be in [imsx]: ${v.asText}"))
+      case Some(v) => Right(if (v.asText.isEmpty) "" else s"(?${v.asText})")
+    }
+    if (regexFlags.isLeft) return Left(regexFlags.swap.toOption.get)
+    val flags = regexFlags.toOption.get
     val c = col(field)
-    val parts = spec.properties().asScala.toSeq.map { e =>
+    val parts = spec.properties().asScala.toSeq
+      .filter(_.getKey != "$options").map { e =>
       (e.getKey, e.getValue) match {
         case ("$eq", v)  => toLit(v).map(c <=> _)
         case ("$ne", v)  => toLit(v).map(l => !(c <=> l))
@@ -123,7 +139,7 @@ object MongoQL {
         case ("$regex", v) if v.isTextual =>
           if (v.asText.length > MaxRegexLen)
             Left(Denied("regex_too_long", s"max $MaxRegexLen chars"))
-          else Right(c.rlike(v.asText))
+          else Right(c.rlike(flags + v.asText))
         case ("$not", v) if v.isObject =>
           compileOps(field, v, cols).map(inner => !coalesce(inner, lit(false)))
         case (op, _) if DangerousOps.contains(op) => Left(Denied("dangerous_operator", op))

@@ -47,7 +47,7 @@ object Planner {
     "supplier" -> Seq("supplier", "vendor"),
     "part" -> Seq("part", "product"))
 
-  private val dateCols = Map(
+  private[ql] val dateCols = Map(
     "orders" -> "o_orderdate", "lineitem" -> "l_shipdate", "events" -> "ts")
 
   private val numericCols = Map(
@@ -55,13 +55,13 @@ object Planner {
     "events" -> "value", "customer" -> "c_acctbal", "supplier" -> "s_acctbal",
     "part" -> "p_retailprice", "documents" -> "n_chars")
 
-  private val searchCols = Map(
+  private[ql] val searchCols = Map(
     "customer" -> "c_name", "supplier" -> "s_name", "part" -> "p_name",
     "nation" -> "n_name", "documents" -> "text")
 
   /** Stable tie-break key per table so superlative / top-k-per-group
     * rankings are deterministic under ties. */
-  private val keyCols = Map(
+  private[ql] val keyCols = Map(
     "orders" -> "o_orderkey", "customer" -> "c_custkey",
     "supplier" -> "s_suppkey", "part" -> "p_partkey",
     "nation" -> "n_nationkey", "lineitem" -> "l_orderkey",

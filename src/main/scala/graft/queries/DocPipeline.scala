@@ -1177,20 +1177,25 @@ object DocPipeline {
       // Round-11 shuffle diet (the 100× canary's 23× ratio): both shingle
       // exchanges carried the full ~60-byte 8-gram STRING, and the
       // countDistinct(doc_id) planned as TWO aggregate exchanges
-      // ((g,doc) dedup, then g). Now the shuffled key is unhex(md5(gram))
-      // — 16 bytes, the same exact-equality proxy dd1 uses for whole-doc
-      // dedup (collision odds ~2^-128·pairs) — and "appears in >1 distinct
-      // doc" is computed as min(doc)≠max(doc): one exchange with map-side
-      // combine instead of countDistinct's double exchange.
+      // ((g,doc) dedup, then g). Now the shuffled key is the PAIR
+      // (xxhash64(gram), hash(gram)) — 12 bytes, both allocation-free
+      // codegen'd hashes (md5 was tried first and REGRESSED 100× 2.5×:
+      // Spark's Md5 allocates a MessageDigest + hex string per row, and
+      // the shingle relation is ~1.2B rows there), jointly ~96 bits so a
+      // false dup-key needs a simultaneous collision in two independent
+      // hashes (P ≈ pairs·2⁻⁹⁶) — and "appears in >1 distinct doc" is
+      // min(doc)≠max(doc): one exchange with map-side combine instead of
+      // countDistinct's double exchange.
       val sh = tok.select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("arr")) - 7),
         i => struct(i.as("s"),
-          unhex(md5(array_join(slice(col("arr"), i, lit(8)), " "))).as("g")))).as("p"))
-        .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
-      val dup = sh.groupBy(col("g"))
+          array_join(slice(col("arr"), i, lit(8)), " ").as("gs")))).as("p"))
+        .select(col("doc_id"), col("p.s").as("s"),
+          xxhash64(col("p.gs")).as("g1"), hash(col("p.gs")).as("g2"))
+      val dup = sh.groupBy(col("g1"), col("g2"))
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx")).select(col("g"))
-      val hits = sh.join(dup, Seq("g")).select(col("doc_id"), col("s"))
+        .filter(col("mn") =!= col("mx")).select(col("g1"), col("g2"))
+      val hits = sh.join(dup, Seq("g1", "g2")).select(col("doc_id"), col("s"))
       val coveredCnt = hits
         .select(col("doc_id"), explode(sequence(col("s"), col("s") + 7)).as("pos"))
         .distinct()
@@ -1264,17 +1269,20 @@ object DocPipeline {
       val tok = corpus(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
         .filter(size(col("arr")) >= 8)
-      // same round-11 shuffle diet as dd31: 16-byte md5 shingle keys, and
+      // same round-11 shuffle diet as dd31: paired 12-byte codegen'd hash
+      // keys (never md5 — per-row digest allocation regressed 100× 2.5×),
       // min≠max for the >1-distinct-docs test (one exchange, not two)
       val sh = tok.select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("arr")) - 7),
         i => struct(i.as("s"),
-          unhex(md5(array_join(slice(col("arr"), i, lit(8)), " "))).as("g")))).as("p"))
-        .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
-      val dup = sh.groupBy(col("g"))
+          array_join(slice(col("arr"), i, lit(8)), " ").as("gs")))).as("p"))
+        .select(col("doc_id"), col("p.s").as("s"),
+          xxhash64(col("p.gs")).as("g1"), hash(col("p.gs")).as("g2"))
+      val dup = sh.groupBy(col("g1"), col("g2"))
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx")).select(col("g"))
-      val hits = sh.join(dup, Seq("g")).select(col("doc_id"), col("s")).distinct()
+        .filter(col("mn") =!= col("mx")).select(col("g1"), col("g2"))
+      val hits = sh.join(dup, Seq("g1", "g2"))
+        .select(col("doc_id"), col("s")).distinct()
       val wOrd = Window.partitionBy("doc_id").orderBy("s")
       val runs = hits.withColumn("brk",
         when(col("s") > coalesce(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, size, split}
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ql.MongoQL
+import graft.ql.{MongoQL, MongoRoute, Planner, QueryGuard}
 
 /** Driver-visible gates for the Mongo-style query surface (ql/MongoQL):
   * find filters, boolean/array/regex operators, a full aggregation
@@ -99,7 +99,7 @@ object MongoSurface {
     // ---- QLM5: validator denial truth table --------------------------------
     QueryDef(
       "qlm_guard_denials",
-      "Mongo-surface threat-policy truth table (the reference's blocklist plus the compiler's stricter allowlist): $where/$eval/$accumulator denied as dangerous wherever they nest, $out stages denied, depth-11 nesting denied, 21-stage pipelines denied, unknown operators/fields/collections denied, oversized $regex denied, malformed JSON/empty operator objects/mixed projections/non-±1 sort directions/overflowing limits/malformed unwind+lookup denied — while the plain find, exclude-form projection, and pipeline stay allowed. Any policy regression breaks the hash",
+      "Mongo-surface threat-policy truth table (the reference's blocklist plus the compiler's stricter allowlist): $where/$eval/$accumulator denied as dangerous wherever they nest, $out stages denied, depth-11 nesting denied, 21-stage pipelines denied, unknown operators/fields/collections denied, oversized $regex denied, malformed JSON/empty operator objects/mixed projections/non-±1 sort directions/overflowing limits/malformed unwind+lookup denied — while the plain find, exclude-form projection, $options-flagged regex, and pipeline stay allowed. Any policy regression breaks the hash",
       Some("""
         SELECT * FROM (VALUES
           ('agg_out_stage',       'denied',  'dangerous_stage'),
@@ -115,8 +115,10 @@ object MongoSurface {
           ('lookup_as_collision', 'denied',  'bad_stage'),
           ('lookup_unknown_coll', 'denied',  'unknown_collection'),
           ('pipeline_safe',       'allowed', ''),
+          ('options_sans_regex',  'denied',  'bad_operand'),
           ('projection_exclude',  'allowed', ''),
           ('projection_mixed',    'denied',  'bad_projection'),
+          ('regex_options_i',     'allowed', ''),
           ('regex_too_long',      'denied',  'regex_too_long'),
           ('sort_dir_string',     'denied',  'bad_operand'),
           ('sum_literal_2',       'denied',  'bad_operand'),
@@ -165,8 +167,12 @@ object MongoSurface {
                            "foreignField": "c_custkey", "as": "cust"}}]"""),
         "pipeline_safe" -> MongoQL.aggregate(Tables(s, dir, "documents"),
           """[{"$match": {"lang": "en"}}, {"$group": {"_id": "$source", "n": {"$sum": 1}}}]"""),
+        "options_sans_regex" -> MongoQL.findCollection(s, dir, "documents",
+          """{"text": {"$options": "i"}}"""),
         "projection_exclude" -> MongoQL.findCollection(s, dir, "documents",
           """{"lang": "en"}""", """{"text": 0}"""),
+        "regex_options_i" -> MongoQL.findCollection(s, dir, "documents",
+          """{"text": {"$regex": "vector", "$options": "i"}}"""),
         "projection_mixed" -> MongoQL.findCollection(s, dir, "documents",
           """{"lang": "en"}""", """{"doc_id": 1, "text": 0}"""),
         "regex_too_long" -> MongoQL.findCollection(s, dir, "documents",
@@ -225,6 +231,96 @@ object MongoSurface {
                          "foreignField": "c_custkey", "as": "cust"}}]""",
         maxRows = 10000000))
       out.select(col("o_orderkey"), col("o_custkey"), size(col("cust")).as("n_cust"))
+    },
+
+    // ---- QLM8-10: NL → Mongo routing (the reference planner's second
+    //      executor: intelligent_query_planner.py dispatches a question to
+    //      SQL or to mongo_executor.py; here the deterministic Planner's
+    //      plan is compiled to find/aggregate JSON and run through the
+    //      validated MongoQL surface) ----------------------------------------
+    QueryDef(
+      "qlm_nl_list",
+      "NL question answered through the DOCUMENT surface: 'show open orders from 1995 to 1996' routed to db.orders.aggregate($match on status + timestamp year-range, $sort key, $limit) — the oracle states what the question means, so a routing bug (wrong filter, dropped year bound) fails the hash exactly like a planner bug would",
+      Some("""
+        SELECT * FROM orders
+        WHERE year(o_orderdate) BETWEEN 1995 AND 1996 AND o_orderstatus = 'O'
+        ORDER BY o_orderkey LIMIT 100
+      """)) { (s, dir) =>
+      val q = "show open orders from 1995 to 1996"
+      val routed = MongoRoute.fromQuestion(q).getOrElse(
+        throw new IllegalStateException(s"'$q' did not route to the Mongo surface"))
+      MongoRoute.run(s, dir, routed)
+        .fold(d => throw new IllegalStateException(s"denied: $d"), identity)
+    },
+
+    QueryDef(
+      "qlm_nl_count",
+      "NL negated count through the document surface: 'how many orders are not finished' → $match {status: {$ne: 'F'}} + $group {$sum: 1} — Mongo's null-safe $ne vs SQL's <> agree on the non-null status column, and the normalized output drops the synthetic _id so both surfaces answer with one n column",
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        WHERE o_orderstatus <> 'F'
+      """)) { (s, dir) =>
+      val q = "how many orders are not finished"
+      val routed = MongoRoute.fromQuestion(q).getOrElse(
+        throw new IllegalStateException(s"'$q' did not route to the Mongo surface"))
+      MongoRoute.run(s, dir, routed)
+        .fold(d => throw new IllegalStateException(s"denied: $d"), identity)
+    },
+
+    QueryDef(
+      "qlm_nl_search",
+      "NL substring search through the document surface: 'find documents containing vector' → $match {text: {$regex: '(?i)vector'}} + key sort + limit, the case-insensitive-regex twin of the SQL surface's lower(col) LIKE '%term%'",
+      Some("""
+        SELECT * FROM documents
+        WHERE regexp_matches(text, '(?i)vector')
+        ORDER BY doc_id LIMIT 100
+      """)) { (s, dir) =>
+      val q = "find documents containing vector"
+      val routed = MongoRoute.fromQuestion(q).getOrElse(
+        throw new IllegalStateException(s"'$q' did not route to the Mongo surface"))
+      MongoRoute.run(s, dir, routed)
+        .fold(d => throw new IllegalStateException(s"denied: $d"), identity)
+    },
+
+    // ---- QLM11: SQL-surface ≡ Mongo-surface parity truth table -------------
+    QueryDef(
+      "qlm_nl_parity",
+      "Both-surfaces parity: each routable corpus question is answered via the SQL path (plan → guard → execute) AND the Mongo path (plan → find/aggregate JSON → MongoQL), and their row multisets must be IDENTICAL; non-routable plans (grouped counts, day-precision ranges) must be refused by the router, not answered with a wider filter. Any divergence or mis-route breaks the hash",
+      Some("""
+        SELECT * FROM (VALUES
+          ('count_english_docs',  true,  'equal'),
+          ('count_not_finished',  true,  'equal'),
+          ('count_open',          true,  'equal'),
+          ('day_range_count',     false, 'sql_only'),
+          ('grouped_count',       false, 'sql_only'),
+          ('list_open_years',     true,  'equal'),
+          ('search_vector',       true,  'equal')
+        ) AS t(case_name, routed, outcome)
+      """)) { (s, dir) =>
+      import s.implicits._
+      val cases = Seq(
+        "count_english_docs" -> "how many english documents",
+        "count_not_finished" -> "how many orders are not finished",
+        "count_open" -> "how many open orders",
+        "day_range_count" -> "how many orders between 01-02-1995 and 15-02-1995",
+        "grouped_count" -> "count of orders by priority",
+        "list_open_years" -> "show open orders from 1995 to 1996",
+        "search_vector" -> "find documents containing vector")
+      val rows = cases.map { case (name, q) =>
+        MongoRoute.fromQuestion(q) match {
+          case None => (name, false, "sql_only")
+          case Some(r) =>
+            val sqlRows = QueryGuard.execute(s, dir, Planner.plan(q).sql,
+                maxRows = 1000000)
+              .fold(d => throw new IllegalStateException(d.reason), identity)
+              .collect().map(_.toString).sorted.toSeq
+            val mongoRows = MongoRoute.run(s, dir, r)
+              .fold(d => throw new IllegalStateException(d.toString), identity)
+              .collect().map(_.toString).sorted.toSeq
+            (name, true, if (sqlRows == mongoRows) "equal" else "DIVERGED")
+        }
+      }
+      rows.toDF("case_name", "routed", "outcome")
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.resolve
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT Jaccard set-similarity self-join via All-Pairs prefix filtering
@@ -29,88 +30,43 @@ object SetSimJoin {
     * @return (doc_a, doc_b, jaccard) for all pairs with
     *         J >= tNum/tDen, doc_a < doc_b, jaccard rounded to 6
     *
-    * Round-11 rework (100× canary ratio was 16.7): the same four lossless
-    * moves already proven on [[containment]] in round 10, adapted to the
-    * symmetric Jaccard algebra —
-    *
-    *  1. HASHED TOKEN KEYS: every exchange and the candidate join carry
-    *     xxhash64(token) longs, never shingle strings (~8 B vs ~25 B per
-    *     key at dd60's 3-shingle grain). Intra-doc collisions would break
-    *     the prefix lemma's set semantics, so they raise_error loudly
-    *     (P ≈ |doc|²/2^65 per doc); cross-doc collisions only ADD
-    *     candidates, and the final verify recomputes the intersection on
-    *     TRUE token arrays, so the output stays exact.
-    *  2. WINDOW-FREE RANKING: ONE groupBy(h) builds the inverted index
-    *     with df, a re-explode annotates postings (no second join), and a
-    *     per-doc sort_array over (df, h) structs replaces the global
-    *     window sort.
-    *  3. ℓ-PREFIX COUNT FILTER (ℓ=2): A's indexed prefix extends to
-    *     (|A| − α_A + ℓ) tokens (α_A = ceil(t·|A|), the classic overlap
-    *     bound — J ≥ t and |B| ≥ |A∩B| give |A∩B| ≥ t·|A|); pigeonhole
-    *     puts ≥ min(ℓ, α_A) of any true pair's common tokens in that
-    *     prefix, so candidates group by pair and demand cnt ≥ min(ℓ, α_A)
-    *     instead of emitting a pair per shared token.
-    *  4. POSITIONAL FILTER (PPJoin, Xiao et al. 2008), relaxed by ℓ so the
-    *     ℓ smallest common tokens always pass: a match at ranks (rn, rnb)
-    *     survives only if ℓ + min(|A|−rn, |B|−rnb) can still reach the
-    *     PAIRWISE bound α_AB = ceil(t·(|A|+|B|)/(1+t)), integer
-    *     cross-multiplied: (ℓ + min)·(tNum+tDen) ≥ (|A|+|B|)·tNum.
-    *     (For the k-th smallest common token, k ≤ ℓ: both suffixes hold
-    *     ≥ α_AB − k common tokens, so the relaxed bound holds; and if that
-    *     token sat outside A's extended prefix, the prefix would hold
-    *     < k ≤ ℓ common tokens, contradicting move 3's pigeonhole.)
-    */
+    * Round-11 note: porting [[containment]]'s hashed-key/window-free/
+    * positional-filter rework here was tried and MEASURED WORSE — base
+    * sf0.1 2.2× slower (1.34→2.99 s; the inverted-index collect_list +
+    * per-doc sort_array costs more than the window it replaced at this
+    * threshold's candidate volume) and 100× inside noise (22.5→26.5 s vs
+    * a ±20% environment band shown by the untouched dd88 drifting
+    * 21.0→22.4 s the same day). Reverted to this shape; do not redo
+    * without a measured win at BOTH scales. */
   def exact(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val ell = 2
     val d = docs.select(col("id").cast("long").as("doc_id"),
       col("toks")).cache()
-    val dh = d.select(col("doc_id"),
-      transform(col("toks"), w => xxhash64(w)).as("hs0"),
-      size(col("toks")).cast("long").as("n"))
-      .select(col("doc_id"), col("n"),
-        when(size(array_distinct(col("hs0"))) =!= col("n"),
-          raise_error(concat(lit("intra-doc token hash collision in doc "),
-            col("doc_id").cast("string"))))
-          .otherwise(col("hs0")).as("hs"))
-    val tokd = dh.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-    val inv = tokd.groupBy(col("h")).agg(count(lit(1)).as("df"),
-      collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-    val tj = inv.select(col("h"), col("df"), explode(col("ds")).as("x"))
-      .select(col("x.doc_id").as("doc_id"), col("x.n").as("n"),
-        col("df"), col("h"))
-    val darr = tj.groupBy(col("doc_id"))
-      .agg(first(col("n")).as("n"),
-        transform(sort_array(collect_list(struct(col("df"), col("h")))),
-          x => x.getField("h")).as("sws"))
-    // α_A = ceil(tNum*n/tDen) = (tNum*n + tDen-1) div tDen
-    val alphaA = expr(s"(n * $tNum + ${tDen - 1}) div $tDen")
-    val prefix = darr
-      .select(col("doc_id"), col("n"),
-        posexplode(slice(col("sws"), lit(1),
-          (col("n") - alphaA + ell).cast("int"))))
-      .select(col("doc_id"), col("n"), (col("pos") + 1).as("rn"),
-        col("col").as("h"))
-    val probe = darr
-      .select(col("doc_id").as("doc_b"), col("n").as("nb"),
-        posexplode(col("sws")))
-      .select(col("doc_b"), col("nb"), (col("pos") + 1).as("rnb"),
-        col("col").as("hb"))
-    // length filter t*|A| <= |B| <= |A|/t (symmetric, cross-multiplied),
-    // then the ℓ-relaxed positional filter against the pairwise bound
+    // n rides along from size(toks) — toks is already the distinct set,
+    // so no per-doc count window; and the PROBE side is the raw postings
+    // list (it needs no rarity rank), so the df-join + rank window run
+    // once, on the prefix side only, instead of twice
+    val tokd = d.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+      explode(col("toks")).as("w"))
+    val dfreq = tokd.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // canonical rarity order; ceil(tNum*n/tDen) = (tNum*n + tDen-1) div tDen
+    val ranked = tokd.join(dfreq, Seq("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") -
+        expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("w"), col("n"))
+    // length filter t*|A| <= |B| <= |A|/t, cross-multiplied
+    val probe = tokd.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+      col("n").as("nb"))
     val cand = prefix
-      .join(probe, col("h") === col("hb")
+      .join(probe, col("w") === col("wb")
         && col("doc_id") < col("doc_b")
         && col("n") * tNum <= col("nb") * tDen
-        && col("nb") * tNum <= col("n") * tDen
-        && (lit(ell.toLong) + least(col("n") - col("rn"),
-              col("nb") - col("rnb"))) * (tNum + tDen)
-           >= (col("n") + col("nb")) * tNum)
-      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
-      .filter(col("cnt") >= least(lit(ell.toLong),
-        expr(s"(n * $tNum + ${tDen - 1}) div $tDen")))
-      .select(col("doc_a"), col("doc_b"))
+        && col("nb") * tNum <= col("n") * tDen)
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
     val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
     val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
     cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))

@@ -80,6 +80,22 @@ class MongoQLSpec extends SparkTestBase {
     assert(MongoQL.find(df, "{}", """{"nope": 1}""").swap.exists(_.code == "unknown_field"))
   }
 
+  test("$regex honors $options flags; malformed $options denied") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq((1L, "Alpha"), (2L, "alpha"), (3L, "beta")).toDF("id", "s")
+    def got(filter: String) = MongoQL.find(d, filter)
+      .fold(x => fail(x.toString), _.select("id").collect().map(_.getLong(0)).toSet)
+    assert(got("""{"s": {"$regex": "alpha"}}""") == Set(2L))
+    assert(got("""{"s": {"$regex": "alpha", "$options": "i"}}""") == Set(1L, 2L))
+    assert(MongoQL.find(d, """{"s": {"$options": "i"}}""")
+      .swap.exists(_.code == "bad_operand")) // $options without $regex
+    assert(MongoQL.find(d, """{"s": {"$regex": "a", "$options": "g"}}""")
+      .swap.exists(_.code == "bad_operand")) // unknown flag
+    assert(MongoQL.find(d, """{"s": {"$regex": "a", "$options": 1}}""")
+      .swap.exists(_.code == "bad_operand")) // non-string
+  }
+
   test("empty operator objects are denials, not crashes") {
     assert(MongoQL.find(df, """{"n": {}}""").swap.exists(_.code == "bad_operand"))
     assert(MongoQL.find(df, """{"n": {"$not": {}}}""").swap.exists(_.code == "bad_operand"))
