@@ -1196,14 +1196,30 @@ object DocPipeline {
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx")).select(col("g1"), col("g2"))
       val hits = sh.join(dup, Seq("g1", "g2")).select(col("doc_id"), col("s"))
-      val coveredCnt = hits
-        .select(col("doc_id"), explode(sequence(col("s"), col("s") + 7)).as("pos"))
-        .distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov"))
-      val hitCnt = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      // Coverage by INTERVAL MERGE, not explode+distinct (round-11, from
+      // the 100× stage profile): expanding every hit to its 8 positions
+      // and distinct-ing was a 3.8B-row exchange at 100× — the single
+      // largest stage of the query. A hit covers [s, s+7]; the union size
+      // is the sum of merged-island lengths (dd75's gaps-and-islands,
+      // whose oracle proves the equivalence), computed with O(n) running
+      // frames in ONE doc-keyed window pass. n_hit rides the same pass,
+      // so `hits` is consumed once and the shingle relation is built one
+      // time fewer.
+      val wOrd = Window.partitionBy("doc_id").orderBy("s")
+      val islands = hits.withColumn("brk",
+        when(col("s") > coalesce(
+          max(col("s") + 7).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)) + 1, 1).otherwise(0))
+        .withColumn("gid",
+          sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perDoc = islands
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s")).as("st"), max(col("s") + 7).as("en"),
+          count(lit(1)).as("nh"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("en") - col("st") + 1).as("n_cov"), sum(col("nh")).as("n_hit"))
       tok.select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"))
-        .join(coveredCnt, Seq("doc_id"), "left")
-        .join(hitCnt, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("n_hit"), lit(0L)).as("n_dup_shingles"),
           coalesce(col("n_cov"), lit(0L)).as("covered_tokens"),
@@ -1281,8 +1297,12 @@ object DocPipeline {
       val dup = sh.groupBy(col("g1"), col("g2"))
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx")).select(col("g1"), col("g2"))
+      // no .distinct(): (doc_id, s) is unique by construction — sh has one
+      // row per shingle position and dup's key set is distinct, so the
+      // equi-join cannot fan out; the defensive distinct cost a full extra
+      // exchange of the hit relation at 100× (round-11)
       val hits = sh.join(dup, Seq("g1", "g2"))
-        .select(col("doc_id"), col("s")).distinct()
+        .select(col("doc_id"), col("s"))
       val wOrd = Window.partitionBy("doc_id").orderBy("s")
       val runs = hits.withColumn("brk",
         when(col("s") > coalesce(
