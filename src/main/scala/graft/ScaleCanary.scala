@@ -174,6 +174,20 @@ object ScaleCanary {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // zstd shuffle/spill compression (round-11): the 100× fat-MV runs
+      // spill tens of GB; zstd roughly halves lz4's on-disk footprint for
+      // the rendered-JSON gold rows at similar CPU. The common production
+      // choice at this scale, and both scales of every ratio measure under
+      // the same codec so rows stay self-consistent.
+      .config("spark.io.compression.codec", "zstd")
+      // Vectorized-reader batches sized for FAT-STRING rows (round-11):
+      // the default 4096-row batch asked for a 117 MB contiguous buffer
+      // per string column when reading the 100× gold snapshot (~30 KB
+      // rendered-JSON strings), and 32 concurrent reader tasks × several
+      // such columns OOMed a 48 GB heap. 512 rows ≈ 15 MB per column
+      // batch — the same "size batches to the data" rule the brief
+      // applies to shuffle partitions.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -766,7 +766,23 @@ object GoldMvFull {
           .withColumn("l_linenumber", (col("l_linenumber") + 100).cast("int"))
           .withColumn("l_returnflag", lit("N"))
           .withColumn("l_linestatus", lit("O")))
-      val goldPrev = buildAccuseds(s, dir, liV1, liV1)
+      // Gold v1 is a STORED table in production — the maintainer reads the
+      // current gold from storage, it never re-derives it lazily. Snapshot
+      // the v1 build to parquet and read it back (round-11): fidelity, and
+      // it lets the v1 build's shuffle files be GC'd before the refresh
+      // runs. Without this, three fat-MV spill sets coexist on disk for
+      // the whole query (v1 build, ~full recompute — the person graph on
+      // this corpus expands to nearly every parent — and the anti-join
+      // exchange), which at the 100× canary exceeded the sandbox disk
+      // (ENOSPC, twice). Same wiped-at-start target/replay root as the
+      // streaming maintainers: repeated runs keep exactly ONE copy.
+      val goldPrev = {
+        val snap = java.nio.file.Paths.get("target", "replay",
+          "mv_accuseds_incr_v1").toString
+        buildAccuseds(s, dir, liV1, liV1).write.mode("overwrite").parquet(snap)
+        System.gc() // let ContextCleaner reclaim the build's shuffle files
+        s.read.parquet(snap)
+      }
       // direct keys: the three change rules; expanded: any crime of any
       // person seen in a directly-changed crime. The person set comes from
       // the UNION of v1 and v2 facts restricted to the direct keys — v1
