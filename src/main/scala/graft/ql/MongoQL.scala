@@ -130,10 +130,20 @@ object MongoQL {
         case ("$lt", v)  => toLit(v).map(c < _)
         case ("$lte", v) => toLit(v).map(c <= _)
         case ("$in", v) if v.isArray =>
-          seqEither(v.elements().asScala.toSeq.map(toLit)).map(ls => c.isin(ls: _*))
+          // Mongo: a null element makes $in ALSO match missing/null fields
+          // (and $nin exclude them). isin's ternary null logic would drop
+          // those rows silently — compile the null element as isNull.
+          val (nullEls, nonNull) = v.elements().asScala.toSeq.partition(_.isNull)
+          seqEither(nonNull.map(toLit)).map { ls =>
+            val base = if (ls.isEmpty) lit(false) else coalesce(c.isin(ls: _*), lit(false))
+            if (nullEls.nonEmpty) base || c.isNull else base
+          }
         case ("$nin", v) if v.isArray =>
-          seqEither(v.elements().asScala.toSeq.map(toLit))
-            .map(ls => !coalesce(c.isin(ls: _*), lit(false)))
+          val (nullEls, nonNull) = v.elements().asScala.toSeq.partition(_.isNull)
+          seqEither(nonNull.map(toLit)).map { ls =>
+            val base = if (ls.isEmpty) lit(false) else coalesce(c.isin(ls: _*), lit(false))
+            !(if (nullEls.nonEmpty) base || c.isNull else base)
+          }
         case ("$exists", v) if v.isBoolean =>
           Right(if (v.asBoolean) c.isNotNull else c.isNull)
         case ("$regex", v) if v.isTextual =>

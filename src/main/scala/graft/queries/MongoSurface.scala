@@ -70,6 +70,25 @@ object MongoSurface {
         maxRows = 1000000))
     },
 
+    // ---- QLM3b: $in/$nin with a null element --------------------------------
+    QueryDef(
+      "qlm_find_in_null",
+      "Mongo $in/$nin null-element semantics: a null in the $in list makes it ALSO match missing fields (and $nin exclude them) — isin's ternary SQL logic would silently drop those rows. The corpus has no nulls, so the gate derives one (lang with 'de' nulled out) and runs both operators over it; the SQL oracle states the Mongo meaning explicitly",
+      Some("""
+        SELECT doc_id, lang2, n_chars FROM (
+          SELECT doc_id, nullif(lang, 'de') AS lang2, n_chars FROM documents) t
+        WHERE (lang2 = 'en' OR lang2 IS NULL) AND n_chars >= 200
+      """)) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.nullif(col("lang"), org.apache.spark.sql.functions.lit("de")).as("lang2"),
+          col("n_chars"))
+      run(MongoQL.find(docs,
+        """{"lang2": {"$in": ["en", null]}, "n_chars": {"$gte": 200}}""",
+        """{"doc_id": 1, "lang2": 1, "n_chars": 1}""",
+        maxRows = 1000000))
+    },
+
     // ---- QLM4: aggregation pipeline ----------------------------------------
     QueryDef(
       "qlm_agg_pipeline",

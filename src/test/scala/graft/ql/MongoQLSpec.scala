@@ -29,6 +29,17 @@ class MongoQLSpec extends SparkTestBase {
     assert(ids(MongoQL.find(df, """{"lang": {"$nin": ["en", "fr"]}}""")) == Set(3L))
   }
 
+  test("$in/$nin with a null element match/exclude missing fields (Mongo null semantics)") {
+    // Mongo: a null element in $in ALSO matches docs whose field is
+    // missing; $nin with null excludes them — isin's ternary logic would
+    // silently drop the null rows from both
+    assert(ids(MongoQL.find(df, """{"lang": {"$in": ["fr", null]}}""")) == Set(2L, 3L))
+    assert(ids(MongoQL.find(df, """{"lang": {"$nin": ["fr", null]}}""")) == Set(1L, 4L))
+    // empty lists: $in matches nothing, $nin everything
+    assert(ids(MongoQL.find(df, """{"lang": {"$in": []}}""")) == Set())
+    assert(ids(MongoQL.find(df, """{"lang": {"$nin": []}}""")) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("$exists true/false split the null rows") {
     assert(ids(MongoQL.find(df, """{"n": {"$exists": false}}""")) == Set(2L))
     assert(ids(MongoQL.find(df, """{"n": {"$exists": true}}""")) == Set(1L, 3L, 4L))
