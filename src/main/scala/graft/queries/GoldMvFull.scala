@@ -767,22 +767,35 @@ object GoldMvFull {
           .withColumn("l_returnflag", lit("N"))
           .withColumn("l_linestatus", lit("O")))
       // Gold v1 is a STORED table in production — the maintainer reads the
-      // current gold from storage, it never re-derives it lazily. Snapshot
-      // the v1 build to parquet and read it back (round-11): fidelity, and
-      // it lets the v1 build's shuffle files be GC'd before the refresh
-      // runs. Without this, three fat-MV spill sets coexist on disk for
-      // the whole query (v1 build, ~full recompute — the person graph on
-      // this corpus expands to nearly every parent — and the anti-join
-      // exchange), which at the 100× canary exceeded the sandbox disk
-      // (ENOSPC, twice). Same wiped-at-start target/replay root as the
-      // streaming maintainers: repeated runs keep exactly ONE copy.
-      val goldPrev = {
-        val snap = java.nio.file.Paths.get("target", "replay",
-          "mv_accuseds_incr_v1").toString
-        buildAccuseds(s, dir, liV1, liV1).write.mode("overwrite").parquet(snap)
-        System.gc() // let ContextCleaner reclaim the build's shuffle files
-        s.read.parquet(snap)
-      }
+      // current gold from storage, it never re-derives it lazily. At scale
+      // the query therefore SNAPSHOTS the v1 build to parquet and reads it
+      // back (round-11): fidelity, and it lets the v1 build's shuffle
+      // files be GC'd before the refresh runs. Without this, three fat-MV
+      // spill sets coexist on disk for the whole query (v1 build, ~full
+      // recompute — the person graph on this corpus expands to nearly
+      // every parent — and the anti-join exchange), which at the 100×
+      // canary exceeded the sandbox disk (ENOSPC, twice). The snapshot is
+      // GATED on fact-table size (same adaptive discipline as the
+      // anti-join's key budget): at sf0.1 the write+read+full-GC costs
+      // ~10 s against a 2.8 s lazy plan whose spill fits trivially, so
+      // small scales keep the lazy shape — measured both ways, PLANS.md
+      // r11. Same wiped-at-start target/replay root as the streaming
+      // maintainers: repeated runs keep exactly ONE copy.
+      def dirBytes(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(dirBytes).sum
+        else if (f.exists()) f.length() else 0L
+      val snapshotMinFactBytes = s.conf
+        .get("spark.graft.gold.snapshotMinFactBytes", (512L * 1024 * 1024).toString).toLong
+      val goldPrev =
+        if (dirBytes(new java.io.File(s"$dir/lineitem.parquet")) < snapshotMinFactBytes)
+          buildAccuseds(s, dir, liV1, liV1)
+        else {
+          val snap = java.nio.file.Paths.get("target", "replay",
+            "mv_accuseds_incr_v1").toString
+          buildAccuseds(s, dir, liV1, liV1).write.mode("overwrite").parquet(snap)
+          System.gc() // let ContextCleaner reclaim the build's shuffle files
+          s.read.parquet(snap)
+        }
       // direct keys: the three change rules; expanded: any crime of any
       // person seen in a directly-changed crime. The person set comes from
       // the UNION of v1 and v2 facts restricted to the direct keys — v1
