@@ -30,17 +30,10 @@ object Dd31Profile {
 
     val dir = ScaleCanary.derived(spark, factor)
 
-    def corpus: DataFrame = {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          regexp_replace(col("text"), "^(\\w+ ){3}", "").as("text")))
-    }
-
-    def tok: DataFrame = corpus
-      .select(col("doc_id"), split(col("text"), " ").as("arr"))
-      .filter(size(col("arr")) >= 8)
+    // fixture comes from DocPipeline's shared helper — the A/B shapes
+    // below are historical ALTERNATE formulations profiled on the SAME
+    // corpus/tokenization the committed query (shape C) uses
+    def tok: DataFrame = graft.queries.DocPipeline.dd31Tok(spark, dir)
 
     // shape A (r10): string shingle key, countDistinct>1 dup test
     def shA: DataFrame = tok.select(col("doc_id"), explode(transform(

@@ -28,12 +28,43 @@ object DocPipeline {
   /** Corpus with planted near-duplicates: every 5th doc reappears with
     * its first 3 tokens stripped (id + 10000) — exercising the near-dup
     * detectors on known ground truth. */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val variants = base.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 10000).as("doc_id"),
         regexp_replace(col("text"), "^(\\w+ ){3}", "").as("text"))
     base.unionByName(variants)
+  }
+
+  /** dd31's tokenized corpus — shared with the canary probes
+    * (GrowthProbe, Dd31Profile) so a fixture change here is the ONLY
+    * place it can happen; the probes measure this pipeline by
+    * construction, not by copy. */
+  private[graft] def dd31Tok(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 8)
+
+  /** dd31's positioned 8-gram shingle relation under the round-11
+    * shuffle diet: the exchanged key is the 12-byte pair
+    * (xxhash64(gram), hash(gram)), never the gram string. */
+  private[graft] def dd31Shingles(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("arr")) - 7),
+      i => struct(i.as("s"),
+        array_join(slice(col("arr"), i, lit(8)), " ").as("gs")))).as("p"))
+      .select(col("doc_id"), col("p.s").as("s"),
+        xxhash64(col("p.gs")).as("g1"), hash(col("p.gs")).as("g2"))
+
+  /** dd31's duplicated-8-gram hit positions: shingles appearing in >1
+    * distinct doc (min≠max — one exchange with map-side combine),
+    * joined back to keep (doc, position). */
+  private[graft] def dd31Hits(s: SparkSession, dir: String): DataFrame = {
+    val sh = dd31Shingles(dd31Tok(s, dir))
+    val dup = sh.groupBy(col("g1"), col("g2"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("g1"), col("g2"))
+    sh.join(dup, Seq("g1", "g2")).select(col("doc_id"), col("s"))
   }
 
   private val corpusSql = """
@@ -50,7 +81,7 @@ object DocPipeline {
     * zero exchanges — where the window/distinct formulations each shuffle
     * every (doc, shingle) row. (The DuckDB oracle keeps its
     * window+DISTINCT formulation; the shingle *sets* are identical.) */
-  private def shingleArr(docs: DataFrame): DataFrame =
+  private[graft] def shingleArr(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
       .filter(size(col("arr")) >= 3)
       .select(col("doc_id"),
@@ -59,7 +90,7 @@ object DocPipeline {
 
   /** Exploded (doc_id, shingle) rows — within-doc distinct, so identical
     * to a global distinct (doc_id is part of the key). */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     shingleArr(docs).select(col("doc_id"), explode(col("shArr")).as("sh"))
 
   private val shinglesSql = """
@@ -1163,16 +1194,14 @@ object DocPipeline {
       // duplicated-shingle set is corpus-global; its JOIN back to shingles
       // is an equi-join the AQE planner can broadcast when the dup set is
       // small (the common case: dup spans are rare in a healthy corpus).
-      val tok = corpus(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("arr"))
-        .filter(size(col("arr")) >= 8)
-      // branch point: sh feeds BOTH the duplicate-set groupBy and the
-      // hits join. Deliberately NOT cached — measured 1.5× slower with
-      // .cache(): materializing the wide (doc, pos, 8-gram-string) table
-      // costs more than re-running the codegen-fused explode, and at
-      // corpus scale the shingle table (≈ tokens × 8-gram bytes) would
-      // blow executor storage anyway. Recompute-over-cache is the right
-      // call for wide derived shingles.
+      val tok = dd31Tok(s, dir)
+      // The shingle relation feeds BOTH the duplicate-set groupBy and the
+      // hits join (inside dd31Hits). Deliberately NOT cached — measured
+      // 1.5× slower with .cache(): materializing the wide
+      // (doc, pos, 8-gram-string) table costs more than re-running the
+      // codegen-fused explode, and at corpus scale the shingle table
+      // (≈ tokens × 8-gram bytes) would blow executor storage anyway.
+      // Recompute-over-cache is the right call for wide derived shingles.
       //
       // Round-11 shuffle diet (the 100× canary's 23× ratio): both shingle
       // exchanges carried the full ~60-byte 8-gram STRING, and the
@@ -1185,17 +1214,9 @@ object DocPipeline {
       // false dup-key needs a simultaneous collision in two independent
       // hashes (P ≈ pairs·2⁻⁹⁶) — and "appears in >1 distinct doc" is
       // min(doc)≠max(doc): one exchange with map-side combine instead of
-      // countDistinct's double exchange.
-      val sh = tok.select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("arr")) - 7),
-        i => struct(i.as("s"),
-          array_join(slice(col("arr"), i, lit(8)), " ").as("gs")))).as("p"))
-        .select(col("doc_id"), col("p.s").as("s"),
-          xxhash64(col("p.gs")).as("g1"), hash(col("p.gs")).as("g2"))
-      val dup = sh.groupBy(col("g1"), col("g2"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx")).select(col("g1"), col("g2"))
-      val hits = sh.join(dup, Seq("g1", "g2")).select(col("doc_id"), col("s"))
+      // countDistinct's double exchange. Fixture + diet live in
+      // dd31Tok/dd31Shingles/dd31Hits above, shared with the probes.
+      val hits = dd31Hits(s, dir)
       // Coverage by INTERVAL MERGE, not explode+distinct (round-11, from
       // the 100× stage profile): expanding every hit to its 8 positions
       // and distinct-ing was a 3.8B-row exchange at 100× — the single

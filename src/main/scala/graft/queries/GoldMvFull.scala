@@ -781,13 +781,18 @@ object GoldMvFull {
       // small scales keep the lazy shape — measured both ways, PLANS.md
       // r11. Same wiped-at-start target/replay root as the streaming
       // maintainers: repeated runs keep exactly ONE copy.
-      def dirBytes(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(dirBytes).sum
-        else if (f.exists()) f.length() else 0L
+      // Size probe goes through the Hadoop FileSystem API (the same one
+      // the scan uses), not java.io.File — a java.io probe reads 0 on
+      // any non-local store and would silently pin the lazy shape.
+      def dirBytes(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
       val snapshotMinFactBytes = s.conf
         .get("spark.graft.gold.snapshotMinFactBytes", (512L * 1024 * 1024).toString).toLong
       val goldPrev =
-        if (dirBytes(new java.io.File(s"$dir/lineitem.parquet")) < snapshotMinFactBytes)
+        if (dirBytes(s"$dir/lineitem.parquet") < snapshotMinFactBytes)
           buildAccuseds(s, dir, liV1, liV1)
         else {
           val snap = java.nio.file.Paths.get("target", "replay",
