@@ -42,6 +42,7 @@ object SparkEntry {
       graft.queries.MongoSurface.defs ++
       graft.queries.CacheSurface.defs ++
       graft.queries.ChunkOps.defs ++
+      graft.queries.CorpusOps.defs ++
       graft.queries.QlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -50,7 +50,8 @@ object MongoQL {
   private val BoolOps = Set("$and", "$or", "$nor")
   private val GroupAccs = Set("$sum", "$avg", "$min", "$max", "$count")
   private val KnownStages =
-    Set("$match", "$project", "$group", "$sort", "$limit", "$unwind", "$lookup")
+    Set("$match", "$project", "$group", "$sort", "$limit", "$unwind", "$lookup",
+      "$addFields", "$set", "$count", "$skip", "$sortByCount", "$bucket", "$replaceRoot")
 
   val MaxDepth = 10      // query_validator.py: "Query too complex (max depth: 10)"
   val MaxStages = 20     // query_validator.py: "Pipeline too long (max 20 stages)"
@@ -238,6 +239,54 @@ object MongoQL {
       projected.limit(maxRows)
     }
 
+  // ---- scalar expression compiler ($addFields / $bucket groupBy) -----------
+
+  /** Mongo aggregation-expression subset, compiled to Catalyst scalar
+    * trees: "$field" refs, JSON literals, and the arithmetic/string
+    * operators a projection stage actually uses. Everything else —
+    * including every accumulator and the dangerous operators — is a
+    * denial: a compiler only runs what it understands. Arithmetic is
+    * ROW-WISE double math (bit-identical across engines, unlike
+    * fold-order-dependent aggregates), so no rounding discipline is
+    * needed beyond what the query itself requests via $round. */
+  private def compileExpr(n: JsonNode, cols: Set[String]): Either[Denied, Column] =
+    if (n.isTextual && n.asText.startsWith("$")) {
+      val f = n.asText.drop(1)
+      if (cols.contains(f)) Right(col(f)) else Left(Denied("unknown_field", f))
+    } else if (!n.isObject) toLit(n)
+    else {
+      val entries = n.properties().asScala.toSeq
+      if (entries.size != 1)
+        return Left(Denied("bad_expression", "expression object needs exactly one operator"))
+      val (op, v) = (entries.head.getKey, entries.head.getValue)
+      def args(min: Int, max: Int): Either[Denied, Seq[Column]] =
+        if (!v.isArray) Left(Denied("bad_operand", s"$op needs an argument array"))
+        else {
+          val xs = v.elements().asScala.toSeq
+          if (xs.size < min || xs.size > max) Left(Denied("bad_operand", s"$op arity"))
+          else seqEither(xs.map(compileExpr(_, cols)))
+        }
+      op match {
+        case "$add"      => args(2, 64).map(_.reduce(_ + _))
+        case "$multiply" => args(2, 64).map(_.reduce(_ * _))
+        case "$subtract" => args(2, 2).map { case Seq(a, b) => a - b }
+        case "$divide"   => args(2, 2).map { case Seq(a, b) => a / b }
+        case "$concat"   => args(1, 64).map(cs => concat(cs: _*))
+        case "$ifNull"   => args(2, 2).map { case Seq(a, b) => coalesce(a, b) }
+        case "$toUpper"  => compileExpr(v, cols).map(upper)
+        case "$toLower"  => compileExpr(v, cols).map(lower)
+        case "$round" =>
+          // [expr, places] with places an integral literal — $round with a
+          // computed scale has no Catalyst equivalent (round's scale is a
+          // foldable), so the stricter compiler pins it to a literal
+          if (!v.isArray || v.size() != 2 || !v.get(1).isIntegralNumber)
+            Left(Denied("bad_operand", "$round needs [expr, integer-literal places]"))
+          else compileExpr(v.get(0), cols).map(round(_, v.get(1).asInt))
+        case op if DangerousOps.contains(op) => Left(Denied("dangerous_operator", op))
+        case op => Left(Denied("unknown_operator", op))
+      }
+    }
+
   // ---- aggregation pipeline ------------------------------------------------
 
   private def groupExpr(alias: String, spec: JsonNode): Either[Denied, Column] = {
@@ -400,11 +449,117 @@ object MongoQL {
         if (body.isIntegralNumber && body.asLong > 0 && body.asLong <= Int.MaxValue)
           Right(df.limit(body.asInt))
         else Left(Denied("bad_stage", "$limit needs a positive 32-bit integer"))
+      case "$skip" =>
+        // compiled to Dataset.offset — order-dependent exactly like Mongo's
+        // $skip, so a deterministic pipeline pairs it with a $sort on a key
+        if (body.isIntegralNumber && body.asLong >= 0 && body.asLong <= Int.MaxValue)
+          Right(df.offset(body.asInt))
+        else Left(Denied("bad_stage", "$skip needs a non-negative 32-bit integer"))
+      case "$count" =>
+        // {$count: "name"} → one row {name: n}; a $-prefixed or empty name
+        // is a denial (Mongo rejects both at parse time)
+        if (body.isTextual && body.asText.nonEmpty && !body.asText.startsWith("$"))
+          Right(df.agg(count(lit(1)).as(body.asText)))
+        else Left(Denied("bad_stage", "$count needs a non-empty, non-$ field name"))
+      case "$addFields" | "$set" =>
+        // every expression resolves against the stage INPUT (Mongo
+        // semantics: same-stage fields are not visible to each other), so
+        // all columns are added in one withColumns call, not a fold
+        if (!body.isObject || !body.properties().iterator().hasNext)
+          Left(Denied("bad_stage", s"$name needs at least one field"))
+        else {
+          val entries = body.properties().asScala.toSeq
+          entries.find(_.getKey.startsWith("$")) match {
+            case Some(e) => Left(Denied("bad_stage", s"field name cannot start with $$: ${e.getKey}"))
+            case None =>
+              seqEither(entries.map(e =>
+                compileExpr(e.getValue, df.columns.toSet).map(e.getKey -> _)))
+                .map(cs => df.withColumns(cs.toMap))
+          }
+        }
+      case "$sortByCount" =>
+        if (body.isTextual && body.asText.startsWith("$")) {
+          val f = body.asText.drop(1)
+          if (!df.columns.contains(f)) Left(Denied("unknown_field", f))
+          else Right(df.groupBy(col(f).as("_id")).agg(count(lit(1)).as("count"))
+            .orderBy(col("count").desc))
+        } else Left(Denied("bad_stage", "$sortByCount needs a $field ref"))
+      case "$bucket" => applyBucket(df, body)
+      case "$replaceRoot" =>
+        // {newRoot: "$structField"} → promote the struct's fields and drop
+        // everything else; the field-ref-only form (no computed documents)
+        // is the shape $lookup+$unwind produces, which is what the stage
+        // exists for in a read-only pipeline
+        val newRoot = if (body.isObject) Option(body.get("newRoot")) else None
+        newRoot match {
+          case Some(p) if p.isTextual && p.asText.startsWith("$") =>
+            val f = p.asText.drop(1)
+            if (!df.columns.contains(f)) Left(Denied("unknown_field", f))
+            else if (!df.schema(f).dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+              Left(Denied("bad_stage", s"$$replaceRoot field is not a document: $f"))
+            else Right(df.select(col(s"$f.*")))
+          case _ => Left(Denied("bad_stage", "$replaceRoot needs {newRoot: \"$field\"}"))
+        }
+    }
+  }
+
+  /** $bucket: {groupBy, boundaries, default, output?} — a static CASE over
+    * strictly-increasing INTEGRAL boundaries. Stricter than Mongo in two
+    * documented ways: `default` is REQUIRED (an out-of-range row is a
+    * per-row runtime error in Mongo, which a compiled plan cannot raise —
+    * requiring the default keeps the compiler total), and the emitted
+    * `_id` is a STRING (the lower boundary rendered in decimal, or the
+    * default label) because one Catalyst column cannot mix Mongo's
+    * numeric-bucket/string-default types. Scale shape: one partial-
+    * aggregated groupBy over a codegen'd CASE — no join, no sort. */
+  private def applyBucket(df: DataFrame, body: JsonNode): Either[Denied, DataFrame] = {
+    if (!body.isObject) return Left(Denied("bad_stage", "$bucket body must be an object"))
+    val keys = body.properties().asScala.map(_.getKey).toSet
+    if (!keys.subsetOf(Set("groupBy", "boundaries", "default", "output")))
+      return Left(Denied("bad_stage",
+        s"$$bucket unknown option: ${(keys -- Set("groupBy", "boundaries", "default", "output")).head}"))
+    if (!keys.contains("groupBy") || !keys.contains("boundaries") || !keys.contains("default"))
+      return Left(Denied("bad_stage", "$bucket needs {groupBy, boundaries, default}"))
+    val bNode = body.get("boundaries")
+    val bounds: Either[Denied, Seq[Long]] =
+      if (!bNode.isArray || bNode.size() < 2)
+        Left(Denied("bad_stage", "$bucket boundaries need >= 2 values"))
+      else {
+        val xs = bNode.elements().asScala.toSeq
+        if (!xs.forall(_.isIntegralNumber))
+          Left(Denied("bad_stage", "$bucket boundaries must be integer literals"))
+        else {
+          val ls = xs.map(_.asLong)
+          if (ls.sliding(2).forall(p => p.head < p.last)) Right(ls)
+          else Left(Denied("bad_stage", "$bucket boundaries must be strictly increasing"))
+        }
+      }
+    val defNode = body.get("default")
+    for {
+      bs <- bounds
+      dflt <- if (defNode.isTextual && defNode.asText.nonEmpty) Right(defNode.asText)
+              else Left(Denied("bad_stage", "$bucket default must be a non-empty string label"))
+      _ <- if (bs.map(_.toString).contains(dflt))
+             Left(Denied("bad_stage", "$bucket default collides with a boundary label"))
+           else Right(())
+      gb <- compileExpr(body.get("groupBy"), df.columns.toSet)
+      accs <- Option(body.get("output")) match {
+        case None => Right(Seq(count(lit(1)).as("count")))
+        case Some(o) if o.isObject && o.properties().iterator().hasNext =>
+          seqEither(o.properties().asScala.toSeq.map(e => groupExpr(e.getKey, e.getValue)))
+        case Some(_) => Left(Denied("bad_stage", "$bucket output must be a non-empty object"))
+      }
+    } yield {
+      val idCol = bs.sliding(2).toSeq.foldLeft(lit(dflt)) { case (acc, Seq(lo, hi)) =>
+        when(gb >= lit(lo) && gb < lit(hi), lit(lo.toString)).otherwise(acc)
+      }.as("_id")
+      df.groupBy(idCol).agg(accs.head, accs.tail: _*)
     }
   }
 
   /** Validated aggregation pipeline:
-    * [$match|$project|$group|$sort|$limit|$unwind|$lookup]. `resolve`
+    * [$match|$project|$group|$sort|$limit|$skip|$count|$addFields|$set|
+    * $sortByCount|$bucket|$replaceRoot|$unwind|$lookup]. `resolve`
     * loads a $lookup collection; the default denies every name, so
     * $lookup is only live through [[aggregateCollection]] (or an explicit
     * resolver), mirroring the executor's fixed db handle. */

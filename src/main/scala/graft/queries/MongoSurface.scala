@@ -115,18 +115,121 @@ object MongoSurface {
         maxRows = 1000))
     },
 
+    // ---- QLM4b: $addFields with the expression compiler ---------------------
+    QueryDef(
+      "qlm_addfields_math",
+      "Mongo $addFields end-to-end: gross = round(extendedprice * (1 - discount), 6) and a $concat/$toLower label, both compiled to codegen'd row-wise Catalyst scalars (bit-identical across engines — no aggregate fold order in play), then a $match on the COMPUTED field proving stage-ordered column visibility; expressions resolve against the stage input via one withColumns call, exactly Mongo's same-stage-isolation rule",
+      Some("""
+        SELECT l_orderkey, l_linenumber, gross, flagstat FROM (
+          SELECT l_orderkey, l_linenumber,
+                 round(l_extendedprice * (1 - l_discount), 6) AS gross,
+                 lower(l_returnflag) || '-' || l_linestatus AS flagstat
+          FROM lineitem WHERE l_returnflag = 'A') t
+        WHERE gross > 30000.0
+      """)) { (s, dir) =>
+      run(MongoQL.aggregate(Tables(s, dir, "lineitem"),
+        """[{"$match": {"l_returnflag": "A"}},
+            {"$addFields": {
+               "gross": {"$round": [{"$multiply": ["$l_extendedprice",
+                                                   {"$subtract": [1, "$l_discount"]}]}, 6]},
+               "flagstat": {"$concat": [{"$toLower": "$l_returnflag"}, "-", "$l_linestatus"]}}},
+            {"$match": {"gross": {"$gt": 30000.0}}},
+            {"$project": {"l_orderkey": 1, "l_linenumber": 1, "gross": 1, "flagstat": 1}}]""",
+        maxRows = 10000000))
+    },
+
+    // ---- QLM4c: $bucket histogram --------------------------------------------
+    QueryDef(
+      "qlm_bucket",
+      "Mongo $bucket end-to-end: order totals bucketed over strictly-increasing integer boundaries with a required default label (the compiler's total-function stance: Mongo's out-of-range RUNTIME error cannot exist in a compiled plan) — one partial-aggregated groupBy over a codegen'd CASE, no join, no sort; _id is the lower boundary rendered as a string so one column carries both bucket and default labels",
+      Some("""
+        SELECT CASE WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN '0'
+                    WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN '100000'
+                    WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN '200000'
+                    WHEN o_totalprice >= 300000 AND o_totalprice < 600000 THEN '300000'
+                    ELSE 'other' END AS _id,
+               CAST(count(*) AS BIGINT) AS n,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY 1
+      """)) { (s, dir) =>
+      run(MongoQL.aggregate(Tables(s, dir, "orders"),
+        """[{"$bucket": {"groupBy": "$o_totalprice",
+                         "boundaries": [0, 100000, 200000, 300000, 600000],
+                         "default": "other",
+                         "output": {"n": {"$sum": 1},
+                                    "max_price": {"$max": "$o_totalprice"}}}}]""",
+        maxRows = 1000))
+    },
+
+    // ---- QLM4d: $sort + $skip + $limit keyset page ---------------------------
+    QueryDef(
+      "qlm_skip_paging",
+      "Mongo $skip end-to-end: open orders sorted by key, page [100, 110) — $skip compiles to Dataset.offset, which stays deterministic exactly when Mongo's does (under a preceding unique-key $sort); the appended row cap composes with the page limit instead of replacing it",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'O'
+        ORDER BY o_orderkey OFFSET 100 LIMIT 10
+      """)) { (s, dir) =>
+      run(MongoQL.aggregate(Tables(s, dir, "orders"),
+        """[{"$match": {"o_orderstatus": "O"}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$skip": 100},
+            {"$limit": 10},
+            {"$project": {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 1}}]""",
+        maxRows = 1000))
+    },
+
+    // ---- QLM4e: $sortByCount -------------------------------------------------
+    QueryDef(
+      "qlm_sortbycount",
+      "Mongo $sortByCount end-to-end: language frequency over documents — sugar for $group {$sum:1} + $sort {count:-1}, compiled to ONE partial-aggregated groupBy whose terminal sort the appended row cap turns into TakeOrdered; the oracle pins the (_id, count) pairs, the harness canon-sort makes tie order irrelevant",
+      Some("""
+        SELECT lang AS _id, CAST(count(*) AS BIGINT) AS "count"
+        FROM documents GROUP BY lang
+      """)) { (s, dir) =>
+      run(MongoQL.aggregate(Tables(s, dir, "documents"),
+        """[{"$sortByCount": "$lang"}]""",
+        maxRows = 1000))
+    },
+
+    // ---- QLM4f: $lookup → $unwind → $replaceRoot ------------------------------
+    QueryDef(
+      "qlm_replaceroot",
+      "Mongo $replaceRoot end-to-end in its native habitat ($lookup enrich, $unwind the matches, promote the joined document): high-value orders joined to customer, each match promoted to the root — multiset-identical to the SQL inner join the oracle states; the struct promotion is a zero-cost select of the struct's fields",
+      Some("""
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        FROM orders o JOIN customer c ON c.c_custkey IS NOT DISTINCT FROM o.o_custkey
+        WHERE o.o_totalprice > 450000.0
+      """)) { (s, dir) =>
+      run(MongoQL.aggregateCollection(s, dir, "orders",
+        """[{"$match": {"o_totalprice": {"$gt": 450000.0}}},
+            {"$lookup": {"from": "customer", "localField": "o_custkey",
+                         "foreignField": "c_custkey", "as": "cust"}},
+            {"$unwind": "$cust"},
+            {"$replaceRoot": {"newRoot": "$cust"}}]""",
+        maxRows = 10000000))
+    },
+
     // ---- QLM5: validator denial truth table --------------------------------
     QueryDef(
       "qlm_guard_denials",
-      "Mongo-surface threat-policy truth table (the reference's blocklist plus the compiler's stricter allowlist): $where/$eval/$accumulator denied as dangerous wherever they nest, $out stages denied, depth-11 nesting denied, 21-stage pipelines denied, unknown operators/fields/collections denied, oversized $regex denied, malformed JSON/empty operator objects/mixed projections/non-±1 sort directions/overflowing limits/malformed unwind+lookup denied — while the plain find, exclude-form projection, $options-flagged regex, and pipeline stay allowed. Any policy regression breaks the hash",
+      "Mongo-surface threat-policy truth table (the reference's blocklist plus the compiler's stricter allowlist): $where/$eval/$accumulator denied as dangerous wherever they nest, $out stages denied, depth-11 nesting denied, 21-stage pipelines denied, unknown operators/fields/collections denied, oversized $regex denied, malformed JSON/empty operator objects/mixed projections/non-±1 sort directions/overflowing limits/malformed unwind+lookup denied, and the round-11 stage batch's malformed forms ($-prefixed $addFields/$count names, unknown/misarity expression operators, unsorted or default-less $bucket boundaries, negative $skip, non-struct $replaceRoot, literal $sortByCount) denied — while the plain find, exclude-form projection, $options-flagged regex, $addFields, $count, and pipeline stay allowed. Any policy regression breaks the hash",
       Some("""
         SELECT * FROM (VALUES
+          ('addfields_dollar_name','denied', 'bad_stage'),
+          ('addfields_safe',      'allowed', ''),
+          ('addfields_unknown_op','denied',  'unknown_operator'),
           ('agg_out_stage',       'denied',  'dangerous_stage'),
           ('agg_lookup_malformed','denied',  'bad_stage'),
           ('agg_too_long',        'denied',  'pipeline_too_long'),
           ('agg_where_op',        'denied',  'dangerous_operator'),
           ('bad_json',            'denied',  'parse_error'),
+          ('bucket_no_default',   'denied',  'bad_stage'),
+          ('bucket_unsorted',     'denied',  'bad_stage'),
+          ('count_dollar_name',   'denied',  'bad_stage'),
+          ('count_safe',          'allowed', ''),
           ('deep_nesting',        'denied',  'too_deep'),
+          ('divide_arity',        'denied',  'bad_operand'),
           ('empty_operator',      'denied',  'bad_operand'),
           ('eval_nested',         'denied',  'dangerous_operator'),
           ('find_safe',           'allowed', ''),
@@ -139,7 +242,11 @@ object MongoSurface {
           ('projection_mixed',    'denied',  'bad_projection'),
           ('regex_options_i',     'allowed', ''),
           ('regex_too_long',      'denied',  'regex_too_long'),
+          ('replaceroot_not_struct','denied','bad_stage'),
+          ('round_places_expr',   'denied',  'bad_operand'),
+          ('skip_negative',       'denied',  'bad_stage'),
           ('sort_dir_string',     'denied',  'bad_operand'),
+          ('sortbycount_literal', 'denied',  'bad_stage'),
           ('sum_literal_2',       'denied',  'bad_operand'),
           ('unknown_collection',  'denied',  'unknown_collection'),
           ('unknown_field',       'denied',  'unknown_field'),
@@ -157,6 +264,31 @@ object MongoSurface {
       val longRegex = "a" * 201
       val stage = """{"$match": {"lang": "en"}}"""
       val cases: Seq[(String, Either[MongoQL.Denied, DataFrame])] = Seq(
+        "addfields_dollar_name" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$addFields": {"$x": 1}}]"""),
+        "addfields_safe" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$addFields": {"x": {"$add": ["$n_chars", 1]}}}]"""),
+        "addfields_unknown_op" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$addFields": {"x": {"$sqrt": ["$n_chars"]}}}]"""),
+        "bucket_no_default" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$bucket": {"groupBy": "$n_chars", "boundaries": [0, 100, 200]}}]"""),
+        "bucket_unsorted" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$bucket": {"groupBy": "$n_chars", "boundaries": [0, 200, 100],
+                           "default": "other"}}]"""),
+        "count_dollar_name" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$count": "$n"}]"""),
+        "count_safe" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$count": "n"}]"""),
+        "divide_arity" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$addFields": {"x": {"$divide": ["$n_chars"]}}}]"""),
+        "replaceroot_not_struct" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$replaceRoot": {"newRoot": "$lang"}}]"""),
+        "round_places_expr" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$addFields": {"x": {"$round": ["$n_chars", "$n_chars"]}}}]"""),
+        "skip_negative" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$skip": -1}]"""),
+        "sortbycount_literal" -> MongoQL.aggregate(Tables(s, dir, "documents"),
+          """[{"$sortByCount": "lang"}]"""),
         "agg_out_stage" -> MongoQL.aggregate(Tables(s, dir, "documents"),
           """[{"$out": "evil"}]"""),
         // $lookup is a KNOWN stage now; a body missing its required keys is

@@ -205,4 +205,101 @@ class MongoQLSpec extends SparkTestBase {
       .swap.exists(_.code == "unknown_operator"))
     assert(MongoQL.aggregate(df, """[{"$out": "x"}]""").swap.exists(_.code == "dangerous_stage"))
   }
+
+  test("$addFields computes against the stage INPUT (same-stage isolation) and can overwrite") {
+    val out = MongoQL.aggregate(df,
+      """[{"$addFields": {"n2": {"$add": ["$n", 1]},
+                          "n": {"$multiply": ["$n", 10]}}},
+          {"$match": {"id": 1}}]""")
+      .fold(d => fail(d.toString), identity).collect().head
+    // n2 = old n + 1 (NOT the overwritten n*10 + 1), n overwritten to 100
+    assert(out.getAs[Long]("n2") == 11L && out.getAs[Long]("n") == 100L)
+    // $set is an alias
+    assert(MongoQL.aggregate(df, """[{"$set": {"k": "x"}}]""").isRight)
+    // null propagation through arithmetic: id=2 has missing n
+    val nulls = MongoQL.aggregate(df,
+      """[{"$addFields": {"m": {"$ifNull": [{"$add": ["$n", 5]}, -1]}}},
+          {"$match": {"id": 2}}]""")
+      .fold(d => fail(d.toString), identity).collect().head
+    assert(nulls.getAs[Long]("m") == -1L)
+  }
+
+  test("$count, $skip, $sortByCount compose deterministically under a key sort") {
+    val n = MongoQL.aggregate(df, """[{"$match": {"lang": "en"}}, {"$count": "n"}]""")
+      .fold(d => fail(d.toString), identity).collect().head.getLong(0)
+    assert(n == 2L)
+    val page = MongoQL.aggregate(df,
+      """[{"$sort": {"id": 1}}, {"$skip": 2}, {"$limit": 1}]""")
+      .fold(d => fail(d.toString), identity).collect().map(_.getLong(0)).toSeq
+    assert(page == Seq(3L))
+    assert(MongoQL.aggregate(df, """[{"$skip": 0}]""").isRight)
+    val sbc = MongoQL.aggregate(df, """[{"$sortByCount": "$lang"}]""")
+      .fold(d => fail(d.toString), identity).collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1)).toMap
+    assert(sbc == Map("en" -> 2L, "fr" -> 1L, "∅" -> 1L))
+  }
+
+  test("$bucket buckets on [lo, hi) with required default; malformed forms denied") {
+    val out = MongoQL.aggregate(df,
+      """[{"$bucket": {"groupBy": "$n", "boundaries": [0, 20, 40],
+                       "default": "other",
+                       "output": {"c": {"$sum": 1}, "mx": {"$max": "$n"}}}}]""")
+      .fold(d => fail(d.toString), identity).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    // n=10 → [0,20); n=30 → [20,40); n=40 and missing-n → default
+    assert(out("0") == ((1L, Some(10L))) && out("20") == ((1L, Some(30L))))
+    assert(out("other")._1 == 2L)
+    assert(MongoQL.aggregate(df,
+      """[{"$bucket": {"groupBy": "$n", "boundaries": [5], "default": "o"}}]""")
+      .swap.exists(_.code == "bad_stage")) // < 2 boundaries
+    assert(MongoQL.aggregate(df,
+      """[{"$bucket": {"groupBy": "$n", "boundaries": [0, 10.5], "default": "o"}}]""")
+      .swap.exists(_.code == "bad_stage")) // non-integral boundary
+    assert(MongoQL.aggregate(df,
+      """[{"$bucket": {"groupBy": "$n", "boundaries": [0, 20], "default": "0"}}]""")
+      .swap.exists(_.code == "bad_stage")) // default collides with a boundary label
+    assert(MongoQL.aggregate(df,
+      """[{"$bucket": {"groupBy": "$n", "boundaries": [0, 20], "default": "o",
+                       "extra": 1}}]""")
+      .swap.exists(_.code == "bad_stage")) // unknown option
+  }
+
+  test("$replaceRoot promotes a struct column; non-struct and computed forms denied") {
+    val spark2 = spark
+    import spark2.implicits._
+    val right = Seq((10L, "x"), (40L, "z")).toDF("rk", "v")
+    val resolver: String => Either[MongoQL.Denied, org.apache.spark.sql.DataFrame] = {
+      case "right" => Right(right)
+      case other => Left(MongoQL.Denied("unknown_collection", other))
+    }
+    val out = MongoQL.aggregate(df,
+      """[{"$lookup": {"from": "right", "localField": "n",
+                       "foreignField": "rk", "as": "m"}},
+          {"$unwind": "$m"},
+          {"$replaceRoot": {"newRoot": "$m"}}]""",
+      resolve = resolver)
+      .fold(d => fail(d.toString), identity)
+    assert(out.columns.toSeq == Seq("rk", "v"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((10L, "x"), (40L, "z")))
+    assert(MongoQL.aggregate(df, """[{"$replaceRoot": {"newRoot": "$lang"}}]""")
+      .swap.exists(_.code == "bad_stage"))
+    assert(MongoQL.aggregate(df, """[{"$replaceRoot": "$lang"}]""")
+      .swap.exists(_.code == "bad_stage"))
+  }
+
+  test("expression compiler: string ops, arity, and unknown operators") {
+    val out = MongoQL.aggregate(df,
+      """[{"$match": {"id": 1}},
+          {"$addFields": {"u": {"$toUpper": "$lang"},
+                          "j": {"$concat": ["$lang", "-", {"$toUpper": "$lang"}]}}}]""")
+      .fold(d => fail(d.toString), identity).collect().head
+    assert(out.getAs[String]("u") == "EN" && out.getAs[String]("j") == "en-EN")
+    assert(MongoQL.aggregate(df, """[{"$addFields": {"x": {"$divide": [1, 2, 3]}}}]""")
+      .swap.exists(_.code == "bad_operand"))
+    assert(MongoQL.aggregate(df, """[{"$addFields": {"x": {"$regexFind": "a"}}}]""")
+      .swap.exists(_.code == "unknown_operator"))
+    assert(MongoQL.aggregate(df, """[{"$addFields": {"x": {"$add": ["$nope", 1]}}}]""")
+      .swap.exists(_.code == "unknown_field"))
+  }
 }
