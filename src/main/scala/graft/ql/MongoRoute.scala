@@ -12,10 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * answered by BOTH surfaces and compared.
   *
   * Routable subset (the listing/filter intents): un-joined `list`,
-  * `search`, and ungrouped `count` plans whose filters are plain
+  * `search`, ungrouped `count`, and (round-11, on the grown stage
+  * surface) plain-column GROUPED count plans whose filters are plain
   * equality / year-range / substring predicates. Anything wider (joins,
-  * group dims, metrics, thresholds) returns None and stays on the SQL
-  * surface — a router must never guess.
+  * function dims like year(), metrics, thresholds) returns None and
+  * stays on the SQL surface — a router must never guess.
   *
   * Parity contract: for every routed plan, MongoQL's result must equal
   * the SQL surface's rows (the `qlm_nl_*` gates hash-compare both paths
@@ -26,13 +27,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MongoRoute {
 
   /** A plan routed to the document surface: the collection plus the JSON
-    * the Mongo executor would receive. `kind` is "find" or "aggregate". */
+    * the Mongo executor would receive. `kind` is "find" or "aggregate".
+    * `renameIdTo` carries the SQL surface's group-column alias so the
+    * executor can normalize Mongo's synthetic `_id` back to it. */
   final case class Routed(
       collection: String,
       kind: String,
       filterJson: String,
       pipelineJson: String,
-      limit: Int)
+      limit: Int,
+      renameIdTo: Option[String] = None)
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -68,11 +72,23 @@ object MongoRoute {
   /** Route a question end-to-end; None = not expressible, stay on SQL. */
   def fromQuestion(q: String): Option[Routed] = fromPlan(Planner.plan(q), q)
 
+  /** The grouped-count SQL shape the Planner emits for a plain-column
+    * dim — the one grouped form the document surface can answer
+    * ($group {_id: "$col", n: {$sum: 1}}). Function dims (year()/
+    * date_format()) have no compiled-expression equivalent and stay on
+    * the SQL surface. */
+  private val GroupedCount =
+    """^SELECT (\w+) AS grp, COUNT\(\*\) AS n FROM (\w+)(.*) GROUP BY \1$""".r
+
   def fromPlan(p: Planner.Plan, q: String): Option[Routed] = {
-    // joins, group dims, orderings beyond the key, and un-applied year
-    // ranges are SQL-surface territory
-    if (p.joined.nonEmpty || p.groupDim.isDefined || p.orderBy.isDefined ||
+    // joins, orderings beyond the key, and un-applied year ranges are
+    // SQL-surface territory; group dims route only through the guarded
+    // grouped-count shape below
+    if (p.joined.nonEmpty || p.orderBy.isDefined ||
         !p.yearApplied || !graft.core.Tables.all.contains(p.table))
+      return None
+    if (p.groupDim.isDefined &&
+        !(p.intent == "count" && GroupedCount.findFirstIn(p.sql).isDefined))
       return None
     val statusPart: Option[Seq[String]] = p.statusFilter match {
       case None => Some(Nil)
@@ -115,12 +131,28 @@ object MongoRoute {
               Some(Routed(p.table, "aggregate", filter, pipe, p.limit))
             }
           }
-        case "count" =>
+        case "count" if p.groupDim.isEmpty =>
           val expected = s"SELECT COUNT(*) AS n FROM ${p.table}$whereSql"
           if (p.sql != expected) None
           else {
             val pipe = s"""[{"$$match": $filter}, {"$$group": {"_id": null, "n": {"$$sum": 1}}}]"""
             Some(Routed(p.table, "aggregate", filter, pipe, 1))
+          }
+        case "count" =>
+          // grouped count over a plain column: the routing guard is the
+          // same reconstruct-and-compare — the regex pinned the shape,
+          // this pins every translated condition
+          GroupedCount.findFirstMatchIn(p.sql).flatMap { m =>
+            val (gcol, tbl) = (m.group(1), m.group(2))
+            val expected =
+              s"SELECT $gcol AS grp, COUNT(*) AS n FROM ${p.table}$whereSql GROUP BY $gcol"
+            if (p.sql != expected || tbl != p.table) None
+            else {
+              val pipe =
+                s"""[{"$$match": $filter}, {"$$group": {"_id": ${jsonStr("$" + gcol)}, "n": {"$$sum": 1}}}]"""
+              Some(Routed(p.table, "aggregate", filter, pipe, 1000,
+                renameIdTo = Some("grp")))
+            }
           }
         case _ => None
       }
@@ -133,7 +165,11 @@ object MongoRoute {
   def run(s: SparkSession, dir: String, r: Routed): Either[MongoQL.Denied, DataFrame] =
     MongoQL.aggregateCollection(s, dir, r.collection, r.pipelineJson,
       maxRows = math.max(r.limit, 1000)).map { df =>
-      if (df.columns.contains("_id") && df.columns.contains("n") &&
-          df.columns.length == 2) df.select("n") else df
+      r.renameIdTo match {
+        case Some(alias) => df.withColumnRenamed("_id", alias)
+        case None =>
+          if (df.columns.contains("_id") && df.columns.contains("n") &&
+              df.columns.length == 2) df.select("n") else df
+      }
     }
 }

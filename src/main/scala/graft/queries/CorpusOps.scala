@@ -152,8 +152,15 @@ object CorpusOps {
           col("b.item").as("j"))
         .agg(sum(when(col("a.value") > col("b.value"), 1L).otherwise(0L)).as("w"),
           sum(when(col("a.value") < col("b.value"), 1L).otherwise(0L)).as("l"))
+      // prefs is TINY (raters × ≤10 item pairs) but its lineage is the
+      // events-sized duel self-join — cached, or the triad's three-way
+      // self-join re-runs that upstream five times. The 10× canary caught
+      // exactly this: 22.3× un-cached (the base-scale broadcast flips to
+      // repeated sort-merge joins), linear after. At any scale prefs is
+      // bounded by raters × item-pairs, so the cache is always small.
       val prefs = duels.filter(col("w") =!= col("l"))
         .select(col("user_id"), col("i"), col("j"), (col("w") > col("l")).as("gt"))
+        .cache()
       val triads = prefs.as("ab")
         .join(prefs.as("bc"),
           col("bc.user_id") === col("ab.user_id") && col("bc.i") === col("ab.j"))
@@ -345,12 +352,18 @@ object CorpusOps {
             regexp_replace(col("text"), "^(\\w+ ){3}", "").as("text")))
       val both = docs.filter(col("doc_id") % 10 =!= 7)
         .unionByName(deltaDocs)
-      val docsArr = DocPipeline.shingleArr(both)
+      // docsArr feeds FOUR consumers (two band sides, the verify shingles,
+      // the size table) and mh feeds two — cached, or each consumer
+      // re-runs the shingle transform + 8-way minhash from the scan
+      // (dd2's discipline; the 10× canary measured 29.1× without it).
+      // Both stay bounded: docsArr ≈ corpus tokens, mh = docs × 9 longs.
+      val docsArr = DocPipeline.shingleArr(both).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
       val mh = docsArr.select(col("doc_id"),
         graft.functions.NativeExpressions.minhash_sig_native(col("shArr")).as("sig"))
         .select(col("doc_id") +: (0 until 8).map(i =>
           element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+        .cache()
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band_idx"),
           md5(concat(col(s"mh${2 * b}").cast("string"),

@@ -125,7 +125,7 @@ object MongoSurface {
                  round(l_extendedprice * (1 - l_discount), 6) AS gross,
                  lower(l_returnflag) || '-' || l_linestatus AS flagstat
           FROM lineitem WHERE l_returnflag = 'A') t
-        WHERE gross > 30000.0
+        WHERE gross > 90000.0
       """)) { (s, dir) =>
       run(MongoQL.aggregate(Tables(s, dir, "lineitem"),
         """[{"$match": {"l_returnflag": "A"}},
@@ -133,7 +133,7 @@ object MongoSurface {
                "gross": {"$round": [{"$multiply": ["$l_extendedprice",
                                                    {"$subtract": [1, "$l_discount"]}]}, 6]},
                "flagstat": {"$concat": [{"$toLower": "$l_returnflag"}, "-", "$l_linestatus"]}}},
-            {"$match": {"gross": {"$gt": 30000.0}}},
+            {"$match": {"gross": {"$gt": 90000.0}}},
             {"$project": {"l_orderkey": 1, "l_linenumber": 1, "gross": 1, "flagstat": 1}}]""",
         maxRows = 10000000))
     },
@@ -433,17 +433,32 @@ object MongoSurface {
         .fold(d => throw new IllegalStateException(s"denied: $d"), identity)
     },
 
+    QueryDef(
+      "qlm_nl_groupcount",
+      "NL grouped count through the document surface (round-11, unlocked by the compiled $group): 'count of orders by priority' → $match {} + $group {_id: '$o_orderpriority', n: {$sum: 1}}, _id normalized back to the SQL surface's grp alias — the routing guard reconstructs the Planner's exact SQL first, so function dims (year(), date_format()) stay un-routed rather than mis-grouped",
+      Some("""
+        SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority
+      """)) { (s, dir) =>
+      val q = "count of orders by priority"
+      val routed = MongoRoute.fromQuestion(q).getOrElse(
+        throw new IllegalStateException(s"'$q' did not route to the Mongo surface"))
+      MongoRoute.run(s, dir, routed)
+        .fold(d => throw new IllegalStateException(s"denied: $d"), identity)
+    },
+
     // ---- QLM11: SQL-surface ≡ Mongo-surface parity truth table -------------
     QueryDef(
       "qlm_nl_parity",
-      "Both-surfaces parity: each routable corpus question is answered via the SQL path (plan → guard → execute) AND the Mongo path (plan → find/aggregate JSON → MongoQL), and their row multisets must be IDENTICAL; non-routable plans (grouped counts, day-precision ranges) must be refused by the router, not answered with a wider filter. Any divergence or mis-route breaks the hash",
+      "Both-surfaces parity: each routable corpus question is answered via the SQL path (plan → guard → execute) AND the Mongo path (plan → find/aggregate JSON → MongoQL), and their row multisets must be IDENTICAL; non-routable plans (function-dim grouped counts like year(), day-precision ranges) must be refused by the router, not answered with a wider filter. Any divergence or mis-route breaks the hash",
       Some("""
         SELECT * FROM (VALUES
           ('count_english_docs',  true,  'equal'),
           ('count_not_finished',  true,  'equal'),
           ('count_open',          true,  'equal'),
           ('day_range_count',     false, 'sql_only'),
-          ('grouped_count',       false, 'sql_only'),
+          ('grouped_count',       true,  'equal'),
+          ('grouped_count_year',  false, 'sql_only'),
           ('list_open_years',     true,  'equal'),
           ('search_vector',       true,  'equal')
         ) AS t(case_name, routed, outcome)
@@ -455,6 +470,7 @@ object MongoSurface {
         "count_open" -> "how many open orders",
         "day_range_count" -> "how many orders between 01-02-1995 and 15-02-1995",
         "grouped_count" -> "count of orders by priority",
+        "grouped_count_year" -> "count of orders by year",
         "list_open_years" -> "show open orders from 1995 to 1996",
         "search_vector" -> "find documents containing vector")
       val rows = cases.map { case (name, q) =>

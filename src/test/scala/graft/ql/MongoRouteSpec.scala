@@ -14,9 +14,12 @@ class MongoRouteSpec extends SparkTestBase {
     assert(MongoRoute.fromQuestion("how many english documents").isDefined)
     assert(MongoRoute.fromQuestion("find documents containing vector").isDefined)
     assert(MongoRoute.fromQuestion("how many orders are not finished").isDefined)
-    // not routable: grouped count, day-precision range, numeric threshold,
-    // joined tables, metric aggregate
-    assert(MongoRoute.fromQuestion("count of orders by priority").isEmpty)
+    // round-11: plain-column grouped counts route through the compiled
+    // $group; function dims (year()) still refuse
+    assert(MongoRoute.fromQuestion("count of orders by priority").isDefined)
+    assert(MongoRoute.fromQuestion("count of orders by year").isEmpty)
+    // not routable: day-precision range, numeric threshold, joined
+    // tables, metric aggregate
     assert(MongoRoute.fromQuestion(
       "how many orders between 01-02-1995 and 15-02-1995").isEmpty)
     assert(MongoRoute.fromQuestion("orders over 100000").isEmpty)
@@ -36,6 +39,9 @@ class MongoRouteSpec extends SparkTestBase {
     assert(listed.pipelineJson.contains(""""$limit": 100"""))
     val search = MongoRoute.fromQuestion("find documents containing vector").get
     assert(search.filterJson == """{"text": {"$regex": "(?i)vector"}}""")
+    val grouped = MongoRoute.fromQuestion("count of orders by priority").get
+    assert(grouped.pipelineJson.contains(""""$group": {"_id": "$o_orderpriority", "n": {"$sum": 1}}"""))
+    assert(grouped.renameIdTo.contains("grp"))
   }
 
   test("routed answers equal the SQL surface's rows on sf0.001") {
@@ -44,7 +50,8 @@ class MongoRouteSpec extends SparkTestBase {
       "how many open orders",
       "how many english documents",
       "find documents containing vector",
-      "how many orders are not finished")
+      "how many orders are not finished",
+      "count of orders by priority")
     questions.foreach { q =>
       val r = MongoRoute.fromQuestion(q).getOrElse(fail(s"'$q' did not route"))
       val sqlRows = QueryGuard.execute(spark, sf0001, Planner.plan(q).sql,
