@@ -144,4 +144,21 @@ class PlanAssertionSpec extends SparkTestBase {
     val shuffles = "Exchange \\(\\d+\\)".r.findAllIn(finalSection).length
     assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles\n$formatted")
   }
+
+  test("dd114/dd116 consume their corpus-lineage derived tables through the cache") {
+    // the round-11 10x canary's fix: prefs (dd114) and shingleArr/mh
+    // (dd116) are small tables whose LINEAGE is a corpus-sized join or
+    // 8-way minhash — un-cached, each of their 2-5 consumers re-ran that
+    // upstream (22.3x / 29.1x at 10x; 4.5x / 4.4x cached). This pins the
+    // cache in the executed plan so a refactor cannot silently drop it.
+    Seq("dd114_pref_transitivity", "dd116_incremental_lsh").foreach { n =>
+      spark.catalog.clearCache()
+      val df = SparkEntry.all.find(_.name == n).get.run(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$n lost its derived-table cache:\n${plan.take(1500)}")
+    }
+    spark.catalog.clearCache()
+  }
 }
