@@ -353,23 +353,15 @@ object CorpusOps {
       val both = docs.filter(col("doc_id") % 10 =!= 7)
         .unionByName(deltaDocs)
       // docsArr feeds FOUR consumers (two band sides, the verify shingles,
-      // the size table) and mh feeds two — cached, or each consumer
+      // the size table) and bands feeds two — cached, or each consumer
       // re-runs the shingle transform + 8-way minhash from the scan
       // (dd2's discipline; the 10× canary measured 29.1× without it).
-      // Both stay bounded: docsArr ≈ corpus tokens, mh = docs × 9 longs.
+      // Both stay bounded: docsArr ≈ corpus tokens, bands = docs × 4.
+      // Banding + verification live in resolve/LshBands, shared with the
+      // streaming admission maintainer so the two surfaces cannot drift.
       val docsArr = DocPipeline.shingleArr(both).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
-      val mh = docsArr.select(col("doc_id"),
-        graft.functions.NativeExpressions.minhash_sig_native(col("shArr")).as("sig"))
-        .select(col("doc_id") +: (0 until 8).map(i =>
-          element_at(col("sig"), i + 1).as(s"mh$i")): _*)
-        .cache()
-      val bands = mh.select(col("doc_id"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band_idx"),
-          md5(concat(col(s"mh${2 * b}").cast("string"),
-            col(s"mh${2 * b + 1}").cast("string"))).as("bkey"))): _*)).as("band"))
-        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-          col("band.bkey").as("bkey"))
+      val bands = graft.resolve.LshBands.bandsOf(docsArr).cache()
       val deltaBands = bands.join(deltaDocs.select(col("doc_id")), Seq("doc_id"))
       val standingBands = bands.join(standingIds, Seq("doc_id"))
       val cand = deltaBands.as("d").join(standingBands.as("s"),
@@ -377,17 +369,7 @@ object CorpusOps {
         .select(col("d.doc_id").as("d_id"), col("s.doc_id").as("s_id"))
         .distinct()
       val n = docsArr.select(col("doc_id"), size(col("shArr")).cast("long").as("n"))
-      val common = cand
-        .join(sh.select(col("doc_id").as("d_id"), col("sh")), Seq("d_id"))
-        .join(sh.select(col("doc_id").as("s_id"), col("sh")), Seq("s_id", "sh"))
-        .groupBy(col("d_id"), col("s_id")).agg(count(lit(1)).as("common"))
-      val verified = common
-        .join(n.select(col("doc_id").as("d_id"), col("n").as("nd")), Seq("d_id"))
-        .join(n.select(col("doc_id").as("s_id"), col("n").as("ns")), Seq("s_id"))
-        .select(col("d_id"), col("s_id"),
-          (col("common").cast("double") / (col("nd") + col("ns") - col("common")))
-            .as("jacc"))
-        .filter(col("jacc") >= 0.4)
+      val verified = graft.resolve.LshBands.verify(cand, sh, sh, n, n, 0.4)
       val best = verified.withColumn("rk",
         row_number().over(Window.partitionBy("d_id")
           .orderBy(col("jacc").desc, col("s_id").asc)))

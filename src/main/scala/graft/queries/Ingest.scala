@@ -448,6 +448,104 @@ object Ingest {
       m.index
     },
 
+    // ---- §2.11: streaming↔batch parity, NEAR-dup admission ----------------
+    // The LshAdmitMaintainer (streaming twin of dd116, shared banding via
+    // resolve/LshBands) labels each micro-batch doc near_dup/new against
+    // the standing index, then admits the batch. Admit-all/label-all
+    // makes the replay ≡ ONE stratified batch query: a doc's candidates
+    // are exactly the docs of strictly-earlier batches, which the oracle
+    // states in SQL — so three streamed batches over versioned parquet
+    // state must hash-equal the from-scratch computation, minhash
+    // signatures, band collisions, Jaccard verification, tiebreaks and
+    // all.
+    QueryDef(
+      "st_lsh_admission_parity",
+      "LshAdmitMaintainer micro-batch replay (3 batches probing + growing a versioned banded MinHash index) ≡ one-shot stratified SQL: per-doc near_dup/new decision with best verified match, candidates restricted to strictly-earlier batches",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text, doc_id % 3 AS b FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id,
+                 regexp_replace(text, '^(\w+ ){3}', '') AS text, 3 AS b
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        tok AS (
+          SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM corpus)
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+        mh AS (
+          SELECT doc_id,
+                 min(CAST(('0x' || substring(md5('0#' || sh), 1, 15)) AS BIGINT)) AS mh0,
+                 min(CAST(('0x' || substring(md5('1#' || sh), 1, 15)) AS BIGINT)) AS mh1,
+                 min(CAST(('0x' || substring(md5('2#' || sh), 1, 15)) AS BIGINT)) AS mh2,
+                 min(CAST(('0x' || substring(md5('3#' || sh), 1, 15)) AS BIGINT)) AS mh3,
+                 min(CAST(('0x' || substring(md5('4#' || sh), 1, 15)) AS BIGINT)) AS mh4,
+                 min(CAST(('0x' || substring(md5('5#' || sh), 1, 15)) AS BIGINT)) AS mh5,
+                 min(CAST(('0x' || substring(md5('6#' || sh), 1, 15)) AS BIGINT)) AS mh6,
+                 min(CAST(('0x' || substring(md5('7#' || sh), 1, 15)) AS BIGINT)) AS mh7
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, md5(CAST(mh0 AS VARCHAR) || CAST(mh1 AS VARCHAR)) AS bkey FROM mh
+          UNION ALL SELECT doc_id, 1, md5(CAST(mh2 AS VARCHAR) || CAST(mh3 AS VARCHAR)) FROM mh
+          UNION ALL SELECT doc_id, 2, md5(CAST(mh4 AS VARCHAR) || CAST(mh5 AS VARCHAR)) FROM mh
+          UNION ALL SELECT doc_id, 3, md5(CAST(mh6 AS VARCHAR) || CAST(mh7 AS VARCHAR)) FROM mh
+        ),
+        cand AS (
+          SELECT DISTINCT d.doc_id AS d_id, s.doc_id AS s_id
+          FROM bands d
+          JOIN corpus cd ON cd.doc_id = d.doc_id
+          JOIN bands s ON s.band_idx = d.band_idx AND s.bkey = d.bkey
+          JOIN corpus cs ON cs.doc_id = s.doc_id
+          WHERE cs.b < cd.b AND cd.b >= 1
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        com AS (
+          SELECT c.d_id, c.s_id, COUNT(*) AS common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.d_id
+          JOIN sh sb ON sb.doc_id = c.s_id AND sb.sh = sa.sh
+          GROUP BY c.d_id, c.s_id
+        ),
+        verified AS (
+          SELECT m.d_id, m.s_id,
+                 CAST(m.common AS DOUBLE) / (nd.n + ns.n - m.common) AS jacc
+          FROM com m
+          JOIN n nd ON nd.doc_id = m.d_id
+          JOIN n ns ON ns.doc_id = m.s_id
+          WHERE CAST(m.common AS DOUBLE) / (nd.n + ns.n - m.common) >= 0.4
+        ),
+        best AS (
+          SELECT d_id, s_id, jacc,
+                 row_number() OVER (PARTITION BY d_id ORDER BY jacc DESC, s_id ASC) AS rk
+          FROM verified
+        )
+        SELECT c.doc_id,
+               CASE WHEN bst.s_id IS NULL THEN 'new' ELSE 'near_dup' END AS status,
+               bst.s_id AS match_id, bst.jacc
+        FROM corpus c
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) bst ON bst.d_id = c.doc_id
+        WHERE c.b >= 1
+      """)) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          regexp_replace(col("text"), "^(\\w+ ){3}", "").as("text"))
+      val work = replayDir("lshadmit")
+      val m = new graft.streaming.LshAdmitMaintainer(s, work)
+      m.init(docs.filter(col("doc_id") % 3 === 0))
+      m.applyBatch(docs.filter(col("doc_id") % 3 === 1))
+      m.applyBatch(docs.filter(col("doc_id") % 3 === 2))
+      m.applyBatch(variants)
+      m.decisions
+    },
+
     // ---- §3.1/§3.2: the COMPOSED master pipeline, oracle-gated ------------
     // OrchestratorSpec proves the orchestration mechanics (lock, retry,
     // dedupe); this row proves the composed DATA path: the real
