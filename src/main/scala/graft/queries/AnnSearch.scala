@@ -669,6 +669,98 @@ object AnnSearch {
             count(lit(1)).cast("double"), 6).as("recall3"))
     },
 
+    // ---- E5e2: Matryoshka prefix-truncation search eval ---------------------
+    QueryDef(
+      "e5_ann_matryoshka",
+      "Matryoshka-representation search eval (Kusupati et al. 2022 shape): the coarse stage scores by the FIRST 16 of 64 dims — no projection, the prefix IS the low-dim embedding, which is how MRL-trained stores shrink memory 4x — taking coarse top-20 per query, exact full-dim rerank to top-3, then per-query recall@3 against the full-dim brute-force truth. Prefix norms are recomputed on the slice (a prefix of a unit vector is NOT unit). Corpus never shuffles: queries broadcast through both stages, rerank touches only the 20 coarse survivors",
+      Some(s"""
+        WITH $vecSql,
+        pref AS (
+          SELECT vec_id, v, norm, v[1:16] AS p,
+                 sqrt(list_dot_product(v[1:16], v[1:16])) AS pnorm
+          FROM vecs
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, p AS qp, pnorm AS qpn
+              FROM pref WHERE vec_id % 100 = 0),
+        coarse AS (
+          SELECT q_id, cand_id, qv, qn, v, norm FROM (
+            SELECT q.q_id, c.vec_id AS cand_id, q.qv, q.qn, c.v, c.norm,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                     ORDER BY round(list_dot_product(q.qp, c.p) / (q.qpn * c.pnorm), 6) DESC,
+                              c.vec_id) AS crn
+            FROM q JOIN pref c ON c.vec_id <> q.q_id
+          ) WHERE crn <= 20
+        ),
+        mrl_top AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY round(list_dot_product(qv, v) / (qn * norm), 6) DESC,
+                              cand_id) AS rn
+            FROM coarse
+          ) WHERE rn <= 3
+        ),
+        truth_top AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.q_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                     ORDER BY round(list_dot_product(q.qv, c.v) / (q.qn * c.norm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM q JOIN vecs c ON c.vec_id <> q.q_id
+          ) WHERE rn <= 3
+        )
+        SELECT t.q_id, CAST(count(*) AS BIGINT) AS truth_k,
+               CAST(SUM(CASE WHEN m.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS found,
+               round(SUM(CASE WHEN m.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS recall3
+        FROM truth_top t
+        LEFT JOIN mrl_top m ON t.q_id = m.q_id AND t.cand_id = m.cand_id
+        GROUP BY t.q_id
+      """)) { (s, dir) =>
+      // Same scale shape as the other e5 evals: the query set broadcasts,
+      // the corpus maps once per stage, and the full-width rerank reads
+      // only coarse survivors — at store scale the 16-dim prefix column
+      // is the only thing the coarse scan keeps in memory (4× less than
+      // full width; the MRL paper's entire point).
+      val pref = withVec(t(s, dir, "embeddings"))
+        .withColumn("p", slice(col("v"), 1, 16))
+        .withColumn("pnorm", sqrt(dot(col("p"), col("p"))))
+        .cache()
+      val q = pref.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
+          col("p").as("qp"), col("pnorm").as("qpn"))
+      val wCoarse = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cand_id"))
+      val coarse = pref.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("qv"), col("qn"),
+          col("v"), col("norm"),
+          round(dot(col("qp"), col("p")) / (col("qpn") * col("pnorm")), 6).as("pcos"))
+        .withColumn("crn", row_number().over(wCoarse)).filter(col("crn") <= 20)
+      val wFull = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      val mrlTop = coarse
+        .select(col("q_id"), col("cand_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wFull)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      val truthTop = pref.crossJoin(broadcast(
+          q.select(col("q_id"), col("qv"), col("qn"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wFull)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      truthTop.as("t")
+        .join(mrlTop.as("m"),
+          col("t.q_id") === col("m.q_id") && col("t.cand_id") === col("m.cand_id"),
+          "left")
+        .groupBy(col("t.q_id").as("q_id"))
+        .agg(count(lit(1)).as("truth_k"),
+          sum(when(col("m.cand_id").isNotNull, 1L).otherwise(0L)).as("found"),
+          round(sum(when(col("m.cand_id").isNotNull, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 6).as("recall3"))
+    },
+
     // ---- E5f: random-projection two-stage search ---------------------------
     QueryDef(
       "e5_ann_randproj",
