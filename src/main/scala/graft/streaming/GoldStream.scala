@@ -29,19 +29,28 @@ final class GoldMaintainer(
     trackMetrics: Boolean = false) {
 
   private var version = 0
+  // Memoized read-back frames, set at write time with the write schema
+  // pinned (VersionedState.writeRead): re-opening state with
+  // spark.read.parquet costs a footer-inference job per call, and the
+  // replay gates re-open fact/gold dozens of times per run.
+  private var factDf: DataFrame = _
+  private var goldDf: DataFrame = _
 
   /** Per-batch throughput/state metrics (SURVEY §2.11 A13 ≅
     * StreamingQueryListener progress): rows processed, keys touched, and
     * the maintained state sizes after each batch. Off by default — the
-    * counts are extra actions (parquet-footer metadata reads, but still
-    * jobs) the hot path should not pay unless asked. Oracle-gated by
-    * st_metrics_parity. */
+    * counts are extra actions the hot path should not pay unless asked.
+    * State sizes come from the just-written parquet footers
+    * (VersionedState.rowCount) — metadata, not a scan job. Oracle-gated
+    * by st_metrics_parity. */
   private val metricsBuf =
     scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
 
   private def record(batchId: Int, rowsIn: Long, keysTouched: Long): Unit =
     if (trackMetrics)
-      metricsBuf += ((batchId, rowsIn, keysTouched, fact.count(), gold.count()))
+      metricsBuf += ((batchId, rowsIn, keysTouched,
+        VersionedState.rowCount(spark, factPath(version)),
+        VersionedState.rowCount(spark, goldPath(version))))
 
   /** (batch_id, rows_in, keys_touched, state_rows, gold_rows) per applied
     * batch, init included as batch 0. */
@@ -58,19 +67,26 @@ final class GoldMaintainer(
   /** Seed v0 from the initial fact state; builds the initial gold. */
   def init(fact0: DataFrame): Unit = synchronized {
     VersionedState.dropVersions(workDir, "fact", "gold")
-    fact0.write.mode("overwrite").parquet(factPath(0))
-    buildGold(spark.read.parquet(factPath(0)))
-      .write.mode("overwrite").parquet(goldPath(0))
+    factDf = VersionedState.writeRead(fact0, factPath(0))
+    goldDf = VersionedState.writeRead(buildGold(factDf), goldPath(0))
     version = 0
     metricsBuf.clear()
     if (trackMetrics) {
-      val n = fact.count()
-      record(0, n, gold.count())
+      // batch 0 = init: rows_in is the seeded fact size, keys_touched its
+      // distinct parents (== gold rows); both are footer metadata.
+      val n = VersionedState.rowCount(spark, factPath(0))
+      record(0, n, VersionedState.rowCount(spark, goldPath(0)))
     }
   }
 
-  def fact: DataFrame = spark.read.parquet(factPath(version))
-  def gold: DataFrame = spark.read.parquet(goldPath(version))
+  def fact: DataFrame = synchronized {
+    if (factDf == null) factDf = spark.read.parquet(factPath(version))
+    factDf
+  }
+  def gold: DataFrame = synchronized {
+    if (goldDf == null) goldDf = spark.read.parquet(goldPath(version))
+    goldDf
+  }
 
   /** Resume from the latest fully-committed (fact AND gold) version on
     * disk; a torn version from a crash between the two writes is skipped. */
@@ -78,6 +94,7 @@ final class GoldMaintainer(
     version = VersionedState.latestCommitted(workDir, Seq("fact", "gold"))
       .getOrElse(throw new IllegalStateException(
         s"no committed gold state under $workDir"))
+    factDf = null; goldDf = null // re-open lazily from the recovered version
     version
   }
 
@@ -90,21 +107,29 @@ final class GoldMaintainer(
     // in the listener's numInputRows before this cache
     val batch = batch0.persist()
     try {
-      val rowsIn = batch.count()
+      // ONE job surfaces both counts the batch needs (row count for the
+      // empty-batch gate, distinct-parent count for the refresh's
+      // adaptive join budget + metrics) instead of two.
+      val hdr = batch.agg(count(lit(1)), count_distinct(col(parentKey))).head()
+      val rowsIn = hdr.getLong(0)
       if (rowsIn == 0) return
+      val nKeys = hdr.getLong(1)
       val prevFact = fact
       val prevGold = gold
       val keys = batch.select(col(parentKey)).distinct()
       val next = version + 1
-      prevFact.join(keys, Seq(parentKey), "left_anti")
-        .unionByName(batch.select(prevFact.columns.map(col): _*))
-        .write.mode("overwrite").parquet(factPath(next))
-      val newFact = spark.read.parquet(factPath(next))
-      GoldIncremental.refresh(prevGold, keys, parentKey) { ks =>
-        buildGold(newFact.join(ks, Seq(parentKey), "left_semi"))
-      }.write.mode("overwrite").parquet(goldPath(next))
+      val newFact = VersionedState.writeRead(
+        prevFact.join(keys, Seq(parentKey), "left_anti")
+          .unionByName(batch.select(prevFact.columns.map(col): _*)),
+        factPath(next))
+      val newGold = VersionedState.writeRead(
+        GoldIncremental.refresh(prevGold, keys, parentKey, Some(nKeys)) { ks =>
+          buildGold(newFact.join(ks, Seq(parentKey), "left_semi"))
+        }, goldPath(next))
+      factDf = newFact
+      goldDf = newGold
       version = next
-      if (trackMetrics) record(next, rowsIn, keys.count())
+      if (trackMetrics) record(next, rowsIn, nKeys)
     } finally batch.unpersist(blocking = false)
   }
 

@@ -19,20 +19,30 @@ import graft.search.IndexMaintain
 final class IndexMaintainer(spark: SparkSession, workDir: String) {
 
   private var version = 0
+  // Memoized schema-pinned read-back frames (VersionedState.writeRead):
+  // a bare spark.read.parquet pays a footer-inference job per call.
+  private var postingsDf: DataFrame = _
+  private var indexDf: DataFrame = _
   private def postingsPath(v: Int) = s"$workDir/postings_v$v"
   private def indexPath(v: Int) = s"$workDir/index_v$v"
 
   def init(docs0: DataFrame): Unit = synchronized {
     VersionedState.dropVersions(workDir, "postings", "index")
-    val p0 = IndexMaintain.postings(docs0)
-    p0.write.mode("overwrite").parquet(postingsPath(0))
-    IndexMaintain.buildIndex(spark.read.parquet(postingsPath(0)))
-      .write.mode("overwrite").parquet(indexPath(0))
+    postingsDf = VersionedState.writeRead(
+      IndexMaintain.postings(docs0), postingsPath(0))
+    indexDf = VersionedState.writeRead(
+      IndexMaintain.buildIndex(postingsDf), indexPath(0))
     version = 0
   }
 
-  def postingsState: DataFrame = spark.read.parquet(postingsPath(version))
-  def index: DataFrame = spark.read.parquet(indexPath(version))
+  def postingsState: DataFrame = synchronized {
+    if (postingsDf == null) postingsDf = spark.read.parquet(postingsPath(version))
+    postingsDf
+  }
+  def index: DataFrame = synchronized {
+    if (indexDf == null) indexDf = spark.read.parquet(indexPath(version))
+    indexDf
+  }
 
   /** Resume from the latest fully-committed (postings AND index) version
     * on disk — a restarted maintainer continues where the crashed one
@@ -41,6 +51,7 @@ final class IndexMaintainer(spark: SparkSession, workDir: String) {
     version = VersionedState.latestCommitted(workDir, Seq("postings", "index"))
       .getOrElse(throw new IllegalStateException(
         s"no committed index state under $workDir"))
+    postingsDf = null; indexDf = null // re-open from the recovered version
     version
   }
 
@@ -51,10 +62,12 @@ final class IndexMaintainer(spark: SparkSession, workDir: String) {
     val delta = batch.select(col("doc_id"), col("text"))
     val (p1, i1) = IndexMaintain.refresh(postingsState, index, delta)
     val next = version + 1
-    p1.write.mode("overwrite").parquet(postingsPath(next))
+    val newPostings = VersionedState.writeRead(p1, postingsPath(next))
     // the index read must not race the postings overwrite of the SAME
     // version — both new tables derive from version `version` reads
-    i1.write.mode("overwrite").parquet(indexPath(next))
+    val newIndex = VersionedState.writeRead(i1, indexPath(next))
+    postingsDf = newPostings
+    indexDf = newIndex
     version = next
   }
 

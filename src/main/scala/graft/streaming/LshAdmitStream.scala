@@ -36,7 +36,14 @@ final class LshAdmitMaintainer(spark: SparkSession, workDir: String,
 
   private val Prefixes = Seq("bands", "shingles", "sizes", "decisions")
   private var version = 0
+  // Memoized schema-pinned read-back frames per state table
+  // (VersionedState.writeRead): a bare spark.read.parquet pays a
+  // footer-inference job per call, and every batch re-opens all four.
+  private val stateDf = scala.collection.mutable.HashMap[String, DataFrame]()
   private def path(prefix: String, v: Int) = s"$workDir/${prefix}_v$v"
+  private def state(prefix: String): DataFrame = synchronized {
+    stateDf.getOrElseUpdate(prefix, spark.read.parquet(path(prefix, version)))
+  }
 
   /** Shingle array (cached: three consumers), bands, exploded shingles,
     * sizes — caller unpersists the first element after its writes. */
@@ -55,21 +62,22 @@ final class LshAdmitMaintainer(spark: SparkSession, workDir: String,
   def init(docs0: DataFrame): Unit = synchronized {
     VersionedState.dropVersions(workDir, Prefixes: _*)
     val (arr, b0, sh0, n0) = parts(docs0.select(col("doc_id"), col("text")))
-    b0.write.mode("overwrite").parquet(path("bands", 0))
-    sh0.write.mode("overwrite").parquet(path("shingles", 0))
-    n0.write.mode("overwrite").parquet(path("sizes", 0))
-    emptyDecisions.write.mode("overwrite").parquet(path("decisions", 0))
+    stateDf("bands") = VersionedState.writeRead(b0, path("bands", 0))
+    stateDf("shingles") = VersionedState.writeRead(sh0, path("shingles", 0))
+    stateDf("sizes") = VersionedState.writeRead(n0, path("sizes", 0))
+    stateDf("decisions") =
+      VersionedState.writeRead(emptyDecisions, path("decisions", 0))
     arr.unpersist(blocking = false)
     version = 0
   }
 
-  def bands: DataFrame = spark.read.parquet(path("bands", version))
-  def shinglesState: DataFrame = spark.read.parquet(path("shingles", version))
-  def sizes: DataFrame = spark.read.parquet(path("sizes", version))
+  def bands: DataFrame = state("bands")
+  def shinglesState: DataFrame = state("shingles")
+  def sizes: DataFrame = state("sizes")
 
   /** Cumulative decisions for every doc streamed since init (init docs
     * seed the index and carry no decision). */
-  def decisions: DataFrame = spark.read.parquet(path("decisions", version))
+  def decisions: DataFrame = state("decisions")
 
   /** Resume from the latest version where ALL FOUR state tables
     * committed; a torn version (crash between writes) is skipped. */
@@ -77,6 +85,7 @@ final class LshAdmitMaintainer(spark: SparkSession, workDir: String,
     version = VersionedState.latestCommitted(workDir, Prefixes)
       .getOrElse(throw new IllegalStateException(
         s"no committed LSH-admission state under $workDir"))
+    stateDf.clear() // re-open lazily from the recovered version
     version
   }
 
@@ -106,14 +115,17 @@ final class LshAdmitMaintainer(spark: SparkSession, workDir: String,
     val next = version + 1
     // every next-version table derives from version `version` reads plus
     // the batch — versioned paths keep the reads and writes disjoint
-    decisions.unionByName(batchDecisions)
-      .write.mode("overwrite").parquet(path("decisions", next))
-    sBands.unionByName(dBands)
-      .write.mode("overwrite").parquet(path("bands", next))
-    shinglesState.unionByName(dSh)
-      .write.mode("overwrite").parquet(path("shingles", next))
-    sizes.unionByName(dN)
-      .write.mode("overwrite").parquet(path("sizes", next))
+    val newState = Map(
+      "decisions" -> VersionedState.writeRead(
+        decisions.unionByName(batchDecisions), path("decisions", next)),
+      "bands" -> VersionedState.writeRead(
+        sBands.unionByName(dBands), path("bands", next)),
+      "shingles" -> VersionedState.writeRead(
+        shinglesState.unionByName(dSh), path("shingles", next)),
+      "sizes" -> VersionedState.writeRead(
+        sizes.unionByName(dN), path("sizes", next)))
+    stateDf.clear()
+    stateDf ++= newState
     dArr.unpersist(blocking = false)
     version = next
   }

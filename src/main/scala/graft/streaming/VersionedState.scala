@@ -13,6 +13,35 @@ package graft.streaming
   */
 object VersionedState {
 
+  /** Write `df` to `path` and return the read-back frame with the WRITE
+    * schema pinned: `spark.read.parquet` without a schema launches a
+    * footer-inference job per call, and the maintainers re-open their
+    * state tables many times per batch — the replay gates paid 20-30
+    * such driver-side jobs each (measured, OPTIMIZATION_r11.md). The
+    * pinned schema is exactly what was just written, so inference would
+    * discover the same thing. */
+  def writeRead(df: org.apache.spark.sql.DataFrame, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.schema(df.schema).parquet(path)
+  }
+
+  /** Exact row count of a just-written parquet state table from its file
+    * footers — metadata the write already produced, no Spark job. The
+    * maintainers' metrics (state_rows/gold_rows per batch) are counts of
+    * tables they wrote milliseconds earlier; a `df.count()` scan per
+    * metric was two extra jobs per batch. */
+  def rowCount(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+      val rf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try rf.getRecordCount finally rf.close()
+    }.sum
+  }
+
   private def versionsOf(workDir: String, prefix: String): Seq[Int] = {
     val base = new java.io.File(workDir)
     Option(base.list()).toSeq.flatten
