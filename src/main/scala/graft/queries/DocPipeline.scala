@@ -41,9 +41,15 @@ object DocPipeline {
     * place it can happen; the probes measure this pipeline by
     * construction, not by copy. */
   private[graft] def dd31Tok(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("arr"))
-      .filter(size(col("arr")) >= 8)
+    // fan the tokenized rows out before the 8-gram explode: the shingle
+    // expansion is the pipeline's dominant per-row work and otherwise
+    // runs on however few tasks the documents row groups allow
+    // (size-gated — a no-op at scale, where the scan parallelizes itself)
+    graft.core.Fanout.bySize(s,
+      corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 8),
+      dir, "documents")
 
   /** dd31's positioned 8-gram shingle relation under the round-11
     * shuffle diet: the exchanged key is the 12-byte pair
