@@ -193,7 +193,11 @@ object DocPipeline {
       // round-trips, no aggregate probe per (shingle × seed). (History:
       // explode+groupBy measured 1.8s vs 2.5s for the transform+array_min
       // HOF — lambdas run interpreted; the native loop beats both.)
-      val docsArr = shingleArr(corpus(s, dir)).cache()
+      // fanned out before the shingle build (size-gated no-op at scale):
+      // the cache otherwise pins the scan's 1-2 partitions, serializing
+      // every downstream consumer of the cached relation
+      val docsArr = shingleArr(
+        graft.core.Fanout.bySize(s, corpus(s, dir), dir, "documents")).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
       // two projections: CollapseProject keeps the non-cheap signature
       // expression single-evaluation instead of inlining it 8×
@@ -1987,7 +1991,11 @@ object DocPipeline {
       // so calibrating the sketch costs what running it costs, plus an
       // agreement-bounded (<=9-row) rollup. Exact Jaccards round(6) into
       // DECIMAL before the mean so the per-slot sums are order-free.
-      val docsArr = shingleArr(corpus(s, dir)).cache()
+      // fanned out before the shingle build (size-gated no-op at scale):
+      // the cache otherwise pins the scan's 1-2 partitions, serializing
+      // every downstream consumer of the cached relation
+      val docsArr = shingleArr(
+        graft.core.Fanout.bySize(s, corpus(s, dir), dir, "documents")).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
       // native per-doc signature (see dd2): no exploded groupBy, value-
       // identical to the oracle's min-over-md5-prefix formulation
