@@ -33,16 +33,34 @@ object Fanout {
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     })
 
+  private def isSmall(spark: SparkSession, dir: String,
+                      tables: Seq[String]): Boolean = {
+    val target = spark.sparkContext.defaultParallelism
+    val perTask = spark.conf
+      .get("spark.graft.fanout.bytesPerTask", (64L * 1024 * 1024).toString).toLong
+    tables.map(tableBytes(spark, dir, _)).sum < perTask * target
+  }
+
   /** Repartition `df` to the session's parallelism iff the named source
     * tables are too small for their scans to parallelize naturally.
     * Call it AFTER projecting to the slim columns the heavy compute
     * needs, so the one extra (tiny) exchange moves minimal bytes. */
   def bySize(spark: SparkSession, df: DataFrame, dir: String,
-             tables: String*): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
-    val perTask = spark.conf
-      .get("spark.graft.fanout.bytesPerTask", (64L * 1024 * 1024).toString).toLong
-    val bytes = tables.map(tableBytes(spark, dir, _)).sum
-    if (bytes < perTask * target) df.repartition(target) else df
-  }
+             tables: String*): DataFrame =
+    if (isSmall(spark, dir, tables))
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+
+  /** Keyed variant for compute-dense aggregations: pin the exchange
+    * feeding a groupBy(keys) to the session's parallelism when the input
+    * is small — AQE's byte-based coalescing otherwise shrinks a tiny
+    * shuffle to 1-5 partitions and serializes the (CPU-heavy, byte-light)
+    * aggregate above it. The groupBy reuses this partitioning (same keys),
+    * so no exchange is added — the natural one is re-sized. At scale the
+    * gate never fires and AQE keeps sizing the exchange by bytes. */
+  def keyed(spark: SparkSession, df: DataFrame, dir: String,
+            keys: Seq[org.apache.spark.sql.Column], tables: String*): DataFrame =
+    if (isSmall(spark, dir, tables))
+      df.repartition(spark.sparkContext.defaultParallelism, keys: _*)
+    else df
 }
