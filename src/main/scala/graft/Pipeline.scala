@@ -25,6 +25,18 @@ import graft.ql.QueryGuard
   */
 object Pipeline {
 
+  /** Schemas of the tables this pipeline itself writes, pinned so the
+    * re-reads skip footer inference (the write fully determines them).
+    * part_month is the Hive partition column of the month layout. */
+  val SilverSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "pk BIGINT, status STRING, price DOUBLE, updated_epoch BIGINT, " +
+        "updated_ts TIMESTAMP, part_month STRING")
+  val GoldSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "pk BIGINT, status STRING, price DOUBLE, updated_epoch BIGINT, " +
+        "li_count BIGINT, qty_tot BIGINT")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val workDir = args.lift(1).getOrElse(
@@ -105,6 +117,16 @@ object Pipeline {
 
     lazy val landed = { dropped; RawZone.readJsonDrops(spark, dropDir).cache() }
 
+    // ONE aggregate job yields (total, quarantined) over the cached read;
+    // the conform stage's typed-row count is total - quarantined by
+    // construction (the casts never drop rows), so land + conform need a
+    // single job where three count() scans ran before (guide §1.2: don't
+    // recompute what a finished job already proved).
+    lazy val landCounts: (Long, Long) = {
+      val r = landed.agg(count(lit(1)), count(col(RawZone.CorruptCol))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     // UPPER_SNAKE API keys → silver schema, typed
     lazy val conformed = landed.filter(col(RawZone.CorruptCol).isNull)
       .select(
@@ -116,12 +138,12 @@ object Pipeline {
 
     Seq(
       Orchestrator.Block("land", () => {
-        val corrupt = landed.filter(col(RawZone.CorruptCol).isNotNull).count()
-        log += "land" -> s"${landed.count()} records, $corrupt quarantined"
+        val (total, corrupt) = landCounts
+        log += "land" -> s"$total records, $corrupt quarantined"
       }),
 
       Orchestrator.Block("conform", () => {
-        log += "conform" -> s"${conformed.count()} rows typed"
+        log += "conform" -> s"${landCounts._1 - landCounts._2} rows typed"
       }),
 
       // merge into the silver target (previous state: 3/4 of orders,
@@ -155,8 +177,18 @@ object Pipeline {
       // the reference's master lists view refreshes redundantly — a
       // second occurrence in one run must dedupe, not rebuild)
       Orchestrator.Block("gold", () => {
-        val silver = spark.read.parquet(silverPath)
-        val liAgg = Tables(spark, sfDir, "lineitem").groupBy(col("l_orderkey"))
+        // schema pinned: the silver table was written two blocks ago with
+        // a schema this code fully determines — a bare read pays a
+        // footer-inference job over every part file (one per month here)
+        val silver = spark.read.schema(SilverSchema).parquet(silverPath)
+        // keyed fan-out (size-gated no-op at scale): AQE's byte-based
+        // coalescing shrank this rollup's exchange to 3 tasks — byte-light
+        // but CPU-dense, and it feeds a broadcast build on the join below
+        val liAgg = graft.core.Fanout.keyed(spark,
+            Tables(spark, sfDir, "lineitem")
+              .select(col("l_orderkey"), col("l_quantity")),
+            sfDir, Seq(col("l_orderkey")), "lineitem")
+          .groupBy(col("l_orderkey"))
           .agg(count(lit(1)).as("li_count"),
             sum(col("l_quantity").cast("long")).as("qty_tot"))
         val gold = silver
@@ -165,12 +197,16 @@ object Pipeline {
             coalesce(col("li_count"), lit(0L)).as("li_count"),
             coalesce(col("qty_tot"), lit(0L)).as("qty_tot"))
         WriteOptimizer.sizedWrite(gold, goldPath, sortCols = Seq("pk"))
-        log += "gold" -> s"${spark.read.parquet(goldPath).count()} rollup rows"
+        // row count from the parquet footers the write just produced —
+        // metadata, zero Spark jobs (same discipline as the streaming
+        // maintainers' per-batch metrics)
+        log += "gold" -> s"${graft.streaming.VersionedState.rowCount(spark, goldPath)} rollup rows"
       }, refreshKey = Some("gold_rollup_refresh")),
 
       // serve: register + answer a guarded query over the gold table
       Orchestrator.Block("serve", () => {
-        spark.read.parquet(goldPath).createOrReplaceTempView("gold_orders")
+        spark.read.schema(GoldSchema).parquet(goldPath)
+          .createOrReplaceTempView("gold_orders")
         val answer = QueryGuard.validate(
           "SELECT status, COUNT(*) AS n, SUM(qty_tot) AS qty FROM gold_orders GROUP BY status")
           .map(sql => spark.sql(sql).collect()

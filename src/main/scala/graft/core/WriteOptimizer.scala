@@ -36,12 +36,19 @@ object WriteOptimizer {
   }
 
   /** Write parquet with the file count derived from the size estimate.
-    * Shrinking uses `coalesce` (no shuffle — tasks are merged); growing
-    * uses a round-robin `repartition` (one shuffle, but the write then
-    * parallelizes across the cluster instead of bottlenecking on a few
-    * fat tasks). `sortCols` sorts within each file so parquet min/max
-    * row-group stats actually prune on those columns downstream — the
-    * Spark analog of the reference writing into indexed tables.
+    * Always a round-robin `repartition(n)`: the exchange sits AFTER the
+    * query's compute, so the compute keeps its full parallelism and only
+    * the (already size-bounded, ~n × targetBytes) output rows move. The
+    * previous coalesce-when-shrinking variant had two hidden costs:
+    * `df.rdd.getNumPartitions` materializes every query stage of an
+    * adaptive plan (AQE cannot know the final partitioning without
+    * running the shuffles), so the ENTIRE query executed once just to
+    * pick the strategy and again for the write; and `coalesce(n)` does
+    * not insert a stage boundary — it shrank the final compute stage
+    * itself to n tasks (a join + render serialized into 1 task for any
+    * single-file output). `sortCols` sorts within each file so parquet
+    * min/max row-group stats actually prune on those columns downstream —
+    * the Spark analog of the reference writing into indexed tables.
     */
   def sizedWrite(
       df: DataFrame,
@@ -50,14 +57,9 @@ object WriteOptimizer {
       sortCols: Seq[String] = Nil,
       maxParts: Int = 20000): Int = {
     val n = targetPartitions(df, targetBytes, maxParts)
-    val current = df.rdd.getNumPartitions
-    val sized =
-      if (n < current) df.coalesce(n)
-      else if (n > current) df.repartition(n)
-      else df
     val sorted =
-      if (sortCols.nonEmpty) sized.sortWithinPartitions(sortCols.map(col): _*)
-      else sized
+      if (sortCols.nonEmpty) df.repartition(n).sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
     sorted.write.mode("overwrite").parquet(path)
     n
   }

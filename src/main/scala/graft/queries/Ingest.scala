@@ -595,6 +595,6 @@ object Ingest {
         graft.Pipeline.runMaster(s, dir, work, sleeper = _ => ())
       require(report.acquired && report.succeeded,
         s"master pipeline failed: ${report.blocks.mkString("; ")}")
-      s.read.parquet(s"$work/gold/order_rollup")
+      s.read.schema(graft.Pipeline.GoldSchema).parquet(s"$work/gold/order_rollup")
     })
 }

@@ -65,8 +65,17 @@ object IndexMaintain {
   /** Refresh the index given the OLD postings state and the delta batch.
     * Returns (new postings state, new index). Only affected terms'
     * index rows are recomputed. */
+  /** @param materializePostings hook applied to the spliced postings
+    *   BEFORE the index recompute reads them. The maintainer passes its
+    *   versioned-state write here, so the splice chain (base anti-join +
+    *   delta tokenize/aggregate) executes exactly once — the recompute
+    *   and every later consumer then scan the written state instead of
+    *   re-running the chain (measured: three ~33-task re-executions per
+    *   batch in st_index_replay_parity). Default identity keeps the
+    *   pure-function shape for one-shot callers. */
   def refresh(basePostings: DataFrame, baseIndex: DataFrame,
-      deltaDocs: DataFrame, minDf: Int = 2): (DataFrame, DataFrame) = {
+      deltaDocs: DataFrame, minDf: Int = 2,
+      materializePostings: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     // cached: the id set feeds THREE broadcasts (postings anti-join,
     // affected-term semi-join, splice anti-join) and exchange reuse does
     // not always unify separately-planned broadcast builds of the same
@@ -75,10 +84,10 @@ object IndexMaintain {
     // tokenize the delta ONCE (cached — delta-bounded by definition):
     // both the postings splice and the affected-term set read it
     val deltaPost = postings(deltaDocs).cache()
-    val newPostings = basePostings
+    val newPostings = materializePostings(basePostings
       .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
       .select(col("w"), col("doc_id"), col("tf"))
-      .unionByName(deltaPost)
+      .unionByName(deltaPost))
     // affected terms: everything the replaced docs used to mention plus
     // everything the delta mentions now — both delta-bounded
     val affected = basePostings

@@ -29,9 +29,9 @@ final class IndexMaintainer(spark: SparkSession, workDir: String) {
   def init(docs0: DataFrame): Unit = synchronized {
     VersionedState.dropVersions(workDir, "postings", "index")
     postingsDf = VersionedState.writeRead(
-      IndexMaintain.postings(docs0), postingsPath(0))
+      IndexMaintain.postings(docs0), postingsPath(0), compact = true)
     indexDf = VersionedState.writeRead(
-      IndexMaintain.buildIndex(postingsDf), indexPath(0))
+      IndexMaintain.buildIndex(postingsDf), indexPath(0), compact = true)
     version = 0
   }
 
@@ -60,12 +60,14 @@ final class IndexMaintainer(spark: SparkSession, workDir: String) {
   def applyBatch(batch: DataFrame): Unit = synchronized {
     if (batch.isEmpty) return
     val delta = batch.select(col("doc_id"), col("text"))
-    val (p1, i1) = IndexMaintain.refresh(postingsState, index, delta)
     val next = version + 1
-    val newPostings = VersionedState.writeRead(p1, postingsPath(next))
-    // the index read must not race the postings overwrite of the SAME
-    // version — both new tables derive from version `version` reads
-    val newIndex = VersionedState.writeRead(i1, indexPath(next))
+    // the postings write happens INSIDE refresh (materialize hook): the
+    // index recompute and the returned state frame both read the written
+    // table, so the splice chain runs once per batch instead of three times
+    val (p1, i1) = IndexMaintain.refresh(postingsState, index, delta,
+      materializePostings = p => VersionedState.writeRead(p, postingsPath(next), compact = true))
+    val newPostings = p1
+    val newIndex = VersionedState.writeRead(i1, indexPath(next), compact = true)
     postingsDf = newPostings
     indexDf = newIndex
     version = next

@@ -20,10 +20,30 @@ object VersionedState {
     * such driver-side jobs each (measured, OPTIMIZATION_r11.md). The
     * pinned schema is exactly what was just written, so inference would
     * discover the same thing. */
-  def writeRead(df: org.apache.spark.sql.DataFrame, path: String)
-      : org.apache.spark.sql.DataFrame = {
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.schema(df.schema).parquet(path)
+  def writeRead(df: org.apache.spark.sql.DataFrame, path: String,
+      compact: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // compact=true: repartition small states to one file before writing.
+    // A maintainer state is usually the tail of a UNION (spliced base +
+    // delta) whose partition count is the SUM of its children's — no
+    // exchange on top, so AQE never coalesces it and each version GAINS
+    // files (measured 33 → 49 → 57 across three index batches; every
+    // downstream state scan then a 30+-task stage over <1 MB). Size-gated
+    // on the optimizer's estimate (conf spark.graft.state.compactBytes,
+    // default one 128 MiB file): past the threshold the write is
+    // untouched, so at production scale no state-sized shuffle is added.
+    // OPT-IN because it serializes the write task: measured a win only
+    // for states that are slim AND re-scanned several times per batch
+    // (the index maintainer); the fat rendered-JSON gold state LOST more
+    // on the single-task parquet encode than the reads saved
+    // (st_gold/st_metrics +1.2 s, OPTIMIZATION_r11.md).
+    val spark = df.sparkSession
+    val sized = if (compact && {
+      val threshold = spark.conf
+        .get("spark.graft.state.compactBytes", (128L * 1024 * 1024).toString).toLong
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < threshold
+    }) df.repartition(1) else df
+    sized.write.mode("overwrite").parquet(path)
+    spark.read.schema(df.schema).parquet(path)
   }
 
   /** Exact row count of a just-written parquet state table from its file
