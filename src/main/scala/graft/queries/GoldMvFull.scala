@@ -907,7 +907,9 @@ object GoldMvFull {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         LEFT JOIN drug_agg d ON o.o_orderkey = d.da_key
       """)) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
+      // size-gated fan-out before the broadcast join + per-row JSON render
+      // + collect_list partial (the mv_firs_slice pattern; no-op at scale)
+      val li = graft.core.Fanout.bySize(s, t(s, dir, "lineitem"), dir, "lineitem")
       val part = broadcast(t(s, dir, "part"))
       val perRowQty = when(col("l_quantity").cast("long") >= 10,
         concat(col("l_quantity").cast("long").cast("string"), lit(" Units")))
@@ -933,7 +935,7 @@ object GoldMvFull {
         date_add(to_date(col("o_orderdate")), when(isComm, 180).otherwise(60)),
         "yyyy-MM-dd")
 
-      t(s, dir, "orders")
+      graft.core.Fanout.bySize(s, t(s, dir, "orders"), dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(drugAgg, col("o_orderkey") === col("da_key"), "left")
