@@ -359,7 +359,15 @@ object CurateOps {
       // sequence(1, 0) is the DESCENDING [1, 0] while DuckDB's
       // generate_series(1, 0) is empty (the dd70 lesson)
       val arr = split(col("text"), " ")
-      val d0 = t(s, dir, "documents").select(col("doc_id"), arr.as("arr"))
+      // size-gated fan-out: this battery is deliberately exchange-free, so
+      // ALL of its O(distinct·len) per-row array work ran inside the
+      // 1-task documents scan (profiled: a single-task 1.4 s save stage =
+      // 95% of the query). The fan-out is the query's only exchange and
+      // moves just (doc_id, text); no-op at scale.
+      val d0 = graft.core.Fanout.bySize(s,
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          dir, "documents")
+        .select(col("doc_id"), arr.as("arr"))
         .withColumn("bg", when(size(col("arr")) >= 2,
           expr("transform(sequence(1, size(arr)-1), i -> concat(element_at(arr, i), ' ', element_at(arr, i+1)))"))
           .otherwise(expr("cast(array() as array<string>)")))
