@@ -284,7 +284,11 @@ object Ingest {
       // failing the batch — the quarantined rows stay countable
       val js0 = concat(lit("{\"k\":"), col("o_orderkey"),
         lit(",\"p\":\""), col("o_orderpriority"), lit("\"}"))
-      t(s, dir, "orders")
+      // size-gated fan-out before the render + PERMISSIVE re-parse, which
+      // ran inside the 1-task orders scan (profiled 0.52 s single task)
+      graft.core.Fanout.bySize(s,
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          dir, "orders")
         .withColumn("js0", js0)
         .withColumn("js",
           when(col("o_orderkey") % 13 === 0,
