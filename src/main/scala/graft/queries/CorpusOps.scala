@@ -359,7 +359,12 @@ object CorpusOps {
       // Both stay bounded: docsArr ≈ corpus tokens, bands = docs × 4.
       // Banding + verification live in resolve/LshBands, shared with the
       // streaming admission maintainer so the two surfaces cannot drift.
-      val docsArr = DocPipeline.shingleArr(both).cache()
+      // fanned out before the shingle build (size-gated no-op at scale):
+      // the cache otherwise pins the union's 3 scan partitions, and every
+      // consumer of the cached relation inherits one hot task (profiled
+      // six 3-task stages at max 0.7-1.5 s vs median 0.05-0.27 s)
+      val docsArr = DocPipeline.shingleArr(
+        graft.core.Fanout.bySize(s, both, dir, "documents")).cache()
       val sh = docsArr.select(col("doc_id"), explode(col("shArr")).as("sh"))
       val bands = graft.resolve.LshBands.bandsOf(docsArr).cache()
       val deltaBands = bands.join(deltaDocs.select(col("doc_id")), Seq("doc_id"))
